@@ -1,24 +1,48 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. Excludes `dedup_ngram_jaccard` (the deliberately
+  * O(n²) exact-Jaccard oracle baseline — its scalable twin
+  * `dedup_minhash_lsh` is benchmarked instead).
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "graph_build_edges", "graph_degrees", "graph_degree_dist",
+    "graph_cc", "graph_cc_sizes", "graph_sssp",
+    "graph_pagerank5", "graph_pagerank_conv",
+    "graph_update_edges", "graph_update_degrees",
+    "graph_triangles", "rmat_gen",
+    "q1_agg", "q3_revenue", "q5_nation_revenue",
+    "topk_orders_per_cust", "sessionize", "events_hourly",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+    "ann_topk", "ann_lsh",
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "multimodal_meta", "stream_events_hourly")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,121 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph._
+import graft.ops._
+import graft.streaming.EventStream
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
+  *
+  * Every `queries` entry with a matching `oracleSql` entry is hash-compared
+  * against DuckDB at sf0.01 by the driver; entries without oracle SQL get a
+  * weaker rows-only check (approximate/probabilistic or generator ops).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    PageRank.fixedIterations(Graph.fromTpch(spark, "/root/testdata/sf0.001"), 5)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- graph core (SURVEY §2 G1..G12) ---
+    "graph_build_edges" -> ((s, d) => Graph.fromTpch(s, d).edges),
+    "graph_degrees" -> ((s, d) => Degrees(Graph.fromTpch(s, d))),
+    "graph_degree_dist" -> ((s, d) => Degrees.distribution(Graph.fromTpch(s, d))),
+    "graph_cc" -> ((s, d) => ConnectedComponents(Graph.fromTpch(s, d))),
+    "graph_cc_sizes" -> ((s, d) => ConnectedComponents.sizes(Graph.fromTpch(s, d))),
+    "graph_sssp" -> ((s, d) => ShortestPaths.fromMinVertex(Graph.fromTpch(s, d))),
+    "graph_pagerank5" -> ((s, d) => PageRank.fixedIterations(Graph.fromTpch(s, d), 5)),
+    "graph_pagerank_conv" -> ((s, d) => PageRank.converged(Graph.fromTpch(s, d))),
+    "graph_update_edges" -> ((s, d) => EdgeUpdates.updatedGraph(s, d).edges),
+    "graph_update_degrees" -> ((s, d) => Degrees(EdgeUpdates.updatedGraph(s, d))),
+    "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
+    "rmat_gen" -> ((s, _) => RMat.graph(s, RMat.Params(scale = 10)).edges),
+    // --- relational / OLAP (R1..R6) ---
+    "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
+    "q3_revenue" -> ((s, d) => Relational.q3Revenue(s, d)),
+    "q5_nation_revenue" -> ((s, d) => Relational.q5NationRevenue(s, d)),
+    "topk_orders_per_cust" -> ((s, d) => Relational.topkOrdersPerCust(s, d)),
+    "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
+    // --- dedup (D1..D5) ---
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    // --- similarity search (S1..S2) ---
+    "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
+    "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    // --- text analysis (T1..T4) ---
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // --- multimodal (M1) ---
+    "multimodal_meta" -> ((s, d) => Multimodal.extractMeta(s, d)),
+    // --- streaming (X1) ---
+    "stream_events_hourly" -> ((s, d) => EventStream.eventsHourly(s, d)))
+
+  /** DuckDB-equivalent SQL per query key (same column names, types, and
+    * rounding as the Spark result — the driver hash-compares).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "graph_build_edges" -> Graph.tpchEdgesSql,
+    "graph_degrees" ->
+      s"""WITH ${Graph.undirectedCte}
+         |SELECT src AS id, count(*) AS degree FROM edges GROUP BY 1""".stripMargin,
+    "graph_degree_dist" ->
+      s"""WITH ${Graph.undirectedCte},
+         |deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY 1)
+         |SELECT degree, count(*) AS n_vertices FROM deg GROUP BY 1""".stripMargin,
+    "graph_cc" ->
+      s"""WITH RECURSIVE ${Graph.undirectedCte},
+         |cc(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src
+         |)
+         |SELECT id, min(lbl) AS component FROM cc GROUP BY id""".stripMargin,
+    "graph_cc_sizes" ->
+      s"""WITH RECURSIVE ${Graph.undirectedCte},
+         |cc(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src
+         |),
+         |comp AS (SELECT id, min(lbl) AS component FROM cc GROUP BY id)
+         |SELECT component, count(*) AS size FROM comp GROUP BY 1""".stripMargin,
+    "graph_sssp" ->
+      s"""WITH RECURSIVE ${Graph.undirectedCte},
+         |bfs(id, d) AS (
+         |  SELECT (SELECT min(src) FROM edges), 0
+         |  UNION
+         |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN edges e ON bfs.id = e.src
+         |  WHERE bfs.d < 64
+         |)
+         |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY id""".stripMargin,
+    "graph_pagerank5" -> PageRank.unrolledSql(5),
+    "graph_update_edges" -> EdgeUpdates.updatedEdgesSql,
+    "graph_update_degrees" -> EdgeUpdates.updatedDegreesSql,
+    "graph_triangles" -> Triangles.nationTrianglesSql,
+    "q1_agg" -> Relational.q1Sql,
+    "q3_revenue" -> Relational.q3Sql,
+    "q5_nation_revenue" -> Relational.q5Sql,
+    "topk_orders_per_cust" -> Relational.topkSql,
+    "sessionize" -> Relational.sessionizeSql,
+    "events_hourly" -> Relational.eventsHourlySql,
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
+    "dedup_minhash_lsh" -> Dedup.ngramJaccardSql(),
+    "dedup_embedding" -> Dedup.embeddingCosineSql(),
+    "ann_topk" -> Similarity.annTopKSql(),
+    "text_tokens" -> TextAnalysis.tokenCountsSql,
+    "text_quality" -> TextAnalysis.qualitySql,
+    "text_langid" -> TextAnalysis.langIdSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "multimodal_meta" -> Multimodal.extractMetaSql,
+    "stream_events_hourly" -> EventStream.eventsHourlySql)
 }

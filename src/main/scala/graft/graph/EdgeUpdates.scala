@@ -1,0 +1,119 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Batch edge insert/delete — the reference's "update" workload
+  * (ref: tests/networkx/test_python.py:139-144: action (i,j) with i>=0
+  * inserts, (~i,~j) deletes; tests/bagel/App.scala:261-271: duplicate
+  * insert increments weight).
+  *
+  * The reference applies actions sequentially; the Spark-first equivalent is
+  * set algebra with per-edge **last-action-wins** semantics, totally ordered
+  * by action id. Final weight of an edge =
+  *   (base weight, if the edge was never deleted) + #inserts after the last
+  *   delete;  the edge exists iff that weight > 0.
+  * This matches replaying the action log edge-by-edge and is one window +
+  * one aggregate + one outer join — all shuffling on (src, dst).
+  */
+object EdgeUpdates {
+
+  /** The deterministic action stream derived from `events`:
+    * src = user_id + 1, dst = SupplierOffset + event_id % 100 + 1,
+    * delete iff event_type = 'error', ordered by event_id.
+    */
+  def actionsFromEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      (col("user_id") + 1L).as("src"),
+      (lit(Graph.SupplierOffset) + pmod(col("event_id"), lit(100L)) + 1L).as("dst"),
+      (col("event_type") === "error").as("is_del"),
+      col("event_id").as("action_id"))
+
+  val actionsCte: String =
+    """actions AS (
+      |  SELECT user_id + 1 AS src,
+      |    1000000 + event_id % 100 + 1 AS dst,
+      |    event_type = 'error' AS is_del,
+      |    event_id AS action_id
+      |  FROM events
+      |)""".stripMargin
+
+  /** Apply an action log to a weighted edge table. Returns (src, dst, weight)
+    * for all surviving edges.
+    */
+  def apply(base: DataFrame, actions: DataFrame): DataFrame = {
+    val byEdge = Window.partitionBy(col("src"), col("dst"))
+    // per action row: the last delete's action_id over its edge (null if none)
+    val annotated = actions.withColumn("last_del",
+      max(when(col("is_del"), col("action_id"))).over(byEdge))
+    val inserts = annotated
+      .filter(!col("is_del") &&
+        (col("last_del").isNull || col("action_id") > col("last_del")))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_ins"))
+    // edges touched by any delete lose their base weight
+    val touched = annotated
+      .groupBy(col("src"), col("dst"))
+      .agg(max(col("is_del")).as("any_del"))
+    base.select(col("src"), col("dst"), col("weight"))
+      .join(touched, Seq("src", "dst"), "full_outer")
+      .join(inserts, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        (when(coalesce(col("any_del"), lit(false)), lit(0L))
+          .otherwise(coalesce(col("weight"), lit(0L))) +
+          coalesce(col("n_ins"), lit(0L))).as("weight"))
+      .filter(col("weight") > 0L)
+  }
+
+  /** End-to-end: TPC-H graph + events action log → final edge table. */
+  def updatedGraph(spark: SparkSession, dir: String): Graph =
+    Graph(apply(Graph.fromTpch(spark, dir).edges, actionsFromEvents(spark, dir)))
+
+  /** CTE chain ending in `upd(src, dst, weight)` — composable into larger
+    * oracle queries.
+    */
+  val updatedEdgesCtes: String =
+    s"""base AS (
+       |${Graph.tpchEdgesSql.linesIterator.map("  " + _).mkString("\n")}
+       |), $actionsCte,
+       |annotated AS (
+       |  SELECT src, dst, is_del, action_id,
+       |    max(CASE WHEN is_del THEN action_id END)
+       |      OVER (PARTITION BY src, dst) AS last_del
+       |  FROM actions
+       |),
+       |ins AS (
+       |  SELECT src, dst, count(*) AS n_ins
+       |  FROM annotated
+       |  WHERE NOT is_del AND (last_del IS NULL OR action_id > last_del)
+       |  GROUP BY 1, 2
+       |),
+       |touched AS (
+       |  SELECT src, dst, bool_or(is_del) AS any_del FROM annotated GROUP BY 1, 2
+       |),
+       |upd AS (
+       |  SELECT
+       |    coalesce(b.src, t.src) AS src,
+       |    coalesce(b.dst, t.dst) AS dst,
+       |    CAST(CASE WHEN coalesce(t.any_del, false) THEN 0 ELSE coalesce(b.weight, 0) END
+       |      + coalesce(i.n_ins, 0) AS BIGINT) AS weight
+       |  FROM base b
+       |  FULL OUTER JOIN touched t ON b.src = t.src AND b.dst = t.dst
+       |  LEFT JOIN ins i ON coalesce(b.src, t.src) = i.src AND coalesce(b.dst, t.dst) = i.dst
+       |  WHERE CASE WHEN coalesce(t.any_del, false) THEN 0 ELSE coalesce(b.weight, 0) END
+       |      + coalesce(i.n_ins, 0) > 0
+       |)""".stripMargin
+
+  /** DuckDB oracle for the full update pipeline. */
+  val updatedEdgesSql: String =
+    s"WITH $updatedEdgesCtes\nSELECT src, dst, weight FROM upd"
+
+  /** DuckDB oracle for degrees over the updated, symmetrized graph. */
+  val updatedDegreesSql: String =
+    s"""WITH $updatedEdgesCtes,
+       |ue AS (SELECT src, dst FROM upd UNION SELECT dst, src FROM upd)
+       |SELECT src AS id, count(*) AS degree FROM ue GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,79 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** A graph as a DataFrame of directed multi-edges `(src, dst, weight)` —
+  * the Spark-first re-expression of the reference's CSR structure
+  * (ref: tests/networkx/test_python.py:52-58 reads nv/ne/off/ind/wgt).
+  *
+  * We deliberately use DataFrames rather than GraphX: GraphX is RDD-based
+  * (no Tungsten/whole-stage-codegen/AQE), while an edge table keeps every
+  * algorithm inside Catalyst — joins get AQE skew handling, aggregates get
+  * map-side partials, and the same code runs on a 1000-executor cluster by
+  * just partitioning the edge table on `src`.
+  */
+final case class Graph(edges: DataFrame) {
+
+  /** Symmetrized, deduplicated edge view (reference graphs are undirected:
+    * networkx.Graph dedupes, Bagel builds both directions). Self-loops kept
+    * as a single direction.
+    */
+  def undirected: DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Distinct vertex ids appearing in any edge. */
+  def vertices: DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+}
+
+object Graph {
+  /** Supplier vertex-id offset keeping the two sides of the bipartite
+    * customer–supplier graph disjoint at any scale factor.
+    */
+  val SupplierOffset = 1000000L
+
+  /** Build the bipartite customer–supplier graph from the relational tables:
+    * one edge per (custkey, suppkey) co-occurrence in orders⋈lineitem,
+    * weight = multiplicity. This is the "graph build" workload of the
+    * reference (ref: README.md "Insertion / deletion / update"), expressed
+    * as a declarative join+aggregate: the scan reads only 3 columns
+    * (pushdown), the join shuffles on orderkey, and the groupBy gets
+    * map-side combine.
+    */
+  def fromTpch(spark: SparkSession, dir: String): Graph = {
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_custkey").as("src"),
+        (lit(SupplierOffset) + col("l_suppkey")).as("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+    Graph(edges)
+  }
+
+  /** Oracle-SQL fragment producing the same edge table in DuckDB. */
+  val tpchEdgesSql: String =
+    """SELECT o_custkey AS src, 1000000 + l_suppkey AS dst,
+      |  count(*) AS weight
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Same, as a WITH-clause body for composing into algorithm oracles:
+    * symmetric distinct undirected edge set.
+    */
+  val undirectedCte: String =
+    """dedges AS (
+      |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), edges AS (
+      |  SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges
+      |)""".stripMargin
+}

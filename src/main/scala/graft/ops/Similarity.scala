@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY §2 S1–S2). */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns, computed with
+    * codegen'd higher-order functions (no UDF): sequential left-to-right
+    * accumulation, matching DuckDB's list_cosine_similarity on DOUBLE[] to
+    * within ulps (outputs are rounded before comparison).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** S1: brute-force cosine top-k per query vector (queries = vec_id <
+    * nQueries). The exact baseline every ANN method is measured against:
+    * broadcast the small query side, scan the corpus once, rank with a
+    * window. Deterministic tie-break (cos desc, id asc).
+    */
+  def annTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id").asc)
+    broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("c"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("c"), 6).as("cos"), col("rank"))
+  }
+
+  def annTopKSql(k: Int = 5, nQueries: Int = 20): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_cosine_similarity(a.v, b.v) AS c
+       |  FROM e a JOIN e b ON a.vec_id < $nQueries AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, c,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM p)
+       |SELECT query_id, neighbor_id, round(c, 6) AS cos, rank
+       |FROM r WHERE rank <= $k""".stripMargin
+
+  /** S2: LSH-bucketed ANN — random-hyperplane signatures (nBits bits) with
+    * multi-probe: each query also probes every bucket within Hamming
+    * distance `probeHamming` of its own (flip low-confidence bits ⇒ recover
+    * most neighbors lost to a single boundary crossing). The 100 TB path:
+    * each query touches ~(probes/2^nBits) of the corpus; bucket assignment
+    * is a deterministic, codegen'd projection (hyperplanes seeded
+    * scala.util.Random — reproducible). Recall vs `annTopK` is
+    * property-tested; no SQL oracle (approximate by design).
+    */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 20,
+      nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
+      probeHamming: Int = 1): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+    def bucket(v: Column): Column =
+      (0 until nBits).map { j =>
+        val w = typedlit(planes(j))
+        when(aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (a, x) => a + x) >= 0.0,
+          lit(1L) * lit(1L << j)).otherwise(lit(0L))
+      }.foldLeft(lit(0L))(_ + _)
+    // all XOR masks with popcount <= probeHamming (1 + nBits + ... probes)
+    val masks = (0L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    val e = vectors(spark, dir).withColumn("bucket", bucket(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(typedlit(masks).cast("array<bigint>")).as("mask"),
+        col("bucket").as("qb"))
+      .select(col("query_id"), col("qv"),
+        col("qb").bitwiseXOR(col("mask")).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id").asc)
+    broadcast(q).join(e, Seq("bucket"))
+      // no dedup needed: probed buckets are distinct per query, and a
+      // vector lives in exactly one bucket — each pair matches at most once
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("c"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("c"), 6).as("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators over `documents` (SURVEY §2 T1–T4). All pure
+  * Column expressions (whole-stage codegen; no UDFs), each mirrored exactly
+  * by a DuckDB oracle.
+  */
+object TextAnalysis {
+
+  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish piece pattern: letter runs, single digits, single symbols. */
+  val PiecePattern = "[a-z]+|[A-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+  /** T1: token counting — whitespace tokens and regex "pieces". */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      regexp_count(col("text"), lit(PiecePattern)).cast("long").as("n_pieces"))
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '$PiecePattern')) AS BIGINT) AS n_pieces
+       |FROM documents""".stripMargin
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+  /** T2: quality scoring — length, average token length, stopword ratio,
+    * and a composite score. A deterministic rational formula so the oracle
+    * matches bit-for-bit (after rounding).
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
+    val avgLen = sumLen / nTok
+    val stopRatio = nStop / nTok
+    val score = least(nTok / 100.0, lit(1.0)) * 0.5 +
+      stopRatio * 0.25 + least(avgLen / lit(10.0), lit(1.0)) * 0.25
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      round(avgLen, 6).as("avg_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(score, 6).as("quality"))
+  }
+
+  val qualitySql: String = {
+    val stoplist = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, n_chars,
+       |    len(toks)::DOUBLE AS n_tok,
+       |    list_sum(list_transform(toks, x -> length(x)))::DOUBLE AS sum_len,
+       |    len(list_filter(toks, x -> x IN ($stoplist)))::DOUBLE AS n_stop
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST(n_tok AS BIGINT) AS n_tokens,
+       |  round(sum_len / n_tok, 6) AS avg_token_len,
+       |  round(n_stop / n_tok, 6) AS stopword_ratio,
+       |  round(least(n_tok / 100.0, 1.0) * 0.5 + (n_stop / n_tok) * 0.25
+       |    + least((sum_len / n_tok) / 10.0, 1.0) * 0.25, 6) AS quality
+       |FROM m""".stripMargin
+  }
+
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "les", "des", "il"))
+
+  /** T3: language-ID via stopword-hit argmax (n-gram-free heuristic;
+    * deterministic tie-break: earlier list wins at equal score, 'und'
+    * (unknown) when no list hits).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val hits = LangStopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words))).cast("long")
+    }
+    val best = hits.tail.foldLeft(
+      struct(hits.head._2.as("score"), lit(hits.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    Tables.documents(spark, dir).select(
+      (col("doc_id") +: hits.map { case (l, c) => c.as(s"hits_$l") }) :+
+        when(best.getField("score") > 0L, best.getField("lang"))
+          .otherwise(lit("und")).as("lang_pred"): _*)
+  }
+
+  val langIdSql: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    val hitCols = LangStopwords.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> x IN (${inList(ws)})))::BIGINT AS hits_$l"
+    }.mkString(",\n    ")
+    // same fold as the Spark side: strictly-greater replaces, so earlier
+    // languages win ties
+    val langs = LangStopwords.map(_._1)
+    val bestExpr = langs.tail.foldLeft(
+      s"{'a': hits_${langs.head}, 'b': '${langs.head}'}") {
+      case (acc, l) =>
+        s"CASE WHEN hits_$l > ($acc).a THEN {'a': hits_$l, 'b': '$l'} ELSE $acc END"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    $hitCols
+       |  FROM t
+       |), b AS (
+       |  SELECT *, $bestExpr AS best FROM h)
+       |SELECT doc_id, ${langs.map(l => s"hits_$l").mkString(", ")},
+       |  CASE WHEN (best).a > 0 THEN (best).b ELSE 'und' END AS lang_pred
+       |FROM b""".stripMargin
+  }
+
+  val FingerprintMod = 1000000007L
+
+  /** T4: document fingerprint — rolling polynomial hash over characters,
+    * `acc = (acc*31 + ascii(c)) mod 1e9+7`. Left-to-right fold in both
+    * engines (Spark aggregate with zero seed ≡ DuckDB list_reduce whose
+    * first element seeds: 0*31 + c1 = c1).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      aggregate(
+        transform(split(col("text"), ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (acc, c) => pmod(acc * 31L + c, lit(FingerprintMod))).as("fp"))
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN length(text) = 0 THEN 0
+       |    ELSE list_reduce(
+       |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+       |      (acc, c) -> (acc * 31 + c) % $FingerprintMod)
+       |  END AS fp
+       |FROM documents""".stripMargin
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph._
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def mkGraph(edges: (Long, Long)*): Graph =
+    Graph(edges.toDF("src", "dst").withColumn("weight", lit(1L)))
+
+  test("fromTpch builds a non-empty bipartite edge table") {
+    val g = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val n = g.edges.count()
+    assert(n > 0)
+    // bipartite: all src below the supplier offset, all dst above
+    assert(g.edges.filter(col("src") >= Graph.SupplierOffset).count() == 0)
+    assert(g.edges.filter(col("dst") < Graph.SupplierOffset).count() == 0)
+  }
+
+  test("degrees: sum of degrees = 2 * undirected edge count") {
+    val g = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val degSum = Degrees(g).agg(sum("degree")).head().getLong(0)
+    assert(degSum == g.undirected.count())
+  }
+
+  test("connected components on two planted components") {
+    // component {1,2,3} and {10,11}
+    val g = mkGraph((1L, 2L), (2L, 3L), (10L, 11L))
+    val cc = ConnectedComponents(g).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("sssp distances on a planted path with a shortcut") {
+    // 1-2-3-4 path plus 1-3 shortcut: dist(4) = 2
+    val g = mkGraph((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+    val d = ShortestPaths(g, 1L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("sssp returns only reachable vertices") {
+    val g = mkGraph((1L, 2L), (10L, 11L))
+    val d = ShortestPaths(g, 1L).collect().map(_.getLong(0)).toSet
+    assert(d == Set(1L, 2L))
+  }
+
+  test("pagerank: mass conservation and symmetry") {
+    // symmetric star 0-1, 0-2, 0-3: leaves equal, hub larger
+    val g = mkGraph((0L, 1L), (0L, 2L), (0L, 3L))
+    val pr = PageRank.fixedIterations(g, 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(math.abs(pr(1L) - pr(2L)) < 1e-9)
+    assert(pr(0L) > pr(1L))
+  }
+
+  test("pagerank converged ~ fixed at high iteration count") {
+    val g = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val a = PageRank.converged(g, tol = 1e-12, maxIter = 60)
+      .withColumnRenamed("pr", "pra")
+    val b = PageRank.fixedIterations(g, 60).withColumnRenamed("pr", "prb")
+    val maxDiff = a.join(b, "id")
+      .agg(max(abs(col("pra") - col("prb")))).head().getDouble(0)
+    assert(maxDiff < 1e-6)
+  }
+
+  test("edge updates: insert new, delete existing, delete-then-insert") {
+    val base = Seq((1L, 2L, 5L), (3L, 4L, 1L), (5L, 6L, 2L))
+      .toDF("src", "dst", "weight")
+    val actions = Seq(
+      (7L, 8L, false, 1L),  // insert brand-new edge
+      (3L, 4L, true, 2L),   // delete existing
+      (5L, 6L, true, 3L),   // delete existing...
+      (5L, 6L, false, 4L),  // ...then insert again => weight 1
+      (1L, 2L, false, 5L)   // duplicate insert => weight 6
+    ).toDF("src", "dst", "is_del", "action_id")
+    val out = EdgeUpdates(base, actions).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 6L, (5L, 6L) -> 1L, (7L, 8L) -> 1L))
+  }
+
+  test("triangles: five 5-cliques have 50 triangles") {
+    val n = Triangles.count(Triangles.nationEdges(spark, TestSpark.sfTiny))
+      .head().getLong(0)
+    assert(n == 50L)
+  }
+
+  test("rmat: deterministic, right size, bounded ids, skewed degrees") {
+    val p = RMat.Params(scale = 8)
+    val e1 = RMat.edges(spark, p)
+    assert(e1.count() == (1L << 8) * 8)
+    assert(e1.filter(col("src") >= (1L << 8) || col("dst") >= (1L << 8)).count() == 0)
+    val e2 = RMat.edges(spark, p)
+    assert(e1.exceptAll(e2).count() == 0)
+    // power-law-ish: max degree well above average (avg = 16 for ef=8 sym)
+    val maxDeg = Degrees(RMat.graph(spark, p)).agg(max("degree")).head().getLong(0)
+    assert(maxDeg > 30)
+  }
+}

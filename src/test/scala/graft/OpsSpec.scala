@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sfTiny
+
+  test("dedup_exact groups identical content") {
+    val out = Dedup.exact(spark, sf)
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(out.agg(sum("n_copies")).head().getLong(0) == nDocs)
+  }
+
+  test("minhash+LSH finds exactly the exact-jaccard pairs") {
+    val exact = Dedup.ngramJaccard(spark, sf).select("id_a", "id_b")
+    val lsh = Dedup.minhashLsh(spark, sf).select("id_a", "id_b")
+    assert(exact.exceptAll(lsh).count() == 0, "LSH missed true pairs")
+    assert(lsh.exceptAll(exact).count() == 0, "LSH produced false pairs past verification")
+  }
+
+  test("simhash banding finds exactly the brute-force hamming<=3 pairs") {
+    // 4x16-bit banding guarantees (pigeonhole) every hamming<=3 pair shares
+    // a band; the hamming filter removes band-collision false positives —
+    // so the distributed pipeline must equal brute-force all-pairs.
+    val fps = Dedup.simhashFingerprints(spark, sf)
+    val brute = fps.as("a").join(fps.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+    val sh = Dedup.simhash(spark, sf)
+    assert(brute.exceptAll(sh).count() == 0, "banding missed hamming<=3 pairs")
+    assert(sh.exceptAll(brute).count() == 0, "banding produced wrong pairs")
+    // exact duplicates have identical fingerprints: every multi-copy content
+    // group must appear as a hamming-0 pair
+    val dupPair = Dedup.exact(spark, sf).filter(col("n_copies") >= 2).count()
+    assert(sh.filter(col("hamming") === 0).count() >= dupPair ||
+      dupPair == 0)
+  }
+
+  test("embedding cosine pairs are symmetric-safe and thresholded") {
+    val out = Dedup.embeddingCosine(spark, sf).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(r => r.getDouble(2) >= 0.4))
+  }
+
+  test("ann_topk: k ranks per query, best-first") {
+    val out = Similarity.annTopK(spark, sf, k = 5, nQueries = 5)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0L until 5L).toSet)
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to 5L))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) >= b.getDouble(2)
+        case _ => true
+      })
+    }
+  }
+
+  test("ann_lsh: nBits=0 degenerates to exact brute force") {
+    // with zero hyperplanes everything shares one bucket — the LSH pipeline
+    // must then return exactly the brute-force top-k
+    val exact = Similarity.annTopK(spark, sf, k = 3, nQueries = 10)
+    val lsh = Similarity.annLsh(spark, sf, k = 3, nQueries = 10,
+      nBits = 0, probeHamming = 0)
+    assert(exact.exceptAll(lsh).count() == 0)
+    assert(lsh.exceptAll(exact).count() == 0)
+  }
+
+  test("ann_lsh: bucketed results carry true cosines and multi-probe lifts recall") {
+    val exact = Similarity.annTopK(spark, sf, k = 1, nQueries = 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // lsh cosines must agree with the exact ones for the same pair (the
+    // approximation is WHICH pairs are scored, never the score itself)
+    val exactCos = Similarity.annTopK(spark, sf, k = 5, nQueries = 20)
+      .select("query_id", "neighbor_id", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def recall(ph: Int): Int = {
+      val approx = Similarity.annLsh(spark, sf, k = 1, nQueries = 20,
+        nBits = 4, probeHamming = ph)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(approx.contains)
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    assert(r1 >= r0, s"multi-probe reduced recall: $r1 < $r0")
+    assert(r1 > 0, "multi-probe recall@1 is zero")
+    val lshRows = Similarity.annLsh(spark, sf, k = 5, nQueries = 20,
+      nBits = 4, probeHamming = 1)
+      .select("query_id", "neighbor_id", "cos").collect()
+    lshRows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactCos.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
+    }
+  }
+
+  test("token counts and fingerprint on a known string") {
+    import spark.implicits._
+    val df = Seq((0L, "the cat sat")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("tmp_docs")
+    val toks = TextAnalysis.tokenCounts(spark, sf)
+    assert(toks.count() == graft.core.Tables.documents(spark, sf).count())
+    // rolling hash of "the cat sat" computed by hand:
+    val expected = "the cat sat".foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val got = graft.core.Tables.documents(spark, sf).sparkSession.range(1)
+      .select(aggregate(
+        transform(split(lit("the cat sat"), ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => pmod(acc * 31L + c, lit(1000000007L))).as("fp"))
+      .head().getLong(0)
+    assert(got == expected)
+  }
+
+  test("quality scores are in [0,1] and langid predicts a known language") {
+    val q = TextAnalysis.quality(spark, sf).collect()
+    assert(q.forall(r => r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0))
+    val l = TextAnalysis.langId(spark, sf)
+    assert(l.filter(col("lang_pred").isNull).count() == 0)
+  }
+
+  test("multimodal meta: n_bytes equals utf-8 byte length") {
+    val out = Multimodal.extractMeta(spark, sf)
+    val bad = out.join(graft.core.Tables.documents(spark, sf), "doc_id")
+      .filter(col("n_bytes") =!= octet_length(col("text"))).count()
+    assert(bad == 0)
+    assert(out.filter(col("channels") =!= 3).count() == 0)
+  }
+}

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Dev-only self-check mimicking the driver's correctness gate:
+runs each oracle_sql.json query in DuckDB against the sf tables and
+compares (sorted columns, sorted rows) with the Verify.scala parquet dumps.
+Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import duckdb, json, sys, os
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    ok = fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        path = f"{out}/{name}"
+        if not os.path.isdir(path):
+            print(f"{name:28s} MISSING spark output"); fail += 1; continue
+        try:
+            a = con.execute(f"SELECT * FROM '{path}/*.parquet'").fetch_df()
+            b = con.execute(sql).fetch_df()
+            a = a.reindex(sorted(a.columns), axis=1)
+            b = b.reindex(sorted(b.columns), axis=1)
+            if list(a.columns) != list(b.columns):
+                print(f"{name:28s} COLS spark={list(a.columns)} oracle={list(b.columns)}")
+                fail += 1; continue
+            cols = list(a.columns)
+            a = a.sort_values(by=cols).reset_index(drop=True)
+            b = b.sort_values(by=cols).reset_index(drop=True)
+            if len(a) != len(b):
+                print(f"{name:28s} ROWS spark={len(a)} oracle={len(b)}"); fail += 1; continue
+            dt = [c for c in cols if str(a.dtypes[c]) != str(b.dtypes[c])]
+            if dt:
+                print(f"{name:28s} DTYPES " + ", ".join(
+                    f"{c}: spark={a.dtypes[c]} oracle={b.dtypes[c]}" for c in dt))
+            bad = None
+            for c in cols:
+                if not a[c].equals(b[c]):
+                    neq = (a[c] != b[c])
+                    try:
+                        neq = neq & ~(a[c].isna() & b[c].isna())
+                    except Exception:
+                        pass
+                    n = int(neq.sum())
+                    if n:
+                        i = neq.idxmax()
+                        bad = f"col {c}: {n} diffs, first@{i}: spark={a[c][i]!r} oracle={b[c][i]!r}"
+                        break
+            if bad: print(f"{name:28s} VALUES {bad}"); fail += 1
+            else: print(f"{name:28s} OK ({len(a)} rows)"); ok += 1
+        except Exception as e:
+            print(f"{name:28s} ERROR {str(e)[:300]}"); fail += 1
+    print(f"\n{ok} ok, {fail} fail")
+    sys.exit(1 if fail else 0)
+
+main()
