@@ -34,10 +34,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
-    val results = headline.filter(qs.contains).map { name =>
+    // optional args: run only the named queries (dev iteration)
+    val toRun = if (args.nonEmpty) args.toSeq else headline
+    val results = toRun.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      name -> sec
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

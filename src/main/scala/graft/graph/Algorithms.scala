@@ -37,8 +37,15 @@ object Degrees {
   * skeleton; hub skew in edges⋈labels is handled by AQE skew-join.
   */
 object ConnectedComponents {
-  def apply(g: Graph, maxIter: Int = 50): DataFrame = {
-    val edges = g.undirected.persist(StorageLevel.MEMORY_AND_DISK)
+  /** @param broadcastVertices broadcast the |V|-row label table into the
+    *   per-round edges join so the (much larger) edge table never shuffles.
+    *   Right for |V| up to tens of millions; disable for billion-vertex
+    *   graphs and let AQE pick a shuffle join on the pre-partitioned key.
+    */
+  def apply(g: Graph, maxIter: Int = 50,
+      broadcastVertices: Boolean = true): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    val edges = graft.core.Partitioning.cachedSized(g.undirected)
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
@@ -47,7 +54,7 @@ object ConnectedComponents {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val heard = edges.join(labels, edges("src") === labels("id"))
+      val heard = edges.join(bc(labels), edges("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
       val next = labels.select(col("id"), col("component"))
         .union(heard)
@@ -82,14 +89,14 @@ object ShortestPaths {
     * graph whose ids need not start at 0).
     */
   def fromMinVertex(g: Graph, maxIter: Int = 64): DataFrame = {
-    val edges = g.undirected.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = graft.core.Partitioning.cachedSized(g.undirected)
     // one O(1) driver-side scalar: the source id
     val source = edges.agg(min(col("src"))).head().getLong(0)
     run(g, edges, source, maxIter)
   }
 
   def apply(g: Graph, source: Long, maxIter: Int = 64): DataFrame = {
-    val edges = g.undirected.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = graft.core.Partitioning.cachedSized(g.undirected)
     run(g, edges, source, maxIter)
   }
 
@@ -102,9 +109,11 @@ object ShortestPaths {
     var done = false
     while (!done && d < maxIter) {
       d += 1
-      val next = frontier.join(edges, frontier("id") === edges("src"))
+      // frontier is small by construction — broadcast it into the edges
+      // join; the anti-join's visited set is |V|-bounded, also broadcast
+      val next = edges.join(broadcast(frontier), frontier("id") === edges("src"))
         .select(col("dst").as("id")).distinct()
-        .join(dist, Seq("id"), "left_anti")
+        .join(broadcast(dist), Seq("id"), "left_anti")
         .withColumn("dist", lit(d))
         .localCheckpoint(true)
       if (next.isEmpty) done = true
@@ -144,34 +153,47 @@ object PageRank {
   def converged(g: Graph, tol: Double = 1e-8, maxIter: Int = 100): DataFrame =
     run(g, maxIter, tol)._1
 
-  private def run(g: Graph, maxIter: Int, tol: Double): (DataFrame, Int) = {
-    val edges = g.undirected.persist(StorageLevel.MEMORY_AND_DISK)
+  private def run(g: Graph, maxIter: Int, tol: Double,
+      broadcastVertices: Boolean = true): (DataFrame, Int) = {
+    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    val edges = graft.core.Partitioning.cachedSized(g.undirected)
     val degrees = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nv = degrees.count().toDouble
-    var ranks = degrees.select(col("id"), lit(1.0 / nv).as("pr")).localCheckpoint(true)
+    // single state table (id, outdeg, pr): no ranks⋈degrees join inside the
+    // loop — one broadcast, one edges scan, one contribution shuffle, one
+    // |V|-row update join per iteration
+    var state = degrees
+      .select(col("id"), col("outdeg"), lit(1.0 / nv).as("pr"))
+      .localCheckpoint(true)
     var i = 0
     var delta = Double.MaxValue
     while (i < maxIter && (tol == 0.0 || delta > tol)) {
-      val contribs = ranks.join(degrees, "id")
-        .join(edges, col("id") === edges("src"))
+      // edges never shuffle: the |V|-row state is broadcast into the join,
+      // and the only exchange per iteration is the map-side-combined
+      // contribution aggregate on dst
+      val contribs = edges
+        .join(bc(state), col("src") === col("id"))
         .select(col("dst"), (col("pr") / col("outdeg")).as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("msg"))
-      val next = degrees.select(col("id"))
+      // carry the old rank through the update so the convergence delta is a
+      // plain aggregate over the checkpointed result — no extra join+shuffle
+      // per iteration
+      val next = state.select(col("id"), col("outdeg"), col("pr").as("pr_old"))
         .join(contribs, col("id") === contribs("dst"), "left")
-        .select(col("id"),
-          (lit((1.0 - Damping) / nv) + lit(Damping) * coalesce(col("msg"), lit(0.0))).as("pr"))
+        .select(col("id"), col("outdeg"),
+          (lit((1.0 - Damping) / nv) + lit(Damping) * coalesce(col("msg"), lit(0.0))).as("pr"),
+          col("pr_old"))
         .localCheckpoint(true)
       if (tol > 0.0) {
-        delta = next.as("n").join(ranks.as("o"), "id")
-          .agg(sum(abs(col("n.pr") - col("o.pr")))).head().getDouble(0)
+        delta = next.agg(sum(abs(col("pr") - col("pr_old")))).head().getDouble(0)
       }
-      ranks = next
+      state = next.select(col("id"), col("outdeg"), col("pr"))
       i += 1
     }
     edges.unpersist(); degrees.unpersist()
-    (ranks.select(col("id"), round(col("pr"), 8).as("pr")), i)
+    (state.select(col("id"), round(col("pr"), 8).as("pr")), i)
   }
 
   /** DuckDB oracle: the same fixed iterations unrolled as plain SQL CTEs. */

