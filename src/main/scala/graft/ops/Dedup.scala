@@ -116,30 +116,40 @@ object Dedup {
     * verification join touches only candidate pairs.
     */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleTable(spark, dir).persist()
-    // hash each shingle string ONCE to a long, then derive the i-th
-    // permutation by re-hashing that long with seed i — 126 cheap
-    // fixed-width hashes per row instead of 126 string traversals (and no
-    // Long-overflow issues under ANSI mode, unlike h1 + i*h2 mixing)
-    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val sigCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val docs = Tables.documents(spark, dir)
+    // the signature projection is compute-bound: make sure a small file
+    // count doesn't serialize it onto a few cores (a 100 TB corpus is
+    // already wide — the guard is a no-op there)
+    val p = spark.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    // full signature in ONE codegen'd projection (graft.functions.MinHashSig)
+    // — no shingle explode, no 126-column aggregation, no shuffle before
+    // the band buckets
+    val sigs = wide.select(col("doc_id"),
+      graft.functions.MinHashSigFn.minhashSig(col("text"), ShingleSize, NumHashes).as("sig"))
     val bandStructs = (0 until NumBands).map { j =>
-      val rowCols = (0 until BandRows).map(r => col(s"mh${BandRows * j + r}"))
-      struct(lit(j).as("band"), xxhash64(rowCols: _*).as("sig"))
+      val rows = (0 until BandRows).map(r =>
+        element_at(col("sig"), j * BandRows + r + 1))
+      struct(lit(j).as("band"), xxhash64(rows: _*).as("bsig"))
     }
     val bands = sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
     val cands = bands.as("a").join(bands.as("b"),
-      col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+      col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val out = jaccardOfCandidates(sh, cands, threshold)
-    sh.unpersist()
-    out
+      .persist()
+    // exact-verify only candidate documents: semi-join the corpus down to
+    // docs that appear in some candidate pair before exploding shingles
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    val sh = docs.join(broadcast(candIds), "doc_id")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    // cands stays cached until the returned plan is executed (it feeds both
+    // the semi-join and the verification); entry is candidate-pair-sized
+    jaccardOfCandidates(sh, cands, threshold)
   }
 
   /** D4: SimHash (64-bit, whitespace tokens, token-frequency weighted) with

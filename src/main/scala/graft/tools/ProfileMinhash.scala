@@ -26,35 +26,38 @@ object ProfileMinhash {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
-      .persist()
-    time("shingle explode")(sh.count())
-
-    val hashed = sh.select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    val sigCols = (0 until Dedup.NumHashes).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*).persist()
-    time("minhash agg")(sigs.count())
+    val docs = Tables.documents(spark, dir)
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.MinHashSigFn.minhashSig(col("text"), Dedup.ShingleSize,
+        Dedup.NumHashes).as("sig")).persist()
+    time("signatures")(sigs.count())
 
     val bandStructs = (0 until Dedup.NumBands).map { j =>
-      val rowCols = (0 until Dedup.BandRows).map(r => col(s"mh${Dedup.BandRows * j + r}"))
-      struct(lit(j).as("band"), xxhash64(rowCols: _*).as("sig"))
+      val rows = (0 until Dedup.BandRows).map(r =>
+        element_at(col("sig"), j * Dedup.BandRows + r + 1))
+      struct(lit(j).as("band"), xxhash64(rows: _*).as("bsig"))
     }
     val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
       .persist()
     time("banding")(bands.count())
 
     val cands = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct().persist()
     val nc = time("candidate join")(cands.count())
     System.err.println(s"[prof] candidates: $nc")
 
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    val sh = docs.join(broadcast(candIds), "doc_id")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+    time("verify shingles")(sh.count())
+
     time("full minhashLsh")(Dedup.minhashLsh(spark, dir).count())
+    time("full minhashLsh 2nd")(Dedup.minhashLsh(spark, dir).count())
     spark.stop()
   }
 }
