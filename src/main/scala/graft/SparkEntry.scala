@@ -25,6 +25,7 @@ object SparkEntry {
     "graph_degrees" -> ((s, d) => Degrees(Graph.fromTpch(s, d))),
     "graph_degree_dist" -> ((s, d) => Degrees.distribution(Graph.fromTpch(s, d))),
     "graph_cc" -> ((s, d) => ConnectedComponents(Graph.fromTpch(s, d))),
+    "graph_cc_alt" -> ((s, d) => ConnectedComponents.alternating(Graph.fromTpch(s, d))),
     "graph_cc_sizes" -> ((s, d) => ConnectedComponents.sizes(Graph.fromTpch(s, d))),
     "graph_sssp" -> ((s, d) => ShortestPaths.fromMinVertex(Graph.fromTpch(s, d))),
     "graph_pagerank5" -> ((s, d) => PageRank.fixedIterations(Graph.fromTpch(s, d), 5)),
@@ -97,6 +98,14 @@ object SparkEntry {
          |  WHERE bfs.d < 64
          |)
          |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY id""".stripMargin,
+    "graph_cc_alt" ->
+      s"""WITH RECURSIVE ${Graph.undirectedCte},
+         |cc(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src
+         |)
+         |SELECT id, min(lbl) AS component FROM cc GROUP BY id""".stripMargin,
     "graph_pagerank5" -> PageRank.unrolledSql(5),
     "graph_update_edges" -> EdgeUpdates.updatedEdgesSql,
     "graph_update_degrees" -> EdgeUpdates.updatedDegreesSql,

@@ -73,6 +73,65 @@ object ConnectedComponents {
   /** (component, size) for each component. */
   def sizes(g: Graph): DataFrame =
     apply(g).groupBy(col("component")).agg(count(lit(1)).as("size"))
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * scale path for high-diameter graphs: converges in O(log n) rounds
+    * where min-label propagation needs O(diameter).
+    *
+    * Both operations are expressed without neighbor lists (no
+    * collect_list, so hub vertices never materialize their adjacency):
+    * per-round work is a min-aggregate on the star center plus a join
+    * back to the edges — two exchanges per operation, all on vertex id.
+    */
+  def alternating(g: Graph, maxIter: Int = 50): DataFrame = {
+    // large-star: for every u, link each strictly-larger neighbor v to
+    //   m = min(Γ(u) ∪ {u}); small-star on edges oriented high→low: link
+    //   each low endpoint (and u itself) to the minimum.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("m"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = o.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      o.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var edges = g.undirected.filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    var stable = false
+    var i = 0
+    var sig = (-1L, -1L)
+    while (!stable && i < maxIter) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val s = edges.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      val next = (s.getLong(0), s.getLong(1))
+      stable = next == sig
+      sig = next
+      i += 1
+    }
+    // converged: edges are (member → root) stars; roots map to themselves,
+    // and isolated-after-dedup vertices (self-loop-only) keep their own id
+    val members = edges.select(col("src").as("id"), col("dst").as("component"))
+    val roots = edges.select(col("dst").as("id")).distinct()
+      .withColumn("component", col("id"))
+    val all = g.vertices
+    members.union(roots)
+      .join(all, Seq("id"), "right")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+  }
 }
 
 /** Unweighted single-source shortest paths via breadth-first frontier

@@ -76,4 +76,35 @@ object EventStream {
       EdgeUpdates(edges, chunk).localCheckpoint(true)
     }
   }
+
+  /** X2 as a REAL streaming query: the action log is staged as one file
+    * per arriving batch, consumed by a file-source stream one file per
+    * micro-batch (AvailableNow), and foreachBatch folds EdgeUpdates over
+    * the edge state — the exact production shape for a Kafka/file feed of
+    * edge mutations maintaining a graph snapshot.
+    */
+  def maintainGraphStream(spark: SparkSession, dir: String,
+      batches: Int = 4): DataFrame = {
+    val actions = EdgeUpdates.actionsFromEvents(spark, dir)
+    val maxId = actions.agg(max(col("action_id"))).head().getLong(0)
+    val step = (maxId + batches) / batches
+    val staging = java.nio.file.Files.createTempDirectory("graft-actions-")
+    (0 until batches).foreach { i =>
+      actions.filter(col("action_id") >= i * step && col("action_id") < (i + 1) * step)
+        .coalesce(1).write.mode("append").parquet(staging.toString)
+    }
+    var state = Graph.fromTpch(spark, dir).edges.localCheckpoint(true)
+    val stream = spark.readStream.schema(actions.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging.toString)
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state = EdgeUpdates(state, batch).localCheckpoint(true)
+      }
+      .start()
+    q.awaitTermination()
+    state
+  }
 }

@@ -34,6 +34,20 @@ class GraphSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("large-star/small-star cc equals min-label cc") {
+    // planted components, a long path (the case min-label is slow on),
+    // and an R-MAT graph
+    val planted = mkGraph((1L, 2L), (2L, 3L), (10L, 11L))
+    val path = mkGraph((1L until 40L).map(i => (i, i + 1)): _*)
+    val rmat = RMat.graph(spark, RMat.Params(scale = 8))
+    Seq(planted, path, rmat, Graph.fromTpch(spark, TestSpark.sfTiny)).foreach { g =>
+      val a = ConnectedComponents(g)
+      val b = ConnectedComponents.alternating(g)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        "alternating CC disagrees with min-label CC")
+    }
+  }
+
   test("sssp distances on a planted path with a shortcut") {
     // 1-2-3-4 path plus 1-3 shortcut: dist(4) = 2
     val g = mkGraph((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))

@@ -25,4 +25,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded.exceptAll(oneShot).count() == 0)
     assert(oneShot.exceptAll(folded).count() == 0)
   }
+
+  test("foreachBatch streaming graph maintenance equals one-shot batch update") {
+    val streamed = EventStream.maintainGraphStream(spark, sf, batches = 3)
+    val oneShot = EdgeUpdates.updatedGraph(spark, sf).edges
+    assert(streamed.exceptAll(oneShot).count() == 0)
+    assert(oneShot.exceptAll(streamed).count() == 0)
+  }
 }
