@@ -19,7 +19,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "ann_topk", "ann_lsh",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "multimodal_meta", "stream_events_hourly")
+    "multimodal_meta", "multimodal_frames", "stream_events_hourly")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

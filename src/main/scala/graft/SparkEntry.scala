@@ -57,6 +57,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // --- multimodal (M1) ---
     "multimodal_meta" -> ((s, d) => Multimodal.extractMeta(s, d)),
+    "multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
     // --- streaming (X1) ---
     "stream_events_hourly" -> ((s, d) => EventStream.eventsHourly(s, d)))
 
@@ -126,5 +127,6 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "multimodal_meta" -> Multimodal.extractMetaSql,
+    "multimodal_frames" -> Multimodal.sampleFramesSql,
     "stream_events_hourly" -> EventStream.eventsHourlySql)
 }

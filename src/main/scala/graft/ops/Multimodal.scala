@@ -52,4 +52,44 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
       |  CAST(3 AS BIGINT) AS channels
       |FROM documents""".stripMargin
+
+  val DefaultFrames = 4
+  val DefaultFrameBytes = 64
+
+  /** M2: frame sampling over a binary payload — N evenly-strided fixed-size
+    * byte windows per blob, exploded to one row per frame with a stubbed
+    * per-frame feature (md5 signature; production: replace with the real
+    * frame decode + embedding, identical plumbing). The generator runs
+    * inside the scan projection: no shuffle at all.
+    */
+  def sampleFrames(spark: SparkSession, dir: String,
+      nFrames: Int = DefaultFrames,
+      frameBytes: Int = DefaultFrameBytes): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"),
+        greatest(expr(s"octet_length(payload) div $nFrames"), lit(1L))
+          .cast("int").as("stride"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        substring(col("payload"),
+          (col("frame_idx") * col("stride") + 1).cast("int"), lit(frameBytes))
+          .as("frame"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_sig"),
+        octet_length(col("frame")).cast("long").as("frame_bytes"))
+
+  /** Oracle at the string level — documents are pure ASCII so byte offsets
+    * equal character offsets and md5(bytes) = md5(varchar).
+    */
+  val sampleFramesSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, i AS frame_idx,
+       |    greatest(length(text) // $DefaultFrames, 1) AS stride, text
+       |  FROM documents, unnest(range(0, $DefaultFrames)) AS t(i)
+       |)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  md5(substring(text, CAST(frame_idx * stride + 1 AS BIGINT), $DefaultFrameBytes)) AS frame_sig,
+       |  CAST(length(substring(text, CAST(frame_idx * stride + 1 AS BIGINT), $DefaultFrameBytes)) AS BIGINT) AS frame_bytes
+       |FROM f""".stripMargin
 }
