@@ -17,7 +17,7 @@ object Bench {
     "q1_agg", "q3_revenue", "q5_nation_revenue",
     "topk_orders_per_cust", "sessionize", "events_hourly",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-    "ann_topk", "ann_lsh",
+    "ann_topk", "ann_lsh", "ann_ivf",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "multimodal_meta", "multimodal_frames", "stream_events_hourly")
 

@@ -50,6 +50,7 @@ object SparkEntry {
     // --- similarity search (S1..S2) ---
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     // --- text analysis (T1..T4) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),

@@ -99,4 +99,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("c"), 6).as("cos"), col("rank"))
   }
+
+  /** S3: IVF-style ANN — a k-means coarse quantizer (MLlib, trained on a
+    * bounded sample) partitions the corpus into nLists inverted lists; each
+    * query scores only its nProbe nearest lists. The second classic scale
+    * path next to hyperplane LSH: each query touches ~nProbe/nLists of the
+    * corpus, and the list assignment is one broadcast-join against the
+    * centroid table. Recall vs `annTopK` is property-tested; no SQL oracle
+    * (approximate by design, and k-means is iterative).
+    */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 20,
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      trainSample: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = vectors(spark, dir)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(e.limit(trainSample).select(array_to_vector(col("v")).as("features")))
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i.toLong, c.toArray.toSeq)
+    }.toSeq
+    def nearestLists(v: Column, n: Int): Column = {
+      // rank centroids by distance² = |c|² - 2<v,c> (|v|² constant per row);
+      // centroid count is small, so this is a codegen'd projection — list
+      // assignment costs no shuffle and no join
+      val scored = centroids.map { case (id, c) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * graft.functions.ArrayDot.dot(v,
+          typedlit(c))).as("d"), lit(id).as("list_id"))
+      }
+      slice(array_sort(array(scored: _*)), 1, n)
+    }
+    val assigned = e.withColumn("list_id",
+      element_at(nearestLists(col("v"), 1), 1).getField("list_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(transform(nearestLists(col("v"), nProbe),
+          s => s.getField("list_id"))).as("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id").asc)
+    broadcast(q).join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("c"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("c"), 6).as("cos"), col("rank"))
+  }
 }

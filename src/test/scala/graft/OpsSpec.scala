@@ -101,6 +101,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivf: probing all lists equals brute force, fewer probes keep recall") {
+    val exact = Similarity.annTopK(spark, sf, k = 3, nQueries = 10)
+    // nProbe = nLists degenerates to brute force over all lists
+    val all = Similarity.annIvf(spark, sf, k = 3, nQueries = 10,
+      nLists = 4, nProbe = 4)
+    assert(exact.exceptAll(all).count() == 0 && all.exceptAll(exact).count() == 0)
+    val exact1 = exact.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = Similarity.annIvf(spark, sf, k = 3, nQueries = 10,
+      nLists = 4, nProbe = 2).filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact1.count(probed.contains) > 0, "ivf recall@1 is zero")
+  }
+
   test("token counts and fingerprint on a known string") {
     import spark.implicits._
     val df = Seq((0L, "the cat sat")).toDF("doc_id", "text")
