@@ -15,6 +15,7 @@ object Bench {
     "graph_update_edges", "graph_update_degrees",
     "graph_triangles", "rmat_gen",
     "q1_agg", "q3_revenue", "q5_nation_revenue",
+    "q6_forecast", "q18_large_orders",
     "topk_orders_per_cust", "sessionize", "events_hourly",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "ann_topk", "ann_lsh", "ann_ivf",

@@ -38,6 +38,8 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q3_revenue" -> ((s, d) => Relational.q3Revenue(s, d)),
     "q5_nation_revenue" -> ((s, d) => Relational.q5NationRevenue(s, d)),
+    "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
     "topk_orders_per_cust" -> ((s, d) => Relational.topkOrdersPerCust(s, d)),
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
@@ -115,6 +117,8 @@ object SparkEntry {
     "q1_agg" -> Relational.q1Sql,
     "q3_revenue" -> Relational.q3Sql,
     "q5_nation_revenue" -> Relational.q5Sql,
+    "q6_forecast" -> Relational.q6Sql,
+    "q18_large_orders" -> Relational.q18Sql(),
     "topk_orders_per_cust" -> Relational.topkSql,
     "sessionize" -> Relational.sessionizeSql,
     "events_hourly" -> Relational.eventsHourlySql,

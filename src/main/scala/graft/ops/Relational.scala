@@ -179,4 +179,48 @@ object Relational {
       |  round(sum(value), 4) AS sum_value,
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q6 style: the pure-pushdown query — every predicate reaches the
+    * parquet scan (range on date, between on discount, bound on quantity),
+    * a 4-column ReadSchema, and a single scalar aggregate. The plan is one
+    * codegen'd scan stage; nothing shuffles but one row per partition.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  val q6Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q18 style: large orders — aggregate-then-having on the fact
+    * table, then join customers. The having filter runs BEFORE the customer
+    * join (aggregate pushdown below the join), so only qualifying orders
+    * join the dimension.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String, minQty: Double = 150.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") >= minQty)
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), round(col("total_qty"), 4).as("total_qty"))
+  }
+
+  def q18Sql(minQty: Double = 150.0): String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+       |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) >= $minQty
+       |)
+       |SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       |  round(total_qty, 4) AS total_qty
+       |FROM big JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey""".stripMargin
 }

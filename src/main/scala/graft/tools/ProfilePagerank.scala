@@ -47,7 +47,8 @@ object ProfilePagerank {
           col("pr_old"))
     }
 
-    iterate().explain("formatted")
+    // experiment: does AQE's per-job planning dominate the micro-iterations?
+    if (args.length > 2) spark.conf.set("spark.sql.adaptive.enabled", args(2))
     (1 to 10).foreach { i =>
       val next = time(s"iter $i checkpoint")(iterate().localCheckpoint(true))
       val d = time(s"iter $i delta agg")(
