@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.core.Tables
 import graft.graph.{EdgeUpdates, Graph}
@@ -22,6 +22,14 @@ import graft.graph.{EdgeUpdates, Graph}
   * state — the streaming re-expression of the reference's sequential update
   * loop (ref: tests/networkx/test_python.py:139-144).
   */
+/** JVM-static capture of per-run open session state (single-process only —
+  * executors in local mode share this object; see sessionizeStream).
+  */
+private[streaming] object SessionCapture {
+  val open = new java.util.concurrent.ConcurrentHashMap[Long,
+    scala.collection.concurrent.TrieMap[Long, EventStream.SessState]]()
+}
+
 object EventStream {
   private val nameCounter = new AtomicLong(0)
 
@@ -75,6 +83,107 @@ object EventStream {
       val chunk = actions.filter(col("action_id") >= lo && col("action_id") < hi)
       EdgeUpdates(edges, chunk).localCheckpoint(true)
     }
+  }
+
+  final case class Ev(user_id: Long, ts_us: Long, value: Double)
+  final case class SessState(seq: Long, lastTs: Long, n: Long, sum: Double)
+  final case class Sess(user_id: Long, session_seq: Long, n_events: Long,
+      sum_value: Double)
+
+  val SessionGapUs: Long = 1800L * 1000000L
+
+  /** X3: streaming sessionization with custom state —
+    * `flatMapGroupsWithState` keeps one open session per user across
+    * micro-batches and emits a session row whenever a >30-min gap closes
+    * it. The stream arrives as one file per micro-batch (AvailableNow),
+    * exactly like the batch `Relational.sessionize` semantics. Sessions
+    * still open when the stream drains are returned separately via a
+    * single-process capture (valid under local[*] where executors share
+    * the JVM — in production a GroupStateTimeout on event time emits them
+    * through the stream itself).
+    *
+    * Returns (emitted sessions, open-state sessions at end).
+    */
+  def sessionizeStream(spark: SparkSession, dir: String,
+      batches: Int = 4): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val events = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("event_id"))
+    val staging = java.nio.file.Files.createTempDirectory("graft-sess-")
+    val maxId = events.agg(max(col("event_id"))).head().getLong(0)
+    val step = (maxId + batches) / batches
+    (0 until batches).foreach { i =>
+      events.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)
+        .coalesce(1).write.mode("append").parquet(staging.toString)
+    }
+    // task closures are serialized even in local mode, so capture open
+    // state through a JVM-static registry (valid single-process only; see
+    // scaladoc) rather than a captured map instance
+    val runId = nameCounter.incrementAndGet()
+    SessionCapture.open.put(runId, scala.collection.concurrent.TrieMap())
+    def handle(userId: Long, it: Iterator[Ev],
+        state: GroupState[SessState]): Iterator[Sess] = {
+      val evs = it.toSeq.sortBy(_.ts_us)
+      var s = state.getOption.orNull
+      val out = scala.collection.mutable.Buffer[Sess]()
+      evs.foreach { e =>
+        if (s == null) s = SessState(1L, e.ts_us, 1L, e.value)
+        else if (e.ts_us - s.lastTs > SessionGapUs) {
+          out += Sess(userId, s.seq, s.n, s.sum)
+          s = SessState(s.seq + 1, e.ts_us, 1L, e.value)
+        } else s = s.copy(lastTs = e.ts_us, n = s.n + 1, sum = s.sum + e.value)
+      }
+      state.update(s)
+      SessionCapture.open.get(runId)(userId) = s
+      out.iterator
+    }
+    val stream = spark.readStream
+      .schema(events.drop("event_id").schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
+      .select(col("user_id"), col("ts_us"), col("value")).as[Ev]
+    val name = s"graft_sessions_${nameCounter.incrementAndGet()}"
+    val q = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(handle)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val open = Option(SessionCapture.open.remove(runId)).get.toSeq
+      .map { case (u, s) => Sess(u, s.seq, s.n, s.sum) }.toDF()
+    (spark.table(name), open)
+  }
+
+  /** X4: watermarked tumbling-window aggregation in append mode — the
+    * production streaming shape (late data bounded by the watermark,
+    * windows emitted once final). Windows still above the watermark when
+    * the stream drains are not emitted; tests assert emitted ⊆ batch.
+    */
+  def eventsHourlyWatermarked(spark: SparkSession, dir: String,
+      batches: Int = 4, watermark: String = "1 hour"): DataFrame = {
+    val events = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"), col("event_type"),
+        col("event_id"))
+    val staging = java.nio.file.Files.createTempDirectory("graft-wm-")
+    val maxId = events.agg(max(col("event_id"))).head().getLong(0)
+    val step = (maxId + batches) / batches
+    (0 until batches).foreach { i =>
+      events.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)
+        .coalesce(1).write.mode("append").parquet(staging.toString)
+    }
+    val stream = spark.readStream
+      .schema(events.drop("event_id").schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
+    val agg = stream.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = s"graft_wm_hourly_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
   }
 
   /** X2 as a REAL streaming query: the action log is staged as one file

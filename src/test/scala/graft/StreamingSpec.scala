@@ -26,6 +26,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneShot.exceptAll(folded).count() == 0)
   }
 
+  test("stateful streaming sessionize equals batch sessionize") {
+    import org.apache.spark.sql.functions._
+    val (emitted, open) = EventStream.sessionizeStream(spark, sf, batches = 3)
+    val streamed = emitted.union(open)
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+    val batch = Relational.sessionize(spark, sf)
+      .select("user_id", "session_seq", "n_events", "sum_value")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("watermarked append-mode hourly agg emits a subset of the batch agg") {
+    import org.apache.spark.sql.functions._
+    val emitted = EventStream.eventsHourlyWatermarked(spark, sf, batches = 4)
+      .select("hour", "event_type", "n", "sum_value")
+    val batch = Relational.eventsHourly(spark, sf)
+      .select("hour", "event_type", "n", "sum_value")
+    assert(emitted.count() > 0, "watermark never released any window")
+    assert(emitted.exceptAll(batch).count() == 0,
+      "append-mode emitted a window disagreeing with batch")
+  }
+
   test("foreachBatch streaming graph maintenance equals one-shot batch update") {
     val streamed = EventStream.maintainGraphStream(spark, sf, batches = 3)
     val oneShot = EdgeUpdates.updatedGraph(spark, sf).edges
