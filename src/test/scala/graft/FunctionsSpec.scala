@@ -19,6 +19,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNull.head().isNullAt(0))
   }
 
+  test("GraftExtensions registers the functions for SQL users") {
+    // TestSpark sets spark.sql.extensions=graft.GraftExtensions — the
+    // standard production config path
+    val dot = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    val sig = spark.sql("SELECT minhash_sig('hello world hello', 5, 16) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 16)
+  }
+
   test("minhash_sig: identical strings share signatures, estimate tracks jaccard") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 8
