@@ -10,7 +10,7 @@ import org.apache.spark.storage.StorageLevel
 object Degrees {
   /** (id, degree) — number of distinct neighbors. */
   def apply(g: Graph): DataFrame =
-    g.undirected.groupBy(col("src").as("id"))
+    g.cachedUndirected.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
 
   /** (degree, n_vertices) histogram — the reference charts degree
@@ -45,7 +45,7 @@ object ConnectedComponents {
   def apply(g: Graph, maxIter: Int = 50,
       broadcastVertices: Boolean = true): DataFrame = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
-    val edges = graft.core.Partitioning.cachedSized(g.undirected)
+    val edges = g.cachedUndirected
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
@@ -66,7 +66,7 @@ object ConnectedComponents {
       labels = next
       i += 1
     }
-    edges.unpersist()
+    // edges cache is shared across algorithms (Graph.cachedUndirected) — no unpersist
     labels
   }
 
@@ -107,7 +107,7 @@ object ConnectedComponents {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    var edges = g.undirected.filter(col("src") =!= col("dst"))
+    var edges = g.cachedUndirected.filter(col("src") =!= col("dst"))
       .localCheckpoint(true)
     var stable = false
     var i = 0
@@ -148,14 +148,14 @@ object ShortestPaths {
     * graph whose ids need not start at 0).
     */
   def fromMinVertex(g: Graph, maxIter: Int = 64): DataFrame = {
-    val edges = graft.core.Partitioning.cachedSized(g.undirected)
+    val edges = g.cachedUndirected
     // one O(1) driver-side scalar: the source id
     val source = edges.agg(min(col("src"))).head().getLong(0)
     run(g, edges, source, maxIter)
   }
 
   def apply(g: Graph, source: Long, maxIter: Int = 64): DataFrame = {
-    val edges = graft.core.Partitioning.cachedSized(g.undirected)
+    val edges = g.cachedUndirected
     run(g, edges, source, maxIter)
   }
 
@@ -181,7 +181,7 @@ object ShortestPaths {
         frontier = next
       }
     }
-    edges.unpersist()
+    // edges cache is shared across algorithms (Graph.cachedUndirected) — no unpersist
     dist
   }
 }
@@ -215,7 +215,7 @@ object PageRank {
   private def run(g: Graph, maxIter: Int, tol: Double,
       broadcastVertices: Boolean = true): (DataFrame, Int) = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
-    val edges = graft.core.Partitioning.cachedSized(g.undirected)
+    val edges = g.cachedUndirected
     val degrees = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -251,7 +251,7 @@ object PageRank {
       state = next.select(col("id"), col("outdeg"), col("pr"))
       i += 1
     }
-    edges.unpersist(); degrees.unpersist()
+    degrees.unpersist() // edges cache is shared (Graph.cachedUndirected)
     (state.select(col("id"), round(col("pr"), 8).as("pr")), i)
   }
 

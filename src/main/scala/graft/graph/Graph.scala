@@ -26,6 +26,14 @@ final case class Graph(edges: DataFrame) {
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
+  /** Materialized, row-count-partitioned undirected view — computed once
+    * per Graph instance and shared by every algorithm run against it
+    * (`Graph.fromTpch` memoizes instances per (session, dir), so the six
+    * graph workloads in a session scan and cache the edge table once).
+    */
+  lazy val cachedUndirected: DataFrame =
+    graft.core.Partitioning.cachedSized(undirected)
+
   /** Distinct vertex ids appearing in any edge. */
   def vertices: DataFrame =
     edges.select(col("src").as("id"))
@@ -47,7 +55,13 @@ object Graph {
     * (pushdown), the join shuffles on orderkey, and the groupBy gets
     * map-side combine.
     */
-  def fromTpch(spark: SparkSession, dir: String): Graph = {
+  private val instances =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Graph]()
+
+  def fromTpch(spark: SparkSession, dir: String): Graph =
+    instances.getOrElseUpdate((spark, dir), build(spark, dir))
+
+  private def build(spark: SparkSession, dir: String): Graph = {
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
