@@ -58,6 +58,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "text_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
     // --- multimodal (M1) ---
     "multimodal_meta" -> ((s, d) => Multimodal.extractMeta(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -131,6 +133,8 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualitySql,
     "text_langid" -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "text_tfidf" -> TextAnalysis.tfidfSql(),
+    "text_ngrams" -> TextAnalysis.corpusNgramsSql(),
     "multimodal_meta" -> Multimodal.extractMetaSql,
     "multimodal_frames" -> Multimodal.sampleFramesSql,
     "stream_events_hourly" -> EventStream.eventsHourlySql)

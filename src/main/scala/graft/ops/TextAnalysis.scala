@@ -154,4 +154,83 @@ object TextAnalysis {
        |      (acc, c) -> (acc * 31 + c) % $FingerprintMod)
        |  END AS fp
        |FROM documents""".stripMargin
+
+  /** Lower-cased whitespace terms, one row per occurrence. */
+  private def termTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+
+  /** T5: TF-IDF top-k terms per document —
+    * tfidf = tf * ln((N+1)/(df+1)), deterministic tie-break on term.
+    * Two shuffles (term stats, per-doc window); df table is term-count
+    * sized and broadcast back onto the term occurrences.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = termTable(spark, dir)
+    val n = Tables.documents(spark, dir).count().toDouble
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
+  def tfidfSql(k: Int = 5): String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, t.term FROM documents,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t(term)
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tf.term, tf, df,
+       |    round(tf * ln(((SELECT n FROM n) + 1.0) / (df + 1.0)), 6) AS tfidf
+       |  FROM tf JOIN df ON tf.term = df.term
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** T6: corpus-level word n-gram counts, top-k — the "what does the corpus
+    * repeat" profile. One explode + one count shuffle; top-k via a single
+    * global sort of the (small) distinct-ngram aggregate.
+    */
+  def corpusNgrams(spark: SparkSession, dir: String, n: Int = 2,
+      k: Int = 50): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    // guard: Spark's sequence(1, 0) is the DESCENDING [1, 0], so short
+    // documents need an explicit empty array, not an empty-range hope
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(explode(grams).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  def corpusNgramsSql(n: Int = 2, k: Int = 50): String = {
+    val parts = (0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT $parts AS ngram
+       |  FROM t, unnest(range(1, greatest(len(toks) - ${n - 2}, 1))) AS u(i)
+       |)
+       |SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY 1
+       |ORDER BY n_occurrences DESC, ngram ASC LIMIT $k""".stripMargin
+  }
 }
