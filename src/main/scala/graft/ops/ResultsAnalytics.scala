@@ -84,4 +84,45 @@ object ResultsAnalytics {
       .withColumn("rel_to_best",
         when(best =!= 0.0, round(col("value") / best, 4)).otherwise(lit(null)))
   }
+
+  private val chartTitles = Map(
+    "build" -> "Initial Graph Construction (s)",
+    "sv" -> "Connected Components (s)",
+    "pr" -> "Page Rank (s)",
+    "sssp" -> "Single Source Shortest Path (s)",
+    "update" -> "Update Rate (edges/s)",
+    "mem" -> "Memory Usage (KB)")
+
+  /** Self-contained HTML bar charts — the make_graphs.py output
+    * re-expressed without external JS (inline SVG, log-free linear bars
+    * scaled per metric). One section per chart in the reference's order.
+    */
+  def chartsHtml(spark: SparkSession, dir: String): String = {
+    val rows = summary(spark, dir)
+      .select("metric", "package", "value", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val sections = (metricNames :+ "mem").flatMap { m =>
+      val bars = rows.filter(_._1 == m).sortBy(_._4)
+      if (bars.isEmpty) None else Some {
+        val maxV = bars.map(_._3).max
+        val rects = bars.zipWithIndex.map { case ((_, pkg, v, _), i) =>
+          val wpx = math.max(1, (560.0 * v / maxV).round)
+          s"""<g transform="translate(0,${i * 24})">
+             |<text x="150" y="15" text-anchor="end" font-size="12">$pkg</text>
+             |<rect x="160" y="3" width="$wpx" height="16" fill="#4472a8"/>
+             |<text x="${160 + wpx + 5}" y="15" font-size="11">${"%.4g".format(v)}</text>
+             |</g>""".stripMargin
+        }.mkString("\n")
+        s"""<h2>${chartTitles.getOrElse(m, m)}</h2>
+           |<svg width="800" height="${bars.length * 24 + 8}">$rects</svg>""".stripMargin
+      }
+    }
+    s"<!DOCTYPE html><html><head><meta charset='utf-8'><title>graft results</title>" +
+      s"</head><body>\n${sections.mkString("\n")}\n</body></html>"
+  }
+
+  /** Write the comparison charts next to the given path. */
+  def writeCharts(spark: SparkSession, dir: String, outFile: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      chartsHtml(spark, dir))
 }

@@ -214,8 +214,10 @@ object TextAnalysis {
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
-    Tables.documents(spark, dir)
-      .select(explode(grams).as("ngram"))
+    val docs = Tables.documents(spark, dir)
+    val p = spark.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    wide.select(explode(grams).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)

@@ -24,6 +24,15 @@ class ResultsAnalyticsSpec extends AnyFunSuite {
     assert(names == Set("build", "sv", "pr", "sssp", "update", "mem"))
   }
 
+  test("charts html renders one section per populated metric") {
+    assume(new java.io.File(resultsDir).isDirectory)
+    val html = ResultsAnalytics.chartsHtml(spark, resultsDir)
+    Seq("Initial Graph Construction", "Connected Components", "Page Rank",
+      "Single Source Shortest Path", "Update Rate", "Memory Usage")
+      .foreach(t => assert(html.contains(t), s"missing chart: $t"))
+    assert(html.contains("<svg") && html.contains("stinger"))
+  }
+
   test("summary ranks each metric ascending with best=1.0 relative") {
     assume(new java.io.File(resultsDir).isDirectory)
     val s = ResultsAnalytics.summary(spark, resultsDir).collect()
