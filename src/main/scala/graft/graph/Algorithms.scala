@@ -199,6 +199,7 @@ object ShortestPaths {
   */
 object PageRank {
   val Damping = 0.85
+  val DeltaEvery = 5
 
   /** Fixed-iteration variant (oracle-checkable: the driver's DuckDB oracle
     * unrolls the same 5 iterations in SQL). Returns (id, pr) rounded to 8dp.
@@ -245,7 +246,10 @@ object PageRank {
           (lit((1.0 - Damping) / nv) + lit(Damping) * coalesce(col("msg"), lit(0.0))).as("pr"),
           col("pr_old"))
         .localCheckpoint(true)
-      if (tol > 0.0) {
+      // amortize the scalar convergence job: deltas shrink monotonically
+      // (~×damping per step), so checking every few iterations stops at
+      // most deltaEvery-1 steps late — never early
+      if (tol > 0.0 && ((i + 1) % DeltaEvery == 0 || i + 1 == maxIter)) {
         delta = next.agg(sum(abs(col("pr") - col("pr_old")))).head().getDouble(0)
       }
       state = next.select(col("id"), col("outdeg"), col("pr"))
