@@ -43,14 +43,19 @@ object Bench {
     try qs("q1_agg")(spark, sfDir).count() catch { case _: Throwable => }
     val results = toRun.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { qs(name)(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
-      name -> sec
+      // a crashed query must not masquerade as a fast success: record -1
+      name -> (if (ok) sec else -1.0)
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -21,12 +21,16 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
     require(salt > 0, "salt must be positive")
-    // deterministic per-row salt: hash every big-side column so identical
-    // rows still spread (a random salt would break retry determinism)
-    val bigCols: Seq[Column] = big.columns.map(col).toSeq
-    val b = big.withColumn("__salt", pmod(xxhash64(bigCols: _*), lit(salt.toLong)))
+    val saltCol = "__graft_salt"
+    require(!big.columns.contains(saltCol) && !small.columns.contains(saltCol),
+      s"column $saltCol already exists")
+    // per-POSITION salt (monotonically_increasing_id is stable under task
+    // retry: partition id + row index): identical duplicate rows spread
+    // too, which a row-content hash cannot do
+    val b = big.withColumn(saltCol,
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val s = small
-      .withColumn("__salt", explode(sequence(lit(0L), lit(salt.toLong - 1))))
-    b.join(s, Seq(key, "__salt")).drop("__salt")
+      .withColumn(saltCol, explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    b.join(s, Seq(key, saltCol)).drop(saltCol)
   }
 }

@@ -39,7 +39,7 @@ case class ArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = ArrayDot.checkedLength(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -52,7 +52,8 @@ case class ArrayDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.ArrayDot.checkedLength(
+         |  $a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -67,6 +68,17 @@ case class ArrayDot(left: Expression, right: Expression)
 }
 
 object ArrayDot {
+  /** Fail fast on dimension mismatch — a silently truncated dot product
+    * would mask wrong-dimensionality bugs with plausible numbers (DuckDB's
+    * list_cosine_similarity errors on mismatch too). Called from both the
+    * interpreted path and generated code.
+    */
+  def checkedLength(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"array_dot: dimension mismatch ($a vs $b)")
+    a
+  }
+
   /** Column-API entry point: `dot(a, b)`. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -149,9 +149,14 @@ object ShortestPaths {
     */
   def fromMinVertex(g: Graph, maxIter: Int = 64): DataFrame = {
     val edges = g.cachedUndirected
-    // one O(1) driver-side scalar: the source id
-    val source = edges.agg(min(col("src"))).head().getLong(0)
-    run(g, edges, source, maxIter)
+    // one O(1) driver-side scalar: the source id (null on an empty edge
+    // table → empty distance table, not an NPE)
+    val row = edges.agg(min(col("src"))).head()
+    if (row.isNullAt(0)) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("id", "dist")
+    } else run(g, edges, row.getLong(0), maxIter)
   }
 
   def apply(g: Graph, source: Long, maxIter: Int = 64): DataFrame = {

@@ -66,9 +66,16 @@ object ResultsAnalytics {
     timed.unionAll(mem).filter(col("package").isNotNull)
   }
 
-  /** Chart-shaped summary: per metric, packages ranked ascending (the
-    * reference sorts each bar chart by value), with each package's slowdown
-    * relative to the metric's best performer.
+  /** Metrics where a larger value is better: `update` is a RATE — the
+    * reference stores edges/sec there (make_graphs.py titles it "Update
+    * Rate", y-axis "Edges per Second"); everything else is time/memory
+    * where smaller wins.
+    */
+  val higherIsBetter: Set[String] = Set("update")
+
+  /** Chart-shaped summary: per metric, packages ranked best-first (rate
+    * metrics descend, time/memory metrics ascend), with each package's
+    * factor-worse-than-best (1.0 = best, always ≥ 1).
     */
   def summary(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -77,12 +84,20 @@ object ResultsAnalytics {
       .filter(col("value") > 0.0)
       .groupBy(col("metric"), col("package"))
       .agg(avg(col("value")).as("value"), count(lit(1)).as("n_runs"))
-    val w = Window.partitionBy(col("metric")).orderBy(col("value").asc)
+    val rate = col("metric").isInCollection(higherIsBetter)
+    // rank key: negate rate metrics so one ascending window ranks both kinds
+    val keyed = m.withColumn("__key",
+      when(rate, -col("value")).otherwise(col("value")))
+    val w = Window.partitionBy(col("metric")).orderBy(col("__key").asc)
     val best = first(col("value")).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    m.withColumn("rank", row_number().over(w).cast("long"))
+    keyed.withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("rel_to_best",
-        when(best =!= 0.0, round(col("value") / best, 4)).otherwise(lit(null)))
+        when(best =!= 0.0,
+          round(when(rate, best / col("value"))
+            .otherwise(col("value") / best), 4))
+          .otherwise(lit(null)))
+      .drop("__key")
   }
 
   private val chartTitles = Map(
@@ -105,12 +120,15 @@ object ResultsAnalytics {
       val bars = rows.filter(_._1 == m).sortBy(_._4)
       if (bars.isEmpty) None else Some {
         val maxV = bars.map(_._3).max
+        def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+          .replace(">", "&gt;")
         val rects = bars.zipWithIndex.map { case ((_, pkg, v, _), i) =>
           val wpx = math.max(1, (560.0 * v / maxV).round)
+          val label = String.format(java.util.Locale.ROOT, "%.4g", Double.box(v))
           s"""<g transform="translate(0,${i * 24})">
-             |<text x="150" y="15" text-anchor="end" font-size="12">$pkg</text>
+             |<text x="150" y="15" text-anchor="end" font-size="12">${esc(pkg)}</text>
              |<rect x="160" y="3" width="$wpx" height="16" fill="#4472a8"/>
-             |<text x="${160 + wpx + 5}" y="15" font-size="11">${"%.4g".format(v)}</text>
+             |<text x="${160 + wpx + 5}" y="15" font-size="11">$label</text>
              |</g>""".stripMargin
         }.mkString("\n")
         s"""<h2>${chartTitles.getOrElse(m, m)}</h2>

@@ -33,6 +33,40 @@ private[streaming] object SessionCapture {
 object EventStream {
   private val nameCounter = new AtomicLong(0)
 
+  /** Stage `df` as one parquet file per chunk of the (long) `orderCol`
+    * range, simulating a stream arriving in order. Each chunk's files get
+    * a pinned, strictly increasing modification time — the file source
+    * orders by mtime, and filesystem timestamp granularity must not be
+    * able to reorder micro-batches. Empty input stages zero files (the
+    * AvailableNow query then drains with no batches).
+    */
+  private def stageByChunks(df: DataFrame, orderCol: String,
+      batches: Int): String = {
+    val staging = java.nio.file.Files.createTempDirectory("graft-stage-")
+    val mm = df.agg(min(col(orderCol)), max(col(orderCol))).head()
+    if (!mm.isNullAt(0)) {
+      val lo = mm.getLong(0)
+      val hi = mm.getLong(1)
+      val step = (hi - lo) / batches + 1
+      val base = System.currentTimeMillis() - (batches + 30) * 2000L
+      val seen = scala.collection.mutable.Set[java.nio.file.Path]()
+      (0 until batches).foreach { i =>
+        df.filter(col(orderCol) >= lo + i * step &&
+            col(orderCol) < lo + (i + 1) * step)
+          .coalesce(1).write.mode("append").parquet(staging.toString)
+        val listed = java.nio.file.Files.list(staging)
+        try listed.iterator.forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-") && !seen(p)) {
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+            seen += p
+          }
+        } finally listed.close()
+      }
+    }
+    staging.toString
+  }
+
   /** X1: windowed aggregation over events as a stream, returned as a batch
     * DataFrame once the AvailableNow run completes.
     */
@@ -75,13 +109,16 @@ object EventStream {
     */
   def maintainGraph(spark: SparkSession, dir: String, batches: Int = 4): DataFrame = {
     val actions = EdgeUpdates.actionsFromEvents(spark, dir)
-    val maxId = actions.agg(max(col("action_id"))).head().getLong(0)
-    val step = (maxId + batches) / batches
-    (0 until batches).foldLeft(Graph.fromTpch(spark, dir).edges) { (edges, i) =>
-      val lo = i * step
-      val hi = (i + 1) * step
-      val chunk = actions.filter(col("action_id") >= lo && col("action_id") < hi)
-      EdgeUpdates(edges, chunk).localCheckpoint(true)
+    val base = Graph.fromTpch(spark, dir).edges
+    val mm = actions.agg(max(col("action_id"))).head()
+    if (mm.isNullAt(0)) base // no actions → graph unchanged
+    else {
+      val step = (mm.getLong(0) + batches) / batches
+      (0 until batches).foldLeft(base) { (edges, i) =>
+        val chunk = actions.filter(col("action_id") >= i * step &&
+          col("action_id") < (i + 1) * step)
+        EdgeUpdates(edges, chunk).localCheckpoint(true)
+      }
     }
   }
 
@@ -107,16 +144,13 @@ object EventStream {
   def sessionizeStream(spark: SparkSession, dir: String,
       batches: Int = 4): (DataFrame, DataFrame) = {
     import spark.implicits._
+    // chunk by ts_us, not event_id: sessions are defined by event-time
+    // order, so arrival order across micro-batches must follow ts (a
+    // time-ordered feed) for state folding to match the batch semantics
     val events = graft.core.Tables.events(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("value"), col("event_id"))
-    val staging = java.nio.file.Files.createTempDirectory("graft-sess-")
-    val maxId = events.agg(max(col("event_id"))).head().getLong(0)
-    val step = (maxId + batches) / batches
-    (0 until batches).foreach { i =>
-      events.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)
-        .coalesce(1).write.mode("append").parquet(staging.toString)
-    }
+        col("value"))
+    val staging = stageByChunks(events, "ts_us", batches)
     // task closures are serialized even in local mode, so capture open
     // state through a JVM-static registry (valid single-process only; see
     // scaladoc) rather than a captured map instance
@@ -139,8 +173,8 @@ object EventStream {
       out.iterator
     }
     val stream = spark.readStream
-      .schema(events.drop("event_id").schema)
-      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
       .select(col("user_id"), col("ts_us"), col("value")).as[Ev]
     val name = s"graft_sessions_${nameCounter.incrementAndGet()}"
     val q = stream.groupByKey(_.user_id)
@@ -164,16 +198,11 @@ object EventStream {
     val events = graft.core.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("value"), col("event_type"),
         col("event_id"))
-    val staging = java.nio.file.Files.createTempDirectory("graft-wm-")
-    val maxId = events.agg(max(col("event_id"))).head().getLong(0)
-    val step = (maxId + batches) / batches
-    (0 until batches).foreach { i =>
-      events.filter(col("event_id") >= i * step && col("event_id") < (i + 1) * step)
-        .coalesce(1).write.mode("append").parquet(staging.toString)
-    }
+    val staging = stageByChunks(events, "event_id", batches)
     val stream = spark.readStream
-      .schema(events.drop("event_id").schema)
-      .option("maxFilesPerTrigger", "1").parquet(staging.toString)
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+      .drop("event_id")
     val agg = stream.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
@@ -195,17 +224,11 @@ object EventStream {
   def maintainGraphStream(spark: SparkSession, dir: String,
       batches: Int = 4): DataFrame = {
     val actions = EdgeUpdates.actionsFromEvents(spark, dir)
-    val maxId = actions.agg(max(col("action_id"))).head().getLong(0)
-    val step = (maxId + batches) / batches
-    val staging = java.nio.file.Files.createTempDirectory("graft-actions-")
-    (0 until batches).foreach { i =>
-      actions.filter(col("action_id") >= i * step && col("action_id") < (i + 1) * step)
-        .coalesce(1).write.mode("append").parquet(staging.toString)
-    }
+    val staging = stageByChunks(actions, "action_id", batches)
     var state = Graph.fromTpch(spark, dir).edges.localCheckpoint(true)
     val stream = spark.readStream.schema(actions.schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(staging.toString)
+      .parquet(staging)
     val q = stream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())

@@ -33,16 +33,23 @@ class ResultsAnalyticsSpec extends AnyFunSuite {
     assert(html.contains("<svg") && html.contains("stinger"))
   }
 
-  test("summary ranks each metric ascending with best=1.0 relative") {
+  test("summary ranks each metric best-first with best=1.0 relative") {
     assume(new java.io.File(resultsDir).isDirectory)
     val s = ResultsAnalytics.summary(spark, resultsDir).collect()
     val byMetric = s.groupBy(_.getString(0))
-    byMetric.values.foreach { rows =>
+    byMetric.foreach { case (metric, rows) =>
       val sorted = rows.sortBy(_.getLong(4)) // rank
       // best row is 1.0 relative to itself (null only if the best value is 0)
       assert(sorted.head.isNullAt(5) || sorted.head.getDouble(5) == 1.0)
-      assert(sorted.map(_.getDouble(2)).toSeq ==
-        sorted.map(_.getDouble(2)).sortBy(identity).toSeq)
+      val values = sorted.map(_.getDouble(2)).toSeq
+      // time/memory rank ascending; rate metrics (update = edges/sec,
+      // higher is better) rank descending
+      val expected =
+        if (ResultsAnalytics.higherIsBetter(metric)) values.sortBy(-_)
+        else values.sortBy(identity)
+      assert(values == expected, s"$metric not ranked best-first")
+      // rel_to_best is the factor worse than best: always >= 1
+      assert(sorted.forall(r => r.isNullAt(5) || r.getDouble(5) >= 1.0))
     }
   }
 }
