@@ -115,6 +115,33 @@ object Dedup {
     * groupBy has map-side combine, band buckets are uniform, and the
     * verification join touches only candidate pairs.
     */
+  /** (doc_id, sig: array<long>) MinHash signatures for a (doc_id, text)
+    * table — shared by the pipeline and its profiler so stage timings
+    * always measure the code that actually runs.
+    */
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.MinHashSigFn.minhashSig(col("text"), ShingleSize, NumHashes).as("sig"))
+
+  /** (doc_id, band, bsig): one hashed band key per signature slice. */
+  def bandTable(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { j =>
+      val rows = (0 until BandRows).map(r =>
+        element_at(col("sig"), j * BandRows + r + 1))
+      struct(lit(j).as("band"), xxhash64(rows: _*).as("bsig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
+  }
+
+  /** Distinct (id_a < id_b) pairs sharing any band bucket. */
+  def candidatePairs(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+      col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // the signature projection is compute-bound: make sure a small file
@@ -125,22 +152,8 @@ object Dedup {
     // full signature in ONE codegen'd projection (graft.functions.MinHashSig)
     // — no shingle explode, no 126-column aggregation, no shuffle before
     // the band buckets
-    val sigs = wide.select(col("doc_id"),
-      graft.functions.MinHashSigFn.minhashSig(col("text"), ShingleSize, NumHashes).as("sig"))
-    val bandStructs = (0 until NumBands).map { j =>
-      val rows = (0 until BandRows).map(r =>
-        element_at(col("sig"), j * BandRows + r + 1))
-      struct(lit(j).as("band"), xxhash64(rows: _*).as("bsig"))
-    }
-    val bands = sigs.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-    val cands = bands.as("a").join(bands.as("b"),
-      col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-      .persist()
+    val sigs = signatures(wide)
+    val cands = candidatePairs(bandTable(sigs)).persist()
     // exact-verify only candidate documents: semi-join the corpus down to
     // docs that appear in some candidate pair before exploding shingles
     val candIds = cands.select(col("id_a").as("doc_id"))

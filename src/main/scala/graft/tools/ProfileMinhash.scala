@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.Dedup
 
-/** Dev-only: time each stage of the MinHash+LSH pipeline separately. */
+/** Dev-only: time each stage of the MinHash+LSH pipeline separately —
+  * built from the same Dedup helpers the production pipeline uses, so the
+  * profile cannot drift from the measured code.
+  */
 object ProfileMinhash {
   def time[T](label: String)(f: => T): T = {
     val t0 = System.nanoTime()
@@ -27,29 +30,13 @@ object ProfileMinhash {
     spark.sparkContext.setLogLevel("WARN")
 
     val docs = Tables.documents(spark, dir)
-    val sigs = docs.select(col("doc_id"),
-      graft.functions.MinHashSigFn.minhashSig(col("text"), Dedup.ShingleSize,
-        Dedup.NumHashes).as("sig")).persist()
+    val sigs = Dedup.signatures(docs).persist()
     time("signatures")(sigs.count())
-
-    val bandStructs = (0 until Dedup.NumBands).map { j =>
-      val rows = (0 until Dedup.BandRows).map(r =>
-        element_at(col("sig"), j * Dedup.BandRows + r + 1))
-      struct(lit(j).as("band"), xxhash64(rows: _*).as("bsig"))
-    }
-    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bsig").as("bsig"))
-      .persist()
+    val bands = Dedup.bandTable(sigs).persist()
     time("banding")(bands.count())
-
-    val cands = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct().persist()
+    val cands = Dedup.candidatePairs(bands).persist()
     val nc = time("candidate join")(cands.count())
     System.err.println(s"[prof] candidates: $nc")
-
     val candIds = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
     val sh = docs.join(broadcast(candIds), "doc_id")
