@@ -16,6 +16,10 @@ object ResultsDemo {
     spark.sparkContext.setLogLevel("ERROR")
     ResultsAnalytics.summary(spark, dir)
       .orderBy("metric", "rank").show(100, truncate = false)
+    args.drop(1).headOption.foreach { out =>
+      ResultsAnalytics.writeCharts(spark, dir, out)
+      println(s"charts written to $out")
+    }
     spark.stop()
   }
 }

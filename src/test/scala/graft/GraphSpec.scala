@@ -34,6 +34,18 @@ class GraphSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("rmat quadrant probabilities match the A/B/C/D parameters") {
+    // P(src top bit = 0) = a + b = 0.65 per level; 8192 edges → sd ≈ 0.005
+    val p = RMat.Params(scale = 10)
+    val e = RMat.edges(spark, p)
+    val n = e.count().toDouble
+    val half = 1L << (p.scale - 1)
+    val srcLow = e.filter(col("src") < half).count() / n
+    val dstLow = e.filter(col("dst") < half).count() / n
+    assert(math.abs(srcLow - (p.a + p.b)) < 0.05, s"src split $srcLow")
+    assert(math.abs(dstLow - (p.a + p.c)) < 0.05, s"dst split $dstLow")
+  }
+
   test("large-star/small-star cc equals min-label cc") {
     // planted components, a long path (the case min-label is slow on),
     // and an R-MAT graph
