@@ -68,9 +68,16 @@ object EdgeUpdates {
       .filter(col("weight") > 0L)
   }
 
-  /** End-to-end: TPC-H graph + events action log → final edge table. */
+  private val instances =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Graph]()
+
+  /** End-to-end: TPC-H graph + events action log → final edge table.
+    * Memoized per (session, dir) like Graph.fromTpch, so the update-edges
+    * and update-degrees workloads share one pipeline and one edge cache.
+    */
   def updatedGraph(spark: SparkSession, dir: String): Graph =
-    Graph(apply(Graph.fromTpch(spark, dir).edges, actionsFromEvents(spark, dir)))
+    instances.getOrElseUpdate((spark, dir),
+      Graph(apply(Graph.fromTpch(spark, dir).edges, actionsFromEvents(spark, dir))))
 
   /** CTE chain ending in `upd(src, dst, weight)` — composable into larger
     * oracle queries.

@@ -155,10 +155,15 @@ object TextAnalysis {
        |  END AS fp
        |FROM documents""".stripMargin
 
-  /** Lower-cased whitespace terms, one row per occurrence. */
-  private def termTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+  /** Lower-cased whitespace terms, one row per occurrence. Widened to the
+    * core count when the input arrives as one small file (no-op at scale).
+    */
+  private def termTable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val p = spark.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    wide.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+  }
 
   /** T5: TF-IDF top-k terms per document —
     * tfidf = tf * ln((N+1)/(df+1)), deterministic tie-break on term.
