@@ -11,6 +11,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "graph_build_edges", "graph_degrees", "graph_degree_dist",
     "graph_cc", "graph_cc_alt", "graph_cc_sizes", "graph_sssp",
+    "graph_sssp_weighted",
     "graph_pagerank5", "graph_pagerank_conv",
     "graph_update_edges", "graph_update_degrees",
     "graph_triangles", "rmat_gen",

@@ -28,6 +28,11 @@ object SparkEntry {
     "graph_cc_alt" -> ((s, d) => ConnectedComponents.alternating(Graph.fromTpch(s, d))),
     "graph_cc_sizes" -> ((s, d) => ConnectedComponents.sizes(Graph.fromTpch(s, d))),
     "graph_sssp" -> ((s, d) => ShortestPaths.fromMinVertex(Graph.fromTpch(s, d))),
+    "graph_sssp_weighted" -> ((s, d) => {
+      val g = Graph.fromTpch(s, d)
+      val src = g.cachedUndirected.agg(min(col("src"))).head().getLong(0)
+      WeightedShortestPaths(g, src)
+    }),
     "graph_pagerank5" -> ((s, d) => PageRank.fixedIterations(Graph.fromTpch(s, d), 5)),
     "graph_pagerank_conv" -> ((s, d) => PageRank.converged(Graph.fromTpch(s, d))),
     "graph_update_edges" -> ((s, d) => EdgeUpdates.updatedGraph(s, d).edges),

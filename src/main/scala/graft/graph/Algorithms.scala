@@ -191,6 +191,51 @@ object ShortestPaths {
   }
 }
 
+/** Weighted single-source shortest paths — distributed Bellman-Ford:
+  * each round relaxes every edge from the current frontier (vertices whose
+  * distance improved last round), so work is frontier-proportional like the
+  * BFS variant, and converges in at most |V| rounds (shortest-path hop
+  * count in practice). Extension beyond the reference's unweighted BFS
+  * (ref: tests/bagel/App.scala:225-243); equals it when all weights = 1.
+  */
+object WeightedShortestPaths {
+  def apply(g: Graph, source: Long, maxIter: Int = 100): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    // symmetrize with weights (undirected reference semantics); parallel
+    // edges keep their min weight
+    val e = g.edges.select(col("src"), col("dst"), col("weight"))
+    val edges = graft.core.Partitioning.cachedSized(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+        .groupBy(col("src"), col("dst")).agg(min(col("weight")).as("weight")))
+    var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
+    var frontier = dist
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      i += 1
+      // candidate improvements from the frontier only
+      val cand = edges.join(broadcast(frontier), frontier("id") === edges("src"))
+        .select(col("dst").as("id"), (col("dist") + col("weight")).as("nd"))
+        .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+      // improved = candidates strictly better than the known distance
+      val improved = cand.join(broadcast(dist.withColumnRenamed("dist", "old")),
+          Seq("id"), "left")
+        .filter(col("old").isNull || col("nd") < col("old"))
+        .select(col("id"), col("nd").as("dist"))
+        .localCheckpoint(true)
+      if (!improved.isEmpty) {
+        dist = dist.join(improved.select(col("id").as("iid")),
+            col("id") === col("iid"), "left_anti")
+          .union(improved)
+          .localCheckpoint(true)
+      }
+      frontier = improved
+    }
+    edges.unpersist()
+    dist
+  }
+}
+
 /** PageRank, vertex-parallel, the Bagel reference formula
   * (ref: tests/bagel/App.scala:245-259):
   *   pr'(v) = (1-d)/nv + d * Σ_{u→v} pr(u)/outdeg(u),  d = 0.85,

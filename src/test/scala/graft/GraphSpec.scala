@@ -67,6 +67,24 @@ class GraphSpec extends AnyFunSuite {
     assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("weighted sssp: unit weights equal BFS, weights reroute paths") {
+    // unit-weight equivalence on the tpch graph
+    val g = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val src = g.cachedUndirected.agg(min(col("src"))).head().getLong(0)
+    val unitG = Graph(g.edges.withColumn("weight", lit(1L)))
+    val bfs = ShortestPaths(g, src).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wsp = WeightedShortestPaths(unitG, src).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bfs == wsp)
+    // planted weights: 1-2 (10), 2-3 (10), 1-3 (25) → dist(3)=20 via 2
+    import spark.implicits._
+    val wg = Graph(Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L))
+      .toDF("src", "dst", "weight"))
+    val d = WeightedShortestPaths(wg, 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 10L, 3L -> 20L))
+  }
+
   test("sssp returns only reachable vertices") {
     val g = mkGraph((1L, 2L), (10L, 11L))
     val d = ShortestPaths(g, 1L).collect().map(_.getLong(0)).toSet
