@@ -210,8 +210,9 @@ object WeightedShortestPaths {
         .groupBy(col("src"), col("dst")).agg(min(col("weight")).as("weight")))
     var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
     var frontier = dist
+    var frontierNonEmpty = true // emptiness known from the previous round
     var i = 0
-    while (i < maxIter && !frontier.isEmpty) {
+    while (i < maxIter && frontierNonEmpty) {
       i += 1
       // candidate improvements from the frontier only
       val cand = edges.join(broadcast(frontier), frontier("id") === edges("src"))
@@ -223,7 +224,8 @@ object WeightedShortestPaths {
         .filter(col("old").isNull || col("nd") < col("old"))
         .select(col("id"), col("nd").as("dist"))
         .localCheckpoint(true)
-      if (!improved.isEmpty) {
+      frontierNonEmpty = !improved.isEmpty
+      if (frontierNonEmpty) {
         dist = dist.join(improved.select(col("id").as("iid")),
             col("id") === col("iid"), "left_anti")
           .union(improved)
