@@ -21,7 +21,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "ann_topk", "ann_lsh", "ann_ivf",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "text_tfidf", "text_ngrams",
+    "text_tfidf", "text_ngrams", "text_normalize",
     "multimodal_meta", "multimodal_frames", "stream_events_hourly")
 
   def main(args: Array[String]): Unit = {

@@ -64,6 +64,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "text_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     "text_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
     // --- multimodal (M1) ---
     "multimodal_meta" -> ((s, d) => Multimodal.extractMeta(s, d)),
@@ -139,6 +140,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
     "text_tfidf" -> TextAnalysis.tfidfSql(),
+    "text_normalize" -> TextAnalysis.normalizeSql,
     "text_ngrams" -> TextAnalysis.corpusNgramsSql(),
     "multimodal_meta" -> Multimodal.extractMetaSql,
     "multimodal_frames" -> Multimodal.sampleFramesSql,

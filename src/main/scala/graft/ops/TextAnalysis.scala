@@ -155,6 +155,31 @@ object TextAnalysis {
        |  END AS fp
        |FROM documents""".stripMargin
 
+  /** T7: text normalization — the canonical pre-dedup cleanup: lowercase,
+    * strip punctuation to spaces, collapse whitespace runs, trim. Pure
+    * codegen'd Column expressions; emitted with the md5 of the normalized
+    * form (what an exact-dedup stage would key on).
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), norm.as("norm_text"),
+      length(norm).cast("long").as("n_chars"),
+      md5(norm).as("norm_hash"))
+  }
+
+  val normalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |       '\s+', ' ', 'g')) AS norm_text,
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |       '\s+', ' ', 'g'))) AS BIGINT) AS n_chars,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+      |       '\s+', ' ', 'g'))) AS norm_hash
+      |FROM documents""".stripMargin
+
   /** Lower-cased whitespace terms, one row per occurrence. Widened to the
     * core count when the input arrives as one small file (no-op at scale).
     */
