@@ -6,6 +6,19 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Excludes `dedup_ngram_jaccard` (the deliberately
   * O(n²) exact-Jaccard oracle baseline — its scalable twin
   * `dedup_minhash_lsh` is benchmarked instead).
+  *
+  * A query that crashes is recorded as -1 and makes the whole run
+  * non-comparable: the summary carries `"failed":N` and `"value":-1`, so a
+  * regression that breaks a query can never read as a speedup to a consumer
+  * that only looks at the total.
+  *
+  * Alongside the one-line summary, a full headline run also writes a run
+  * file in the reference's per-run results JSON shape
+  * (ref: make_graphs.py:6-56 — {mem,na,ne,nv,type,results:{build,sv,pr,
+  * sssp,update}}), with `update` as edges/sec over the action-log replay
+  * (the reference's "Update Rate" chart) — so
+  * [[graft.ops.ResultsAnalytics]] charts graft next to the reference
+  * engines with no adapter.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -14,15 +27,24 @@ object Bench {
     "graph_sssp_weighted",
     "graph_pagerank5", "graph_pagerank_conv",
     "graph_update_edges", "graph_update_degrees",
-    "graph_triangles", "rmat_gen",
+    "graph_triangles", "rmat_gen", "rmat_actions",
     "q1_agg", "q3_revenue", "q5_nation_revenue",
     "q6_forecast", "q18_large_orders",
     "topk_orders_per_cust", "sessionize", "events_hourly",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "ann_topk", "ann_lsh", "ann_ivf",
+    "ann_lsh_exhaustive", "ann_ivf_exhaustive",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize",
-    "multimodal_meta", "multimodal_frames", "stream_events_hourly")
+    "multimodal_meta", "multimodal_frames", "stream_events_hourly",
+    "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked")
+
+  /** bench-query → reference results-JSON metric (make_graphs.py charts). */
+  private val refMetricOf = Map(
+    "graph_build_edges" -> "build",
+    "graph_cc" -> "sv",
+    "graph_sssp" -> "sssp",
+    "graph_pagerank_conv" -> "pr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,10 +76,58 @@ object Bench {
       // a crashed query must not masquerade as a fast success: record -1
       name -> (if (ok) sec else -1.0)
     }
+    val secs = results.toMap
+    try writeRefRunJson(spark, sfDir, secs) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ref-run json skipped: ${e.getMessage}")
+    }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    // any failure poisons the headline total — a broken query must read as
+    // "not comparable", not as a faster suite
+    val total = if (failed > 0) -1.0 else results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Write the reference-format run JSON when every mapped workload ran:
+    * graph sizes from the memoized session graph, `update` as edges/sec
+    * (action count over the one-shot update-apply wall time), `mem` as the
+    * JVM's used heap in KB (the single-process analog of the reference's
+    * resident memory figure).
+    */
+  private def writeRefRunJson(spark: SparkSession, sfDir: String,
+      secs: Map[String, Double]): Unit = {
+    val needed = refMetricOf.keySet + "graph_update_edges"
+    if (!needed.forall(q => secs.getOrElse(q, -1.0) > 0)) return
+    val g = graft.graph.Graph.fromTpch(spark, sfDir)
+    val nv = g.vertices.count()
+    val ne = g.edges.count()
+    val na = graft.graph.EdgeUpdates.actionsFromEvents(spark, sfDir).count()
+    val updateRate = na / secs("graph_update_edges")
+    val rt = Runtime.getRuntime
+    val memKb = (rt.totalMemory() - rt.freeMemory()) / 1024
+    val pkg = "graft-spark"
+    val metrics = refMetricOf.map { case (q, m) =>
+      s""""$m": {"name": "$pkg", "time": ${secs(q)}}"""
+    } ++ Seq(s""""update": {"name": "$pkg", "time": $updateRate}""")
+    val json =
+      s"""{
+         |  "mem": $memKb,
+         |  "na": $na,
+         |  "ne": $ne,
+         |  "nv": $nv,
+         |  "type": "$pkg",
+         |  "results": {
+         |    ${metrics.mkString(",\n    ")}
+         |  }
+         |}
+         |""".stripMargin
+    val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RUN_JSON",
+      "target/graft-results/run.graft.json"))
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, json)
+    System.err.println(s"[bench] reference-format run json → $out")
   }
 }

@@ -39,6 +39,8 @@ object SparkEntry {
     "graph_update_degrees" -> ((s, d) => Degrees(EdgeUpdates.updatedGraph(s, d))),
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
     "rmat_gen" -> ((s, _) => RMat.graph(s, RMat.Params(scale = 10)).edges),
+    "rmat_actions" -> ((s, _) =>
+      RMat.actions(s, RMat.Params(scale = 10), na = 20000L)),
     // --- relational / OLAP (R1..R6) ---
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q3_revenue" -> ((s, d) => Relational.q3Revenue(s, d)),
@@ -54,10 +56,14 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
-    // --- similarity search (S1..S2) ---
+    // --- similarity search (S1..S3) ---
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    // exhaustive-probe settings make the bucketed paths exactly ≡ annTopK,
+    // turning the probabilistic pipelines themselves oracle-checkable
+    "ann_lsh_exhaustive" -> ((s, d) => Similarity.annLsh(s, d, probeHamming = 8)),
+    "ann_ivf_exhaustive" -> ((s, d) => Similarity.annIvf(s, d, nProbe = 16)),
     // --- text analysis (T1..T4) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -69,8 +75,12 @@ object SparkEntry {
     // --- multimodal (M1) ---
     "multimodal_meta" -> ((s, d) => Multimodal.extractMeta(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
-    // --- streaming (X1) ---
-    "stream_events_hourly" -> ((s, d) => EventStream.eventsHourly(s, d)))
+    // --- streaming (X1..X4) ---
+    "stream_events_hourly" -> ((s, d) => EventStream.eventsHourly(s, d)),
+    "stream_graph_updates" -> ((s, d) => EventStream.maintainGraphStream(s, d)),
+    "stream_sessionize" -> ((s, d) => EventStream.sessionizeEventTime(s, d)),
+    "stream_hourly_watermarked" -> ((s, d) =>
+      EventStream.eventsHourlyWatermarkedFinal(s, d)))
 
   /** DuckDB-equivalent SQL per query key (same column names, types, and
     * rounding as the Spark result — the driver hash-compares).
@@ -130,11 +140,15 @@ object SparkEntry {
     "topk_orders_per_cust" -> Relational.topkSql,
     "sessionize" -> Relational.sessionizeSql,
     "events_hourly" -> Relational.eventsHourlySql,
+    "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
     "dedup_minhash_lsh" -> Dedup.ngramJaccardSql(),
+    "dedup_simhash" -> Dedup.simhashSql(),
     "dedup_embedding" -> Dedup.embeddingCosineSql(),
     "ann_topk" -> Similarity.annTopKSql(),
+    "ann_lsh_exhaustive" -> Similarity.annTopKSql(),
+    "ann_ivf_exhaustive" -> Similarity.annTopKSql(),
     "text_tokens" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_langid" -> TextAnalysis.langIdSql,
@@ -144,5 +158,8 @@ object SparkEntry {
     "text_ngrams" -> TextAnalysis.corpusNgramsSql(),
     "multimodal_meta" -> Multimodal.extractMetaSql,
     "multimodal_frames" -> Multimodal.sampleFramesSql,
-    "stream_events_hourly" -> EventStream.eventsHourlySql)
+    "stream_events_hourly" -> EventStream.eventsHourlySql,
+    "stream_graph_updates" -> EdgeUpdates.updatedEdgesSql,
+    "stream_sessionize" -> Relational.sessionizeSql,
+    "stream_hourly_watermarked" -> EventStream.eventsHourlySql)
 }

@@ -37,20 +37,38 @@ object Degrees {
   * skeleton; hub skew in edges⋈labels is handled by AQE skew-join.
   */
 object ConnectedComponents {
+  /** Converged label tables, memoized per (graph, params): `sizes` (and any
+    * caller in the same session) reuses the labels `apply` already computed
+    * instead of re-running the fixpoint. Values are localCheckpoint'd, so
+    * the cached plan is a materialized RDD scan, not a lineage replay.
+    */
+  private val labelCache =
+    scala.collection.concurrent.TrieMap[(Graph, Int, Boolean), DataFrame]()
+
   /** @param broadcastVertices broadcast the |V|-row label table into the
     *   per-round edges join so the (much larger) edge table never shuffles.
     *   Right for |V| up to tens of millions; disable for billion-vertex
     *   graphs and let AQE pick a shuffle join on the pre-partitioned key.
     */
   def apply(g: Graph, maxIter: Int = 50,
-      broadcastVertices: Boolean = true): DataFrame = {
+      broadcastVertices: Boolean = true): DataFrame =
+    labelCache.getOrElseUpdate((g, maxIter, broadcastVertices),
+      run(g, maxIter, broadcastVertices))
+
+  private def run(g: Graph, maxIter: Int,
+      broadcastVertices: Boolean): DataFrame = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
     val edges = g.cachedUndirected
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    var lastSum = labels.agg(sum(col("component"))).head().getLong(0)
+    // convergence sentinel: Σ labels is strictly decreasing until fixpoint.
+    // Decimal(38) aggregation — a Long sum can wrap at billion-scale vertex
+    // ids, and two wrapped sums aliasing would declare convergence early.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var lastSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -60,17 +78,21 @@ object ConnectedComponents {
         .union(heard)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint(true)
-      val s = next.agg(sum(col("component"))).head().getLong(0)
-      converged = s == lastSum
+      val s = labelSum(next)
+      converged = s.compareTo(lastSum) == 0
       lastSum = s
       labels = next
       i += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] WARN ConnectedComponents: fixpoint not " +
+        s"reached after $maxIter rounds — labels may be non-minimal " +
+        "(raise maxIter for high-diameter graphs)")
     // edges cache is shared across algorithms (Graph.cachedUndirected) — no unpersist
     labels
   }
 
-  /** (component, size) for each component. */
+  /** (component, size) for each component — reuses the memoized labels. */
   def sizes(g: Graph): DataFrame =
     apply(g).groupBy(col("component")).agg(count(lit(1)).as("size"))
 
@@ -88,22 +110,24 @@ object ConnectedComponents {
     // large-star: for every u, link each strictly-larger neighbor v to
     //   m = min(Γ(u) ∪ {u}); small-star on edges oriented high→low: link
     //   each low endpoint (and u itself) to the minimum.
-    def largeStar(e: DataFrame): DataFrame = {
+    //
+    // Fused round: large-star's output rows all satisfy src > dst already
+    // (dst is a min ≤ the star center < src), so small-star's high→low
+    // orientation is the identity, and its min-aggregate is unaffected by
+    // duplicate rows — large-star's intermediate distinct (one full
+    // (src,dst) exchange per round) is dropped; the single distinct at the
+    // end of the round keeps the edge-set semantics of the paper.
+    def round(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val mins = sym.groupBy(col("src"))
+      val minsU = sym.groupBy(col("src"))
         .agg(least(min(col("dst")), col("src")).as("m"))
-      sym.join(mins, "src")
+      val ls = sym.join(minsU, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      val o = e.select(greatest(col("src"), col("dst")).as("src"),
-        least(col("src"), col("dst")).as("dst"))
-      val mins = o.groupBy(col("src")).agg(min(col("dst")).as("m"))
-      o.join(mins, "src")
+      val minsV = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      ls.join(minsV, "src")
         .select(col("dst").as("src"), col("m").as("dst"))
-        .union(mins.select(col("src"), col("m").as("dst")))
+        .union(minsV.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
@@ -113,7 +137,7 @@ object ConnectedComponents {
     var i = 0
     var sig = (-1L, -1L)
     while (!stable && i < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      edges = round(edges).localCheckpoint(true)
       val s = edges.agg(count(lit(1)),
         expr("bit_xor(xxhash64(src, dst))")).head()
       val next = (s.getLong(0), s.getLong(1))
@@ -121,6 +145,9 @@ object ConnectedComponents {
       sig = next
       i += 1
     }
+    if (!stable)
+      System.err.println(s"[graft] WARN ConnectedComponents.alternating: " +
+        s"fixpoint not reached after $maxIter rounds")
     // converged: edges are (member → root) stars; roots map to themselves,
     // and isolated-after-dedup vertices (self-loop-only) keep their own id
     val members = edges.select(col("src").as("id"), col("dst").as("component"))
@@ -146,8 +173,15 @@ object ConnectedComponents {
 object ShortestPaths {
   /** Distances from the minimum vertex id (the analog of "vertex 0" on a
     * graph whose ids need not start at 0).
+    *
+    * @param broadcastState broadcast the frontier and visited set into the
+    *   per-round joins. On small-world graphs both reach a large fraction
+    *   of |V| within a few hops — disable at billion-vertex scale and let
+    *   AQE pick shuffle joins on the pre-partitioned vertex key (AQE still
+    *   broadcasts the early, genuinely-small frontiers on its own).
     */
-  def fromMinVertex(g: Graph, maxIter: Int = 64): DataFrame = {
+  def fromMinVertex(g: Graph, maxIter: Int = 64,
+      broadcastState: Boolean = true): DataFrame = {
     val edges = g.cachedUndirected
     // one O(1) driver-side scalar: the source id (null on an empty edge
     // table → empty distance table, not an NPE)
@@ -156,28 +190,29 @@ object ShortestPaths {
       val spark = edges.sparkSession
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("id", "dist")
-    } else run(g, edges, row.getLong(0), maxIter)
+    } else run(g, edges, row.getLong(0), maxIter, broadcastState)
   }
 
-  def apply(g: Graph, source: Long, maxIter: Int = 64): DataFrame = {
+  def apply(g: Graph, source: Long, maxIter: Int = 64,
+      broadcastState: Boolean = true): DataFrame = {
     val edges = g.cachedUndirected
-    run(g, edges, source, maxIter)
+    run(g, edges, source, maxIter, broadcastState)
   }
 
-  private def run(g: Graph, edges: DataFrame, source: Long, maxIter: Int): DataFrame = {
+  private def run(g: Graph, edges: DataFrame, source: Long, maxIter: Int,
+      broadcastState: Boolean): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
     var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
     var frontier = dist
     var d = 0L
     var done = false
     while (!done && d < maxIter) {
       d += 1
-      // frontier is small by construction — broadcast it into the edges
-      // join; the anti-join's visited set is |V|-bounded, also broadcast
-      val next = edges.join(broadcast(frontier), frontier("id") === edges("src"))
+      val next = edges.join(bc(frontier), frontier("id") === edges("src"))
         .select(col("dst").as("id")).distinct()
-        .join(broadcast(dist), Seq("id"), "left_anti")
+        .join(bc(dist), Seq("id"), "left_anti")
         .withColumn("dist", lit(d))
         .localCheckpoint(true)
       if (next.isEmpty) done = true
@@ -186,6 +221,9 @@ object ShortestPaths {
         frontier = next
       }
     }
+    if (!done)
+      System.err.println(s"[graft] WARN ShortestPaths: frontier still " +
+        s"non-empty after $maxIter hops — distances beyond the cap missing")
     // edges cache is shared across algorithms (Graph.cachedUndirected) — no unpersist
     dist
   }
@@ -199,9 +237,14 @@ object ShortestPaths {
   * (ref: tests/bagel/App.scala:225-243); equals it when all weights = 1.
   */
 object WeightedShortestPaths {
-  def apply(g: Graph, source: Long, maxIter: Int = 100): DataFrame = {
+  /** @param broadcastState see [[ShortestPaths.fromMinVertex]] — disable at
+    *   billion-vertex scale (frontier and distance table are |V|-bounded).
+    */
+  def apply(g: Graph, source: Long, maxIter: Int = 100,
+      broadcastState: Boolean = true): DataFrame = {
     val spark = g.edges.sparkSession
     import spark.implicits._
+    def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
     // symmetrize with weights (undirected reference semantics); parallel
     // edges keep their min weight
     val e = g.edges.select(col("src"), col("dst"), col("weight"))
@@ -215,11 +258,11 @@ object WeightedShortestPaths {
     while (i < maxIter && frontierNonEmpty) {
       i += 1
       // candidate improvements from the frontier only
-      val cand = edges.join(broadcast(frontier), frontier("id") === edges("src"))
+      val cand = edges.join(bc(frontier), frontier("id") === edges("src"))
         .select(col("dst").as("id"), (col("dist") + col("weight")).as("nd"))
         .groupBy(col("id")).agg(min(col("nd")).as("nd"))
       // improved = candidates strictly better than the known distance
-      val improved = cand.join(broadcast(dist.withColumnRenamed("dist", "old")),
+      val improved = cand.join(bc(dist.withColumnRenamed("dist", "old")),
           Seq("id"), "left")
         .filter(col("old").isNull || col("nd") < col("old"))
         .select(col("id"), col("nd").as("dist"))
@@ -233,8 +276,42 @@ object WeightedShortestPaths {
       }
       frontier = improved
     }
+    if (frontierNonEmpty)
+      System.err.println(s"[graft] WARN WeightedShortestPaths: relaxation " +
+        s"still improving after $maxIter rounds — distances not final")
     edges.unpersist()
     dist
+  }
+
+  /** DuckDB oracle: `hops` Bellman-Ford relaxations unrolled as plain SQL
+    * CTEs over the same min-weight symmetrized edge table. Relaxation is
+    * idempotent past the fixpoint, so any `hops` ≥ the true maximum
+    * shortest-path hop count yields the exact distances.
+    */
+  def unrolledSql(hops: Int): String = {
+    // AS MATERIALIZED: each step references the previous one twice — left
+    // to DuckDB's default CTE inlining the 30-step chain expands 2^30-fold
+    val steps = (1 to hops).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT id, min(d) AS d FROM (
+         |    SELECT id, d FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, p.d + e.weight AS d
+         |    FROM d${k - 1} p JOIN wedges e ON p.id = e.src
+         |  ) u GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (
+       |${Graph.tpchEdgesSql.linesIterator.map("  " + _).mkString("\n")}
+       |), sym AS (
+       |  SELECT src, dst, weight FROM base
+       |  UNION ALL SELECT dst AS src, src AS dst, weight FROM base
+       |), wedges AS MATERIALIZED (
+       |  SELECT src, dst, min(weight) AS weight FROM sym GROUP BY 1, 2
+       |), d0 AS (
+       |  SELECT (SELECT min(src) FROM wedges) AS id, CAST(0 AS BIGINT) AS d
+       |),
+       |$steps
+       |SELECT id, CAST(d AS BIGINT) AS dist FROM d$hops""".stripMargin
   }
 }
 
@@ -255,18 +332,24 @@ object PageRank {
 
   /** Fixed-iteration variant (oracle-checkable: the driver's DuckDB oracle
     * unrolls the same 5 iterations in SQL). Returns (id, pr) rounded to 8dp.
+    *
+    * @param broadcastVertices broadcast the |V|-row rank state into the
+    *   per-iteration edges join. Disable at billion-vertex scale: the
+    *   shuffle-join fallback exchanges on the pre-partitioned vertex key.
     */
-  def fixedIterations(g: Graph, iterations: Int = 5): DataFrame =
-    run(g, iterations, tol = 0.0)._1
+  def fixedIterations(g: Graph, iterations: Int = 5,
+      broadcastVertices: Boolean = true): DataFrame =
+    run(g, iterations, tol = 0.0, broadcastVertices)._1
 
   /** Tolerance-converged variant: stops when Σ|Δpr| < tol (the reference
     * converges on epsilon=1e-8 total delta, App.scala:164).
     */
-  def converged(g: Graph, tol: Double = 1e-8, maxIter: Int = 100): DataFrame =
-    run(g, maxIter, tol)._1
+  def converged(g: Graph, tol: Double = 1e-8, maxIter: Int = 100,
+      broadcastVertices: Boolean = true): DataFrame =
+    run(g, maxIter, tol, broadcastVertices)._1
 
   private def run(g: Graph, maxIter: Int, tol: Double,
-      broadcastVertices: Boolean = true): (DataFrame, Int) = {
+      broadcastVertices: Boolean): (DataFrame, Int) = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
     val edges = g.cachedUndirected
     val degrees = edges.groupBy(col("src").as("id"))
@@ -307,6 +390,10 @@ object PageRank {
       state = next.select(col("id"), col("outdeg"), col("pr"))
       i += 1
     }
+    if (tol > 0.0 && delta > tol)
+      System.err.println(s"[graft] WARN PageRank: Σ|Δpr|=$delta still above " +
+        s"tol=$tol after $maxIter iterations (the reference caps at the " +
+        "same maxIter — result matches its capped semantics)")
     degrees.unpersist() // edges cache is shared (Graph.cachedUndirected)
     (state.select(col("id"), round(col("pr"), 8).as("pr")), i)
   }

@@ -64,10 +64,12 @@ object Dedup {
 
   /** Exact Jaccard for an explicit candidate-pair set: only candidate
     * pairs' shingles are ever joined (linear in |cands|·|doc|, never n²).
+    * No broadcast hint: candidate-pair volume is corpus-dependent (a
+    * dup-heavy crawl can make it huge) — AQE broadcasts small sides itself.
     */
   private def jaccardOfCandidates(sh: DataFrame, cands: DataFrame,
       threshold: Double): DataFrame = {
-    val candSh = broadcast(cands)
+    val candSh = cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))
     val inter = candSh
       .join(sh.select(col("doc_id"), col("sh").as("sh_b")),
@@ -142,41 +144,87 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
-  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    minhashLshDocs(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      threshold)
+
+  /** The full pipeline over an explicit (doc_id, text) corpus.
+    *
+    * Exact-duplicate pre-pass: LSH runs on one representative per distinct
+    * text, so a dup-heavy corpus (the 100 TB crawl norm — and the way a
+    * degenerate band bucket of m identical docs would otherwise emit m²
+    * candidate rows into the shingle-verify join) costs LSH work linear in
+    * the number of *distinct* texts. Duplicate members are reconstituted
+    * afterwards by group joins: identical texts have identical shingle sets,
+    * so every member pair inherits its representatives' exact Jaccard, and
+    * within-group pairs are exactly 1.0 — no shingle work for either.
+    */
+  def minhashLshDocs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     // the signature projection is compute-bound: make sure a small file
     // count doesn't serialize it onto a few cores (a 100 TB corpus is
     // already wide — the guard is a no-op there)
     val p = spark.sparkContext.defaultParallelism
     val wide = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    // (doc_id, rep): the min doc_id per distinct text — one shuffle on the
+    // content hash. localCheckpoint (not persist): blocks are freed by the
+    // ContextCleaner when the plan is garbage-collected, so repeated calls
+    // don't accumulate executor storage.
+    val mem = wide.select(col("doc_id"), md5(col("text")).as("ch"))
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("ch"))))
+      .select(col("doc_id"), col("rep"))
+      .localCheckpoint(true)
+    val reps = wide.join(mem.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id")), "doc_id")
     // full signature in ONE codegen'd projection (graft.functions.MinHashSig)
     // — no shingle explode, no 126-column aggregation, no shuffle before
     // the band buckets
-    val sigs = signatures(wide)
-    val cands = candidatePairs(bandTable(sigs)).persist()
+    val sigs = signatures(reps)
+    val cands = candidatePairs(bandTable(sigs)).localCheckpoint(true)
     // exact-verify only candidate documents: semi-join the corpus down to
-    // docs that appear in some candidate pair before exploding shingles
+    // docs that appear in some candidate pair before exploding shingles.
+    // No broadcast hints anywhere on the candidate side — its volume is
+    // corpus-dependent; AQE broadcasts genuinely-small sides at runtime.
     val candIds = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
-    val sh = docs.join(broadcast(candIds), "doc_id")
+    val sh = reps.join(candIds, "doc_id")
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    // cands stays cached until the returned plan is executed (it feeds both
-    // the semi-join and the verification); entry is candidate-pair-sized
-    jaccardOfCandidates(sh, cands, threshold)
+    val repPairs = jaccardOfCandidates(sh, cands, threshold)
+    // reconstitute duplicate members: cross-group pairs inherit the rep
+    // pair's Jaccard; within-group pairs are identical texts (Jaccard 1.0)
+    val cross = repPairs
+      .join(mem.select(col("rep").as("id_a"), col("doc_id").as("ma")), "id_a")
+      .join(mem.select(col("rep").as("id_b"), col("doc_id").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+    val within = mem.as("x").join(mem.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.union(within)
   }
 
   /** D4: SimHash (64-bit, whitespace tokens, token-frequency weighted) with
     * 4×16-bit band blocking; near-dup pairs at Hamming distance ≤ maxHamming.
-    * (No SQL-expressible oracle — xxhash64 is Spark-side; checked by tests
-    * against the planted near-dup pairs.)
+    *
+    * The per-token 64-bit hash is the first 16 hex digits of md5(token) —
+    * md5 exists in both Spark and DuckDB, so the fingerprint (and therefore
+    * the pair set) is oracle-checkable, unlike a Spark-only xxhash64. Bit k
+    * (LSB = 0) of the hash is bit (k mod 4) of hex digit (15 - k/4).
     */
   /** 64-bit SimHash fingerprints (whitespace tokens, frequency weighted). */
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    // one conv() per hex digit, shared by its 4 bit-sums
+    val digits = (0 until 16).map(i =>
+      conv(substring(col("hx"), i + 1, 1), 16, 10).cast("int").as(s"d$i"))
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .select(col("doc_id"), md5(col("tok")).as("hx"))
+      .select(col("doc_id") +: digits: _*)
     val bitSums = (0 until 64).map(k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$k"))
+      sum(when(shiftright(col(s"d${15 - k / 4}"), k % 4)
+        .bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L)).as(s"b$k"))
     toks.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
@@ -198,6 +246,35 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB oracle for `simhash`: brute-force all-pairs Hamming distance
+    * over the same md5-derived bit signs. The 4-band blocking in the Spark
+    * path is lossless at maxHamming ≤ 3 (pigeonhole: ≤3 differing bits
+    * leave at least one of 4 bands identical), so the banded pair set
+    * equals this exhaustive one.
+    */
+  def simhashSql(maxHamming: Int = 3): String = {
+    // sign of bit k = (sum over tokens of ±1 by bit k of md5) > 0;
+    // hex-digit value via strpos on the hex alphabet (DuckDB has no conv)
+    val signs = (0 until 64).map { k =>
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, ${16 - k / 4}, 1)) - 1) >> ${k % 4}) & 1 = 1 THEN 1 ELSE -1 END) > 0 AS s$k"
+    }.mkString(",\n    ")
+    val ham = (0 until 64).map(k =>
+      s"CASE WHEN a.s$k <> b.s$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, md5(t.tok) AS hx
+       |  FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(tok)
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $signs
+       |  FROM toks GROUP BY doc_id
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST($ham AS BIGINT) AS hamming
+       |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $maxHamming""".stripMargin
   }
 
   /** D5: embedding cosine near-dup pairs ≥ threshold. Brute-force all-pairs

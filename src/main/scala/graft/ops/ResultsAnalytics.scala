@@ -35,10 +35,12 @@ object ResultsAnalytics {
     * results.struct). The results directory also holds crashed-run stubs
     * (sysconfig prologue only), READMEs, and `RSLT: `-line-prefixed dumps —
     * the prefix is stripped to salvage those, and rows that still don't
-    * parse are dropped rather than failing the scan.
+    * parse are dropped rather than failing the scan. `dir` may be a
+    * comma-separated list of directories — e.g. the reference's results
+    * plus graft's own `Bench` run JSON, charting both as one series set.
     */
   def load(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("wholetext", "true").text(dir)
+    spark.read.option("wholetext", "true").text(dir.split(","): _*)
       .select(
         regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
         from_json(

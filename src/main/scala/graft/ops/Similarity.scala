@@ -114,9 +114,14 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = vectors(spark, dir)
+    // seeded uniform sample, not limit(): a limit prefix is a biased sample
+    // of the corpus and funnels through a single partition
+    val n = e.count()
+    val trainFrac = math.min(1.0, trainSample.toDouble / math.max(1L, n))
+    val train = if (trainFrac >= 1.0) e else e.sample(trainFrac, seed)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features")
-      .fit(e.limit(trainSample).select(array_to_vector(col("v")).as("features")))
+      .fit(train.select(array_to_vector(col("v")).as("features")))
     val centroids = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i.toLong, c.toArray.toSeq)
     }.toSeq

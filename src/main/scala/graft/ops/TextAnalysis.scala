@@ -192,8 +192,11 @@ object TextAnalysis {
 
   /** T5: TF-IDF top-k terms per document —
     * tfidf = tf * ln((N+1)/(df+1)), deterministic tie-break on term.
-    * Two shuffles (term stats, per-doc window); df table is term-count
-    * sized and broadcast back onto the term occurrences.
+    * Two shuffles (term stats, per-doc window). The df table gets no
+    * broadcast hint: a web-scale corpus has a non-broadcastable vocabulary
+    * — tf and df are both aggregates keyed on term, so the join co-locates
+    * on the existing exchange, and AQE still broadcasts small vocabularies
+    * at runtime.
     */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -203,7 +206,7 @@ object TextAnalysis {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .withColumn("tfidf",
         round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
       .withColumn("rank", row_number().over(w).cast("long"))

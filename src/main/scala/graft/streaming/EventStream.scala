@@ -30,7 +30,9 @@ private[streaming] object SessionCapture {
     scala.collection.concurrent.TrieMap[Long, EventStream.SessState]]()
 }
 
-object EventStream {
+// Serializable: the state handlers below are module methods, and their
+// eta-expanded closures capture the module instance
+object EventStream extends Serializable {
   private val nameCounter = new AtomicLong(0)
 
   /** Stage `df` as one parquet file per chunk of the (long) `orderCol`
@@ -39,31 +41,40 @@ object EventStream {
     * orders by mtime, and filesystem timestamp granularity must not be
     * able to reorder micro-batches. Empty input stages zero files (the
     * AvailableNow query then drains with no batches).
+    *
+    * `sentinels` are appended as individual trailing files (one micro-batch
+    * each, after every data chunk) — used to push the watermark past all
+    * real event time so event-time timeouts and window finalization fire
+    * before an AvailableNow run drains.
     */
   private def stageByChunks(df: DataFrame, orderCol: String,
-      batches: Int): String = {
+      batches: Int, sentinels: Seq[DataFrame] = Nil): String = {
     val staging = java.nio.file.Files.createTempDirectory("graft-stage-")
+    val base = System.currentTimeMillis() -
+      (batches + sentinels.size + 30) * 2000L
+    val seen = scala.collection.mutable.Set[java.nio.file.Path]()
+    def writeChunk(chunk: DataFrame, seq: Int): Unit = {
+      chunk.coalesce(1).write.mode("append").parquet(staging.toString)
+      val listed = java.nio.file.Files.list(staging)
+      try listed.iterator.forEachRemaining { p =>
+        if (p.getFileName.toString.startsWith("part-") && !seen(p)) {
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(base + seq * 2000L))
+          seen += p
+        }
+      } finally listed.close()
+    }
     val mm = df.agg(min(col(orderCol)), max(col(orderCol))).head()
     if (!mm.isNullAt(0)) {
       val lo = mm.getLong(0)
       val hi = mm.getLong(1)
       val step = (hi - lo) / batches + 1
-      val base = System.currentTimeMillis() - (batches + 30) * 2000L
-      val seen = scala.collection.mutable.Set[java.nio.file.Path]()
       (0 until batches).foreach { i =>
-        df.filter(col(orderCol) >= lo + i * step &&
-            col(orderCol) < lo + (i + 1) * step)
-          .coalesce(1).write.mode("append").parquet(staging.toString)
-        val listed = java.nio.file.Files.list(staging)
-        try listed.iterator.forEachRemaining { p =>
-          if (p.getFileName.toString.startsWith("part-") && !seen(p)) {
-            java.nio.file.Files.setLastModifiedTime(p,
-              java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
-            seen += p
-          }
-        } finally listed.close()
+        writeChunk(df.filter(col(orderCol) >= lo + i * step &&
+          col(orderCol) < lo + (i + 1) * step), i)
       }
     }
+    sentinels.zipWithIndex.foreach { case (s, j) => writeChunk(s, batches + j) }
     staging.toString
   }
 
@@ -188,6 +199,80 @@ object EventStream {
     (spark.table(name), open)
   }
 
+  final case class EvT(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      value: Double)
+
+  /** X3 (production shape): streaming sessionization where the final open
+    * sessions emit *through the stream* — `flatMapGroupsWithState` with an
+    * event-time `GroupStateTimeout` on a watermarked feed, no driver-side
+    * state capture (unlike [[sessionizeStream]], which is single-process).
+    *
+    * AvailableNow would normally drain before the last sessions time out,
+    * so two far-future sentinel ticks are staged after the data: the first
+    * advances max event time (the watermark updates at batch end), the
+    * second runs one more batch under the advanced watermark, firing every
+    * real session's timeout. The sentinel user (-1) itself never times out
+    * and is filtered from the result. Output equals batch
+    * `Relational.sessionize` exactly.
+    */
+  def sessionizeEventTime(spark: SparkSession, dir: String,
+      batches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val events = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+    val mm = events.agg(max(col("ts_us"))).head()
+    if (mm.isNullAt(0)) Seq.empty[Sess].toDF()
+    else {
+      val farUs = mm.getLong(0) + SessionGapUs + 3600L * 1000000L
+      def sentinel(us: Long): DataFrame =
+        Seq((-1L, new java.sql.Timestamp(us / 1000L), us, 0.0))
+          .toDF("user_id", "ts", "ts_us", "value")
+      // chunked by event time — an in-order feed (Kafka keyed by time); no
+      // late data, so the watermark delay can be 0
+      val staging = stageByChunks(events, "ts_us", batches,
+        Seq(sentinel(farUs), sentinel(farUs + 3600L * 1000000L)))
+      def handle(userId: Long, it: Iterator[EvT],
+          state: GroupState[SessState]): Iterator[Sess] = {
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(Sess(userId, s.seq, s.n, s.sum))
+        } else {
+          val evs = it.toSeq.sortBy(_.ts_us)
+          var s = state.getOption.orNull
+          val out = scala.collection.mutable.Buffer[Sess]()
+          evs.foreach { e =>
+            if (s == null) s = SessState(1L, e.ts_us, 1L, e.value)
+            else if (e.ts_us - s.lastTs > SessionGapUs) {
+              out += Sess(userId, s.seq, s.n, s.sum)
+              s = SessState(s.seq + 1, e.ts_us, 1L, e.value)
+            } else s = s.copy(lastTs = e.ts_us, n = s.n + 1,
+              sum = s.sum + e.value)
+          }
+          state.update(s)
+          // fire once the watermark passes the session-closing gap
+          state.setTimeoutTimestamp(s.lastTs / 1000L + SessionGapUs / 1000L + 1L)
+          out.iterator
+        }
+      }
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .withWatermark("ts", "0 seconds")
+        .as[EvT]
+      val name = s"graft_sessions_et_${nameCounter.incrementAndGet()}"
+      val q = stream.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout())(handle)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).filter(col("user_id") >= 0L)
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+    }
+  }
+
   /** X4: watermarked tumbling-window aggregation in append mode — the
     * production streaming shape (late data bounded by the watermark,
     * windows emitted once final). Windows still above the watermark when
@@ -213,6 +298,46 @@ object EventStream {
       .queryName(name).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** X4 (finalized): the same watermarked append-mode window aggregation,
+    * fed in event-time order with two far-future sentinel ticks staged
+    * after the data so the watermark passes every real window before the
+    * AvailableNow run drains — all windows finalize and the emitted set
+    * equals the batch hourly aggregation exactly (the sentinel's own
+    * window never finalizes, and is filtered regardless).
+    */
+  def eventsHourlyWatermarkedFinal(spark: SparkSession, dir: String,
+      batches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val events = graft.core.Tables.events(spark, dir)
+      .select(col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+    val mm = events.agg(max(col("ts_us"))).head()
+    if (mm.isNullAt(0))
+      Seq.empty[(Long, String, Long, Double)]
+        .toDF("hour", "event_type", "n", "sum_value")
+    else {
+      val farUs = mm.getLong(0) + 4L * 3600L * 1000000L
+      def sentinel(us: Long): DataFrame =
+        Seq((new java.sql.Timestamp(us / 1000L), us, "__sentinel", 0.0))
+          .toDF("ts", "ts_us", "event_type", "value")
+      val staging = stageByChunks(events, "ts_us", batches,
+        Seq(sentinel(farUs), sentinel(farUs + 3600L * 1000000L)))
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .drop("ts_us")
+      val agg = stream.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+      val name = s"graft_wm_final_${nameCounter.incrementAndGet()}"
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).filter(col("event_type") =!= "__sentinel")
+    }
   }
 
   /** X2 as a REAL streaming query: the action log is staged as one file

@@ -132,6 +132,49 @@ class GraphSpec extends AnyFunSuite {
     assert(n == 50L)
   }
 
+  test("iterative algorithms: broadcast-state off equals broadcast-state on") {
+    // the 100 TB path: state tables too big to broadcast fall back to
+    // shuffle joins on the vertex key — results must be identical
+    val g = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val src = g.cachedUndirected.agg(min(col("src"))).head().getLong(0)
+    val pairs = Seq(
+      (ConnectedComponents(g), ConnectedComponents(g, broadcastVertices = false)),
+      (ShortestPaths(g, src), ShortestPaths(g, src, broadcastState = false)),
+      (WeightedShortestPaths(g, src),
+        WeightedShortestPaths(g, src, broadcastState = false)),
+      (PageRank.fixedIterations(g, 5),
+        PageRank.fixedIterations(g, 5, broadcastVertices = false)))
+    pairs.foreach { case (on, off) =>
+      assert(on.exceptAll(off).count() == 0 && off.exceptAll(on).count() == 0,
+        "shuffle-join fallback disagrees with broadcast path")
+    }
+  }
+
+  test("rmat actions: deterministic, delete mix, and valid delete targets") {
+    val p = RMat.Params(scale = 8)
+    val na = 4000L
+    val a1 = RMat.actions(spark, p, na, pDelete = 0.25).localCheckpoint(true)
+    val a2 = RMat.actions(spark, p, na, pDelete = 0.25)
+    assert(a1.count() == na)
+    assert(a1.exceptAll(a2).count() == 0, "generator is not deterministic")
+    // ~25% deletes (binomial sd ≈ 0.007 at n=4000)
+    val dels = a1.filter(col("is_del")).count().toDouble / na
+    assert(math.abs(dels - 0.25) < 0.05, s"delete fraction $dels")
+    // inserts never self-loop (the reference redraws, rmatter.c:350-353)
+    assert(a1.filter(!col("is_del") && col("src") === col("dst")).count() == 0)
+    // every delete targets a base-graph edge or an earlier insert's edge
+    val base = RMat.graph(spark, p).edges.select(col("src"), col("dst"))
+    val priorIns = a1.filter(!col("is_del"))
+      .select(col("action_id").as("ins_id"), col("src"), col("dst"))
+    val bad = a1.filter(col("is_del")).as("d")
+      .join(base.as("g"), col("d.src") === col("g.src") &&
+        col("d.dst") === col("g.dst"), "left_anti")
+      .join(priorIns.as("i"), col("d.src") === col("i.src") &&
+        col("d.dst") === col("i.dst") && col("i.ins_id") < col("d.action_id"),
+        "left_anti")
+    assert(bad.count() == 0, "delete of an edge nobody inserted")
+  }
+
   test("rmat: deterministic, right size, bounded ids, skewed degrees") {
     val p = RMat.Params(scale = 8)
     val e1 = RMat.edges(spark, p)

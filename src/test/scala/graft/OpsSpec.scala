@@ -22,6 +22,26 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.exceptAll(exact).count() == 0, "LSH produced false pairs past verification")
   }
 
+  test("minhash+LSH survives a dup-heavy corpus without a candidate blowup") {
+    // 1000 identical docs would otherwise meet in every band bucket and
+    // push ~500k pairs through the shingle-verify join; the exact-dup
+    // pre-pass must reduce LSH work to the distinct texts and reconstitute
+    // the member pairs afterwards
+    import spark.implicits._
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val distinctTexts = Seq(
+      "completely different content about graph processing at scale",
+      "unrelated text concerning streaming watermarks and state stores")
+    val docs = ((0 until 1000).map(i => (i.toLong, dupText)) ++
+      distinctTexts.zipWithIndex.map { case (t, i) => (1000L + i, t) })
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashLshDocs(docs, threshold = 0.8)
+    assert(pairs.count() == 1000L * 999L / 2, "expected exactly the dup pairs")
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+    assert((System.nanoTime() - t0) / 1e9 < 120.0, "dup-heavy corpus too slow")
+  }
+
   test("simhash banding finds exactly the brute-force hamming<=3 pairs") {
     // 4x16-bit banding guarantees (pigeonhole) every hamming<=3 pair shares
     // a band; the hamming filter removes band-collision false positives —

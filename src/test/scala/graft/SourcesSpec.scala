@@ -32,4 +32,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(actions.select(cols: _*).exceptAll(back.select(cols: _*)).count() == 0)
     assert(back.filter(col("src") < 0 || col("dst") < 0).count() == 0)
   }
+
+  test("rmatter parity end-to-end: generate, file round-trip, replay, cc") {
+    // the reference workflow (rmatter writes g.bin + a.bin, engines read
+    // them, apply the actions, and analyze): generate an R-MAT graph and
+    // action stream, round-trip both through the binary format, replay the
+    // actions on the file-read graph, and check connected components match
+    // the all-in-memory pipeline
+    val p = RMat.Params(scale = 7)
+    val g = RMat.graph(spark, p)
+    val actions = RMat.actions(spark, p, na = 2000L, pDelete = 0.2)
+    val dir = Files.createTempDirectory("graft-e2e")
+    val gPath = dir.resolve("g.bin").toString
+    val aPath = dir.resolve("a.bin").toString
+    StingerFiles.writeGraph(g.edges, gPath)
+    StingerFiles.writeActions(actions, aPath)
+    val gBack = StingerFiles.readGraph(spark, gPath, partitions = 3)
+    val aBack = StingerFiles.readActions(spark, aPath, partitions = 3)
+    val fromFiles = EdgeUpdates(gBack.edges, aBack)
+    val inMemory = EdgeUpdates(g.edges, actions)
+    assert(fromFiles.exceptAll(inMemory).count() == 0 &&
+      inMemory.exceptAll(fromFiles).count() == 0,
+      "file-replayed update disagrees with in-memory update")
+    val ccFiles = graft.graph.ConnectedComponents(graft.graph.Graph(fromFiles))
+    val ccMem = graft.graph.ConnectedComponents(graft.graph.Graph(inMemory))
+    assert(ccFiles.exceptAll(ccMem).count() == 0 &&
+      ccMem.exceptAll(ccFiles).count() == 0)
+  }
 }

@@ -49,6 +49,27 @@ class StreamingSpec extends AnyFunSuite {
       "append-mode emitted a window disagreeing with batch")
   }
 
+  test("event-time-timeout sessionize emits every session through the stream") {
+    // the production shape: no driver-side state capture — open sessions
+    // emit via GroupStateTimeout once the sentinel pushes the watermark past
+    // them, so the streamed output must equal batch sessionize exactly
+    val streamed = EventStream.sessionizeEventTime(spark, sf, batches = 3)
+      .select("user_id", "session_seq", "n_events", "sum_value")
+    val batch = Relational.sessionize(spark, sf)
+      .select("user_id", "session_seq", "n_events", "sum_value")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("finalized watermarked hourly agg equals the batch aggregation") {
+    val emitted = EventStream.eventsHourlyWatermarkedFinal(spark, sf, batches = 3)
+      .select("hour", "event_type", "n", "sum_value")
+    val batch = Relational.eventsHourly(spark, sf)
+      .select("hour", "event_type", "n", "sum_value")
+    assert(emitted.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(emitted).count() == 0)
+  }
+
   test("foreachBatch streaming graph maintenance equals one-shot batch update") {
     val streamed = EventStream.maintainGraphStream(spark, sf, batches = 3)
     val oneShot = EdgeUpdates.updatedGraph(spark, sf).edges
