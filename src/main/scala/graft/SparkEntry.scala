@@ -53,9 +53,10 @@ object SparkEntry {
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
-    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshCached(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     // --- similarity search (S1..S3) ---
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -146,6 +147,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.ngramJaccardSql(),
     "dedup_simhash" -> Dedup.simhashSql(),
     "dedup_embedding" -> Dedup.embeddingCosineSql(),
+    "dedup_clusters" -> Dedup.clustersSql(),
     "ann_topk" -> Similarity.annTopKSql(),
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),
     "ann_ivf_exhaustive" -> Similarity.annTopKSql(),

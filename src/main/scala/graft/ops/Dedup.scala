@@ -19,6 +19,8 @@ object Dedup {
   val BandRows = 6
   val NumBands = 21
   val NumHashes = BandRows * NumBands // 126
+  /** Candidate-pair rows below this are broadcast into the verify joins. */
+  val BroadcastableCandidates = 2000000L
   // Band shape is tuned to the corpus's similarity profile: template-built
   // documents share a baseline 5-gram Jaccard of 0.1–0.35, so 2-row bands
   // would flag ~all n² pairs as candidates (P(cand | j=0.25) = 98% — the
@@ -90,8 +92,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  def ngramJaccardSql(threshold: Double = 0.8): String =
-    s"""WITH sh AS (
+  /** CTE chain ending in `pairs(id_a, id_b, j)` — the exact all-pairs
+    * Jaccard ≥ threshold set, composable into larger oracle queries.
+    */
+  def exactPairsCte(threshold: Double = 0.8): String =
+    s"""sh AS (
        |  SELECT DISTINCT doc_id, substr(text, i::INT, $ShingleSize) AS sh
        |  FROM documents, unnest(range(1, greatest(length(text) - ${ShingleSize - 2}, 2))) AS t(i)
        |),
@@ -99,12 +104,17 @@ object Dedup {
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
-       |  SELECT id_a, id_b,
-       |    inter::DOUBLE / (x.n + y.n - inter) AS j
-       |  FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id) t
-       |WHERE j >= $threshold""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b, j FROM (
+       |    SELECT id_a, id_b,
+       |      inter::DOUBLE / (x.n + y.n - inter) AS j
+       |    FROM inter JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id) t
+       |  WHERE j >= $threshold)""".stripMargin
+
+  def ngramJaccardSql(threshold: Double = 0.8): String =
+    s"""WITH ${exactPairsCte(threshold)}
+       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs""".stripMargin
 
   /** D3: MinHash + LSH banding, exact-verified. 126 signatures via double
     * hashing; 21 bands × 6 rows hashed to a band key; docs sharing any band
@@ -166,43 +176,59 @@ object Dedup {
     // count doesn't serialize it onto a few cores (a 100 TB corpus is
     // already wide — the guard is a no-op there)
     val p = spark.sparkContext.defaultParallelism
-    val wide = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    val wide0 = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    // dup-detection pre-scan: one count + one distinct-count aggregate
+    // (cheap relative to the signature pass). A corpus with no exact dups
+    // — the common case after an upstream exact-dedup — skips the group
+    // machinery entirely.
+    val counts = wide0.agg(count(lit(1)), count_distinct(md5(col("text")))).head()
+    val hasDups = counts.getLong(0) != counts.getLong(1)
+    val wide = wide0
     // (doc_id, rep): the min doc_id per distinct text — one shuffle on the
     // content hash. localCheckpoint (not persist): blocks are freed by the
     // ContextCleaner when the plan is garbage-collected, so repeated calls
     // don't accumulate executor storage.
-    val mem = wide.select(col("doc_id"), md5(col("text")).as("ch"))
+    lazy val mem = wide.select(col("doc_id"), md5(col("text")).as("ch"))
       .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("ch"))))
       .select(col("doc_id"), col("rep"))
       .localCheckpoint(true)
-    val reps = wide.join(mem.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id")), "doc_id")
+    val reps = if (!hasDups) wide
+      else wide.join(mem.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id")), "doc_id")
     // full signature in ONE codegen'd projection (graft.functions.MinHashSig)
     // — no shingle explode, no 126-column aggregation, no shuffle before
     // the band buckets
     val sigs = signatures(reps)
-    val cands = candidatePairs(bandTable(sigs)).localCheckpoint(true)
+    val cands0 = candidatePairs(bandTable(sigs)).localCheckpoint(true)
+    // size-GATED broadcast, not unconditional: candidate volume is
+    // corpus-dependent (a dup-heavy crawl could exceed driver memory), and
+    // a checkpointed RDD reports no stats, so the static planner would
+    // otherwise sort-merge even a tiny candidate table. The count is free —
+    // the checkpoint is already materialized.
+    val cands = if (cands0.count() <= BroadcastableCandidates)
+      broadcast(cands0) else cands0
     // exact-verify only candidate documents: semi-join the corpus down to
-    // docs that appear in some candidate pair before exploding shingles.
-    // No broadcast hints anywhere on the candidate side — its volume is
-    // corpus-dependent; AQE broadcasts genuinely-small sides at runtime.
+    // docs that appear in some candidate pair before exploding shingles
     val candIds = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
     val sh = reps.join(candIds, "doc_id")
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
     val repPairs = jaccardOfCandidates(sh, cands, threshold)
-    // reconstitute duplicate members: cross-group pairs inherit the rep
-    // pair's Jaccard; within-group pairs are identical texts (Jaccard 1.0)
-    val cross = repPairs
-      .join(mem.select(col("rep").as("id_a"), col("doc_id").as("ma")), "id_a")
-      .join(mem.select(col("rep").as("id_b"), col("doc_id").as("mb")), "id_b")
-      .select(least(col("ma"), col("mb")).as("id_a"),
-        greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
-    val within = mem.as("x").join(mem.as("y"),
-        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        lit(1.0).as("jaccard"))
-    cross.union(within)
+    if (!hasDups) repPairs
+    else {
+      // reconstitute duplicate members: cross-group pairs inherit the rep
+      // pair's Jaccard; within-group pairs are identical texts (Jaccard 1.0)
+      val cross = repPairs
+        .join(mem.select(col("rep").as("id_a"), col("doc_id").as("ma")), "id_a")
+        .join(mem.select(col("rep").as("id_b"), col("doc_id").as("mb")), "id_b")
+        .select(least(col("ma"), col("mb")).as("id_a"),
+          greatest(col("ma"), col("mb")).as("id_b"), col("jaccard"))
+      val within = mem.as("x").join(mem.as("y"),
+          col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          lit(1.0).as("jaccard"))
+      cross.union(within)
+    }
   }
 
   /** D4: SimHash (64-bit, whitespace tokens, token-frequency weighted) with
@@ -276,6 +302,67 @@ object Dedup {
        |)
        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $maxHamming""".stripMargin
   }
+
+  /** Memoized, materialized near-dup pair set per (session, dir, threshold)
+    * — `minhashLsh` (the pair listing) and `clusters` (the resolution over
+    * those pairs) share one pipeline run per session, like
+    * `Graph.fromTpch` memoizes the graph build.
+    */
+  private val pairCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Double), DataFrame]()
+
+  def minhashLshCached(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame =
+    pairCache.getOrElseUpdate((spark, dir, threshold),
+      minhashLsh(spark, dir, threshold).localCheckpoint(true))
+
+  /** D6: dedup resolution — the end product of the dedup pipeline: every
+    * document mapped to the canonical (minimum-id) member of its near-dup
+    * cluster, where clusters are connected components over the verified
+    * MinHash+LSH pair graph (near-duplication is not transitive, so a
+    * pairwise listing alone under- or over-deletes; components give the
+    * conventional "keep one per cluster" semantics). Documents with no
+    * near-dup map to themselves.
+    *
+    * Scale shape: the pair graph is orders of magnitude smaller than the
+    * corpus (only near-dups appear), CC runs on it with the same
+    * broadcast/shuffle-gated fixpoint as the graph workloads, and the final
+    * assignment is one left join on doc_id.
+    */
+  def clusters(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshCached(spark, dir, threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .withColumn("weight", lit(1L))
+    val pairGraph = graft.graph.Graph(pairs)
+    val comp0 = graft.graph.ConnectedComponents(pairGraph)
+    // checkpointed CC labels carry no Catalyst stats → size-gate the
+    // broadcast by the (free) materialized count, as with LSH candidates
+    val comp = if (comp0.count() <= BroadcastableCandidates)
+      broadcast(comp0) else comp0
+    // the ad-hoc pair graph's edge cache isn't session-memoized like
+    // Graph.fromTpch — release it now that the labels are materialized
+    pairGraph.cachedUndirected.unpersist()
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+  }
+
+  /** DuckDB oracle: components via recursive CTE over the exact pair set. */
+  def clustersSql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE ${exactPairsCte(threshold)},
+       |pedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+       |),
+       |cc(id, lbl) AS (
+       |  SELECT src, src FROM pedges
+       |  UNION
+       |  SELECT e.dst, cc.lbl FROM cc JOIN pedges e ON cc.id = e.src
+       |),
+       |comp AS (SELECT id, min(lbl) AS component FROM cc GROUP BY id)
+       |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
 
   /** D5: embedding cosine near-dup pairs ≥ threshold. Brute-force all-pairs
     * (the scale path is `Similarity.annLsh` bucketing).

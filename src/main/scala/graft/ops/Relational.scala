@@ -42,8 +42,10 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q3 style: revenue per order for one market segment.
-    * customer is the small side — broadcast it; lineitem⋈orders shuffles on
-    * the (already co-partitionable) orderkey.
+    * customer is the smallest side but it still scales with SF (150k rows
+    * per SF) — no broadcast hint; AQE broadcasts it while it fits and
+    * falls back to a key-shuffled join at petabyte SFs. lineitem⋈orders
+    * shuffles on the (already co-partitionable) orderkey.
     */
   def q3Revenue(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -52,7 +54,7 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
   }
@@ -69,8 +71,10 @@ object Relational {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin
 
   /** TPC-H Q5 style: revenue by nation through a 5-way star join.
-    * region/nation/supplier/customer are all broadcast dims; only
-    * orders⋈lineitem is a real shuffle.
+    * region/nation are constant-size (5/25 rows at every SF) — broadcast
+    * hints are always right there. supplier/customer scale with SF, so
+    * they carry no hint: AQE broadcasts them while small and shuffles on
+    * the join key beyond that; only orders⋈lineitem is always a shuffle.
     */
   def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
@@ -80,8 +84,8 @@ object Relational {
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -208,8 +212,9 @@ object Relational {
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("total_qty"))
       .filter(col("total_qty") >= minQty)
+    // customer scales with SF — no broadcast hint (AQE decides at runtime)
     big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), round(col("total_qty"), 4).as("total_qty"))
   }

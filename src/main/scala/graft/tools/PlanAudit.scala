@@ -23,9 +23,15 @@ object PlanAudit {
     // iterative/streaming queries execute eagerly inside their builders and
     // their final plan is a checkpoint scan — skip, they're audited by hand
     val skip = Set("graph_cc", "graph_cc_sizes", "graph_sssp",
-      "graph_pagerank5", "graph_pagerank_conv", "stream_events_hourly")
+      "graph_pagerank5", "graph_pagerank_conv", "stream_events_hourly",
+      // streaming mains drain eagerly; their final "plan" is a memory-sink
+      // or checkpoint scan — audited by hand like the iterative algorithms
+      "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked")
     names.filterNot(skip).foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, dir)
+      // audit the real pipeline, not the session-memoized checkpoint the
+      // driver entry returns after another query warmed it
+      val df = if (name == "dedup_minhash_lsh") graft.ops.Dedup.minhashLsh(spark, dir)
+        else graft.SparkEntry.queries(name)(spark, dir)
       df.count() // materialize so AQE's final plan (incl. codegen) is visible
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

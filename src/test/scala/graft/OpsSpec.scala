@@ -22,6 +22,27 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.exceptAll(exact).count() == 0, "LSH produced false pairs past verification")
   }
 
+  test("dedup clusters: transitive closure of pairs, singletons self-map") {
+    val out = Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(out.size == nDocs, "every document must get a canonical id")
+    // canonical ids are cluster minima: canonical(canonical(x)) = canonical(x)
+    out.values.foreach(c => assert(out(c) == c, "canonical id not a fixpoint"))
+    // every near-dup pair lands in one cluster (transitive closure)
+    Dedup.minhashLshCached(spark, sf).collect().foreach { r =>
+      assert(out(r.getLong(0)) == out(r.getLong(1)),
+        "paired docs in different clusters")
+    }
+    // and clusters never merge docs with no pair path: singleton count =
+    // docs minus docs appearing in any pair, plus one rep per component
+    val paired = Dedup.minhashLshCached(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    out.foreach { case (d, c) =>
+      if (!paired(d)) assert(c == d, "unpaired doc mapped away from itself")
+    }
+  }
+
   test("minhash+LSH survives a dup-heavy corpus without a candidate blowup") {
     // 1000 identical docs would otherwise meet in every band bucket and
     // push ~500k pairs through the shingle-verify join; the exact-dup
