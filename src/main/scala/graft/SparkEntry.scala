@@ -73,6 +73,10 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     "text_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
+    // --- corpus curation (T8..T10) ---
+    "corpus_decontaminate" -> ((s, d) => Corpus.decontaminateQuery(s, d)),
+    "corpus_sample" -> ((s, d) => Corpus.sampleStratified(s, d)),
+    "stats_profile" -> ((s, d) => Corpus.numericProfile(s, d)),
     // --- multimodal (M1) ---
     "multimodal_meta" -> ((s, d) => Multimodal.extractMeta(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
@@ -158,6 +162,9 @@ object SparkEntry {
     "text_tfidf" -> TextAnalysis.tfidfSql(),
     "text_normalize" -> TextAnalysis.normalizeSql,
     "text_ngrams" -> TextAnalysis.corpusNgramsSql(),
+    "corpus_decontaminate" -> Corpus.decontaminateSql(),
+    "corpus_sample" -> Corpus.sampleStratifiedSql,
+    "stats_profile" -> Corpus.numericProfileSql,
     "multimodal_meta" -> Multimodal.extractMetaSql,
     "multimodal_frames" -> Multimodal.sampleFramesSql,
     "stream_events_hourly" -> EventStream.eventsHourlySql,

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Corpus-curation operators over `documents` (SURVEY §2 T8–T10) — the
+  * operations a pretraining-data pipeline needs around dedup/quality:
+  * train/test decontamination, deterministic stratified sampling, and
+  * numeric profiling. Extensions beyond the reference surface; all pure
+  * Column pipelines (whole-stage codegen, no UDFs) with DuckDB oracles.
+  */
+object Corpus {
+
+  private def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Word n-grams of a text column, with duplicates (empty array below n
+    * tokens — Spark's sequence(1, 0) is DESCENDING, not empty). Dedup
+    * happens downstream where the set is already small: per-row
+    * array_distinct is a quadratic scan over hundreds of grams per doc.
+    */
+  private def wordNgrams(text: Column, n: Int): Column = {
+    val t = toks(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  val DecontamNgram = 8
+
+  /** T8: train/test decontamination — the standard n-gram method: a corpus
+    * document is contaminated if it shares any word n-gram (n=8) with the
+    * held-out benchmark set, and is reported with its distinct shared-gram
+    * count.
+    *
+    * Scale shape: the benchmark side (tiny next to a 100 TB corpus) is
+    * distinct-deduped and joins the exploded corpus grams on the gram key —
+    * AQE broadcasts it while it fits; the corpus side is one explode →
+    * join → count with map-side-combined aggregation, and only matching
+    * grams ever shuffle.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = DecontamNgram): DataFrame = {
+    // gram construction is compute-bound (8 element_at + concat per gram):
+    // don't let a small file count serialize it onto a few cores (no-op on
+    // an already-wide 100 TB corpus)
+    val p = corpus.sparkSession.sparkContext.defaultParallelism
+    val wide = if (corpus.rdd.getNumPartitions < p) corpus.repartition(p)
+      else corpus
+    val bGrams = benchmark
+      .select(explode(wordNgrams(col("text"), n)).as("gram")).distinct()
+    wide.select(col("doc_id"), explode(wordNgrams(col("text"), n)).as("gram"))
+      .join(bGrams, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_shared_ngrams"))
+  }
+
+  /** Driver entry: every 10th doc_id stands in for the benchmark set, the
+    * rest are the corpus (production passes a real benchmark table).
+    */
+  def decontaminateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+      docs.filter(pmod(col("doc_id"), lit(10L)) === 0L))
+  }
+
+  def decontaminateSql(n: Int = DecontamNgram): String = {
+    val gram = (0 until n).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= $n
+       |    THEN list_transform(range(1, len(t) - ${n - 2}), i -> $gram)
+       |    ELSE []::VARCHAR[] END)) AS gram
+       |  FROM tk
+       |),
+       |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+       |cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 0)
+       |SELECT cg.doc_id, count(*) AS n_shared_ngrams
+       |FROM cg JOIN bg USING (gram)
+       |GROUP BY cg.doc_id""".stripMargin
+  }
+
+  val LongDocTokens = 150
+  val FracLong = 0.7
+  val FracShort = 0.3
+
+  /** Uniform [0,1) from the first 8 hex digits of md5 of the id — the
+    * engine-neutral, content-independent coin for reproducible sampling
+    * (id-multiplicative hashing would overflow ANSI Long arithmetic at
+    * petabyte-scale id ranges; md5 exists in both engines at any scale).
+    */
+  private def sampleU(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+
+  /** T9: deterministic stratified sampling — reproducible data mixing:
+    * per-stratum keep fractions applied via the md5 coin, so a given doc
+    * is kept identically in every engine, run, and partitioning. Strata
+    * here are token-length buckets (long docs kept at 70%, short at 30%);
+    * production plugs language/quality/domain in as the stratum column.
+    * Zero shuffles: the whole operator is a codegen'd scan + filter.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks(col("text")))
+    val stratum = when(nTok >= LongDocTokens, "long").otherwise("short")
+    val frac = when(stratum === "long", FracLong).otherwise(FracShort)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), stratum.as("stratum"), sampleU(col("doc_id")).as("u"),
+        frac.as("frac"))
+      .filter(col("u") < col("frac"))
+      .select(col("doc_id"), col("stratum"))
+  }
+
+  def sampleStratifiedSql: String = {
+    // first-8-hex-digits of md5 as a u32: positional digit sum via strpos
+    // (DuckDB has no conv)
+    val digits = (0 until 8).map { i =>
+      s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, md5(doc_id::VARCHAR) AS hx,
+       |    CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= $LongDocTokens
+       |      THEN 'long' ELSE 'short' END AS stratum
+       |  FROM documents
+       |), u AS (
+       |  SELECT doc_id, stratum, ($digits)::DOUBLE / 4294967296.0 AS u
+       |  FROM t)
+       |SELECT doc_id, stratum FROM u
+       |WHERE u < CASE WHEN stratum = 'long' THEN $FracLong ELSE $FracShort END""".stripMargin
+  }
+
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** T10: numeric profiling — per-column row/distinct counts, min/max, and
+    * exact interpolated quartiles over lineitem's measures: the stats a
+    * pipeline records before/after each filter stage. One scan computes
+    * all columns' aggregates; the result is unpivoted to long form.
+    * (percentile() is Spark's exact linear-interpolation aggregate ≡
+    * DuckDB quantile_cont.)
+    */
+  def numericProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val aggs = ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        count_distinct(col(c)).as(s"${c}_nd"),
+        round(min(col(c)).cast("double"), 6).as(s"${c}_min"),
+        round(max(col(c)).cast("double"), 6).as(s"${c}_max"),
+        round(percentile(col(c), lit(0.25)), 6).as(s"${c}_q25"),
+        round(percentile(col(c), lit(0.5)), 6).as(s"${c}_q50"),
+        round(percentile(col(c), lit(0.75)), 6).as(s"${c}_q75"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val rows = ProfileCols.map { c =>
+      struct(lit(c).as("column"), col(s"${c}_n").as("n"),
+        col(s"${c}_nd").as("n_distinct"), col(s"${c}_min").as("minv"),
+        col(s"${c}_max").as("maxv"), col(s"${c}_q25").as("q25"),
+        col(s"${c}_q50").as("q50"), col(s"${c}_q75").as("q75"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  val numericProfileSql: String =
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS column, count($c) AS n,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  round(min($c)::DOUBLE, 6) AS minv, round(max($c)::DOUBLE, 6) AS maxv,
+         |  round(quantile_cont($c, 0.25), 6) AS q25,
+         |  round(quantile_cont($c, 0.5), 6) AS q50,
+         |  round(quantile_cont($c, 0.75), 6) AS q75
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+}

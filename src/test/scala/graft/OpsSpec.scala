@@ -181,6 +181,52 @@ class OpsSpec extends AnyFunSuite {
     assert(l.filter(col("lang_pred").isNull).count() == 0)
   }
 
+  test("decontamination flags exactly the docs sharing a benchmark 8-gram") {
+    import spark.implicits._
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the benchmark 8-gram "alpha beta ... theta"
+      (1L, "x alpha beta gamma delta epsilon zeta eta theta y"),
+      // shares 7-gram tail only — clean at n=8
+      (2L, "beta gamma delta epsilon zeta eta theta omega"),
+      (3L, "totally unrelated words that never overlap at all here"))
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminate(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L))
+  }
+
+  test("stratified sample is deterministic and near its per-stratum fractions") {
+    val s1 = Corpus.sampleStratified(spark, sf)
+    val s2 = Corpus.sampleStratified(spark, sf)
+    assert(s1.exceptAll(s2).count() == 0, "sampling not deterministic")
+    val docs = graft.core.Tables.documents(spark, sf)
+    val kept = s1.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs
+      .select(when(size(split(trim(lower(col("text"))), "\\s+")) >= Corpus.LongDocTokens,
+        "long").otherwise("short").as("stratum"))
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (st, n) =>
+      val frac = kept.getOrElse(st, 0L).toDouble / n
+      val want = if (st == "long") Corpus.FracLong else Corpus.FracShort
+      // binomial noise at fixture scale
+      assert(math.abs(frac - want) < 0.2, s"stratum $st kept $frac, want ~$want")
+    }
+  }
+
+  test("numeric profile quartiles are ordered and bounded by min/max") {
+    val rows = Corpus.numericProfile(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val Seq(mn, mx, q25, q50, q75) = Seq(3, 4, 5, 6, 7).map(r.getDouble)
+      assert(mn <= q25 && q25 <= q50 && q50 <= q75 && q75 <= mx)
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+
   test("multimodal meta: n_bytes equals utf-8 byte length") {
     val out = Multimodal.extractMeta(spark, sf)
     val bad = out.join(graft.core.Tables.documents(spark, sf), "doc_id")
