@@ -37,6 +37,11 @@ object SparkEntry {
     "graph_pagerank_conv" -> ((s, d) => PageRank.converged(Graph.fromTpch(s, d))),
     "graph_update_edges" -> ((s, d) => EdgeUpdates.updatedGraph(s, d).edges),
     "graph_update_degrees" -> ((s, d) => Degrees(EdgeUpdates.updatedGraph(s, d))),
+    // maintain-then-analyze: the same algorithms over the updated graph
+    "graph_update_cc" -> ((s, d) =>
+      ConnectedComponents(EdgeUpdates.updatedGraph(s, d))),
+    "graph_update_pagerank5" -> ((s, d) =>
+      PageRank.fixedIterations(EdgeUpdates.updatedGraph(s, d), 5)),
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
     "rmat_gen" -> ((s, _) => RMat.graph(s, RMat.Params(scale = 10)).edges),
     "rmat_actions" -> ((s, _) =>
@@ -136,6 +141,9 @@ object SparkEntry {
     "graph_pagerank5" -> PageRank.unrolledSql(5),
     "graph_update_edges" -> EdgeUpdates.updatedEdgesSql,
     "graph_update_degrees" -> EdgeUpdates.updatedDegreesSql,
+    "graph_update_cc" -> EdgeUpdates.updatedCcSql,
+    "graph_update_pagerank5" ->
+      PageRank.unrolledSql(5, EdgeUpdates.updatedUndirectedCte),
     "graph_triangles" -> Triangles.nationTrianglesSql,
     "q1_agg" -> Relational.q1Sql,
     "q3_revenue" -> Relational.q3Sql,

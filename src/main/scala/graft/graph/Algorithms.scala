@@ -398,8 +398,13 @@ object PageRank {
     (state.select(col("id"), round(col("pr"), 8).as("pr")), i)
   }
 
-  /** DuckDB oracle: the same fixed iterations unrolled as plain SQL CTEs. */
-  def unrolledSql(iterations: Int): String = {
+  /** DuckDB oracle: the same fixed iterations unrolled as plain SQL CTEs.
+    * @param edgesCte CTE chain ending in `edges(src, dst)` — defaults to
+    *   the TPC-H graph; pass e.g. the updated-graph chain to oracle the
+    *   maintain-then-analyze workflow.
+    */
+  def unrolledSql(iterations: Int,
+      edgesCte: String = Graph.undirectedCte): String = {
     val iters = (1 to iterations).map { k =>
       s"""pr$k AS (
          |  SELECT v.id, (1 - 0.85) / (SELECT n FROM nv) + 0.85 * coalesce(s.msg, 0) AS pr
@@ -408,7 +413,7 @@ object PageRank {
          |    FROM edges e JOIN pr${k - 1} p ON e.src = p.id JOIN deg d ON e.src = d.id
          |    GROUP BY 1) s ON v.id = s.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${Graph.undirectedCte},
+    s"""WITH $edgesCte,
        |verts AS (SELECT DISTINCT src AS id FROM edges),
        |nv AS (SELECT count(*) AS n FROM verts),
        |deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),

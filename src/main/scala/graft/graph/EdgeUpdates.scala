@@ -123,4 +123,27 @@ object EdgeUpdates {
     s"""WITH $updatedEdgesCtes,
        |ue AS (SELECT src, dst FROM upd UNION SELECT dst, src FROM upd)
        |SELECT src AS id, count(*) AS degree FROM ue GROUP BY 1""".stripMargin
+
+  /** CTE chain ending in `edges(src, dst)` — the updated graph's distinct
+    * symmetrized edge view, drop-in for [[Graph.undirectedCte]] so every
+    * algorithm oracle composes over the maintained graph.
+    */
+  val updatedUndirectedCte: String =
+    s"""$updatedEdgesCtes,
+       |dedges AS (SELECT DISTINCT src, dst FROM upd),
+       |edges AS (SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges)""".stripMargin
+
+  /** DuckDB oracle for connected components over the updated graph —
+    * the reference's maintain-then-analyze workflow
+    * (ref: tests/networkx/test_python.py:139-151 re-runs components
+    * between update blocks).
+    */
+  val updatedCcSql: String =
+    s"""WITH RECURSIVE $updatedUndirectedCte,
+       |cc(id, lbl) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src
+       |)
+       |SELECT id, min(lbl) AS component FROM cc GROUP BY id""".stripMargin
 }
