@@ -27,7 +27,7 @@ object Bench {
     "graph_sssp_weighted",
     "graph_pagerank5", "graph_pagerank_conv",
     "graph_update_edges", "graph_update_degrees",
-    "graph_update_cc", "graph_update_pagerank5",
+    "graph_update_cc", "graph_update_pagerank5", "graph_update_sssp",
     "graph_triangles", "rmat_gen", "rmat_actions",
     "q1_agg", "q3_revenue", "q5_nation_revenue",
     "q6_forecast", "q18_large_orders",
@@ -40,7 +40,8 @@ object Bench {
     "text_tfidf", "text_ngrams", "text_normalize",
     "corpus_decontaminate", "corpus_sample", "stats_profile",
     "multimodal_meta", "multimodal_frames", "stream_events_hourly",
-    "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked")
+    "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
+    "stream_dedup_exact")
 
   /** bench-query → reference results-JSON metric (make_graphs.py charts). */
   private val refMetricOf = Map(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ArrayDot, MinHashSig}
+import graft.functions.{ArrayDot, MinHashSig, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's codegen
   * expressions as SQL functions, so a pure-SQL user gets the same kernels:
@@ -38,6 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minhash_sig(text, shingleSize, numHashes) takes three arguments")
         MinHashSig(args.head, intLit(args(1), "shingleSize"),
           intLit(args(2), "numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(text) takes one argument")
+        SimHash64(args.head)
       }))
   }
 }

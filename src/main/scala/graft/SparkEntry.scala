@@ -42,6 +42,8 @@ object SparkEntry {
       ConnectedComponents(EdgeUpdates.updatedGraph(s, d))),
     "graph_update_pagerank5" -> ((s, d) =>
       PageRank.fixedIterations(EdgeUpdates.updatedGraph(s, d), 5)),
+    "graph_update_sssp" -> ((s, d) =>
+      ShortestPaths.fromMinVertex(EdgeUpdates.updatedGraph(s, d))),
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
     "rmat_gen" -> ((s, _) => RMat.graph(s, RMat.Params(scale = 10)).edges),
     "rmat_actions" -> ((s, _) =>
@@ -90,7 +92,8 @@ object SparkEntry {
     "stream_graph_updates" -> ((s, d) => EventStream.maintainGraphStream(s, d)),
     "stream_sessionize" -> ((s, d) => EventStream.sessionizeEventTime(s, d)),
     "stream_hourly_watermarked" -> ((s, d) =>
-      EventStream.eventsHourlyWatermarkedFinal(s, d)))
+      EventStream.eventsHourlyWatermarkedFinal(s, d)),
+    "stream_dedup_exact" -> ((s, d) => EventStream.dedupExactStream(s, d)))
 
   /** DuckDB-equivalent SQL per query key (same column names, types, and
     * rounding as the Spark result — the driver hash-compares).
@@ -144,6 +147,7 @@ object SparkEntry {
     "graph_update_cc" -> EdgeUpdates.updatedCcSql,
     "graph_update_pagerank5" ->
       PageRank.unrolledSql(5, EdgeUpdates.updatedUndirectedCte),
+    "graph_update_sssp" -> EdgeUpdates.updatedSsspSql,
     "graph_triangles" -> Triangles.nationTrianglesSql,
     "q1_agg" -> Relational.q1Sql,
     "q3_revenue" -> Relational.q3Sql,
@@ -178,5 +182,6 @@ object SparkEntry {
     "stream_events_hourly" -> EventStream.eventsHourlySql,
     "stream_graph_updates" -> EdgeUpdates.updatedEdgesSql,
     "stream_sessionize" -> Relational.sessionizeSql,
-    "stream_hourly_watermarked" -> EventStream.eventsHourlySql)
+    "stream_hourly_watermarked" -> EventStream.eventsHourlySql,
+    "stream_dedup_exact" -> Dedup.exactSql)
 }

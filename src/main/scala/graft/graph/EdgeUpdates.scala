@@ -133,6 +133,17 @@ object EdgeUpdates {
        |dedges AS (SELECT DISTINCT src, dst FROM upd),
        |edges AS (SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges)""".stripMargin
 
+  /** DuckDB oracle for BFS distances over the updated graph. */
+  val updatedSsspSql: String =
+    s"""WITH RECURSIVE $updatedUndirectedCte,
+       |bfs(id, d) AS (
+       |  SELECT (SELECT min(src) FROM edges), 0
+       |  UNION
+       |  SELECT e.dst, bfs.d + 1 FROM bfs JOIN edges e ON bfs.id = e.src
+       |  WHERE bfs.d < 64
+       |)
+       |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY id""".stripMargin
+
   /** DuckDB oracle for connected components over the updated graph —
     * the reference's maintain-then-analyze workflow
     * (ref: tests/networkx/test_python.py:139-151 re-runs components

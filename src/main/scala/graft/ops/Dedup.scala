@@ -239,24 +239,14 @@ object Dedup {
     * the pair set) is oracle-checkable, unlike a Spark-only xxhash64. Bit k
     * (LSB = 0) of the hash is bit (k mod 4) of hex digit (15 - k/4).
     */
-  /** 64-bit SimHash fingerprints (whitespace tokens, frequency weighted). */
-  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    // one conv() per hex digit, shared by its 4 bit-sums
-    val digits = (0 until 16).map(i =>
-      conv(substring(col("hx"), i + 1, 1), 16, 10).cast("int").as(s"d$i"))
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .select(col("doc_id"), md5(col("tok")).as("hx"))
-      .select(col("doc_id") +: digits: _*)
-    val bitSums = (0 until 64).map(k =>
-      sum(when(shiftright(col(s"d${15 - k / 4}"), k % 4)
-        .bitwiseAND(lit(1)) === 1, 1L).otherwise(-1L)).as(s"b$k"))
-    toks.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(k => when(col(s"b$k") > 0L, lit(1L) * lit(1L << k)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+  /** 64-bit SimHash fingerprints (whitespace tokens, frequency weighted) —
+    * one codegen'd projection per document
+    * ([[graft.functions.SimHash64]]): no token explode, no 64-column
+    * aggregation, no shuffle before the band table.
+    */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      graft.functions.SimHash64Fn.simhash64(col("text")).as("simhash"))
 
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val fps = simhashFingerprints(spark, dir)

@@ -340,6 +340,30 @@ object EventStream extends Serializable {
     }
   }
 
+  /** X5: streaming exact dedup — the documents table consumed as a stream,
+    * complete-mode content-hash aggregation keeping the min doc_id and the
+    * copy count per distinct text. Equals batch [[graft.ops.Dedup.exact]]
+    * once the AvailableNow run drains; with a Kafka source this is the
+    * continuously-maintained dedup index of an ingest pipeline.
+    */
+  def dedupExactStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.load(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val agg = stream
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val name = s"graft_stream_dedup_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** X2 as a REAL streaming query: the action log is staged as one file
     * per arriving batch, consumed by a file-source stream one file per
     * micro-batch (AvailableNow), and foreachBatch folds EdgeUpdates over

@@ -30,6 +30,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sig.length == 16)
   }
 
+  test("simhash64 matches an independent hex-digit derivation") {
+    import spark.implicits._
+    // recompute via the hex-string digit formula (the DuckDB oracle's
+    // path), independent of the expression's byte-wise loop
+    def expected(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](64)
+      text.trim.split("\\s+", -1).foreach { tok =>
+        md.reset()
+        val hx = md.digest(tok.getBytes("UTF-8"))
+          .map(b => f"${b & 0xFF}%02x").mkString
+        (0 until 64).foreach { k =>
+          val digit = Integer.parseInt(hx.charAt(15 - k / 4).toString, 16)
+          if (((digit >> (k % 4)) & 1) == 1) counts(k) += 1 else counts(k) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, k) =>
+        if (counts(k) > 0) acc | (1L << k) else acc)
+    }
+    val texts = Seq("the quick brown fox", "a a a b", "", "  spaced   out  ",
+      "unicode tökens über ällés")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), graft.functions.SimHash64Fn.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == expected(t), s"mismatch on '$t'")
+    }
+    // SQL registration
+    val viaSql = spark.sql("SELECT simhash64('the quick brown fox') AS s")
+      .head().getLong(0)
+    assert(viaSql == expected("the quick brown fox"))
+  }
+
   test("minhash_sig: identical strings share signatures, estimate tracks jaccard") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 8
