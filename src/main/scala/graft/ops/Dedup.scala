@@ -181,9 +181,9 @@ object Dedup {
     // (cheap relative to the signature pass). A corpus with no exact dups
     // — the common case after an upstream exact-dedup — skips the group
     // machinery entirely.
-    val counts = wide0.agg(count(lit(1)), count_distinct(md5(col("text")))).head()
-    val hasDups = counts.getLong(0) != counts.getLong(1)
     val wide = wide0
+    val counts = wide.agg(count(lit(1)), count_distinct(md5(col("text")))).head()
+    val hasDups = counts.getLong(0) != counts.getLong(1)
     // (doc_id, rep): the min doc_id per distinct text — one shuffle on the
     // content hash. localCheckpoint (not persist): blocks are freed by the
     // ContextCleaner when the plan is garbage-collected, so repeated calls

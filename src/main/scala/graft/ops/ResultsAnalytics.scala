@@ -40,7 +40,7 @@ object ResultsAnalytics {
     * plus graft's own `Bench` run JSON, charting both as one series set.
     */
   def load(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("wholetext", "true").text(dir.split(","): _*)
+    spark.read.option("wholetext", "true").text(dir.split(",").toIndexedSeq: _*)
       .select(
         regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
         from_json(

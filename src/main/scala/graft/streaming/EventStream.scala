@@ -49,32 +49,73 @@ object EventStream extends Serializable {
     */
   private def stageByChunks(df: DataFrame, orderCol: String,
       batches: Int, sentinels: Seq[DataFrame] = Nil): String = {
-    val staging = java.nio.file.Files.createTempDirectory("graft-stage-")
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val staging = Files.createTempDirectory("graft-stage-")
     val base = System.currentTimeMillis() -
       (batches + sentinels.size + 30) * 2000L
-    val seen = scala.collection.mutable.Set[java.nio.file.Path]()
-    def writeChunk(chunk: DataFrame, seq: Int): Unit = {
-      chunk.coalesce(1).write.mode("append").parquet(staging.toString)
-      val listed = java.nio.file.Files.list(staging)
-      try listed.iterator.forEachRemaining { p =>
-        if (p.getFileName.toString.startsWith("part-") && !seen(p)) {
-          java.nio.file.Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(base + seq * 2000L))
-          seen += p
-        }
-      } finally listed.close()
-    }
+    def pin(p: Path, seq: Int): Unit =
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base + seq * 2000L))
     val mm = df.agg(min(col(orderCol)), max(col(orderCol))).head()
     if (!mm.isNullAt(0)) {
       val lo = mm.getLong(0)
       val hi = mm.getLong(1)
       val step = (hi - lo) / batches + 1
+      // ONE write job for all chunks: hash-repartition on the chunk id (one
+      // file per chunk under __chunk=N/), then lift each file into the flat
+      // staging dir with its pinned mtime — not one filtered scan per chunk
+      val raw = staging.resolve("raw")
+      df.withColumn("__chunk",
+          floor((col(orderCol) - lit(lo)) / lit(step)).cast("int"))
+        .repartition(batches, col("__chunk"))
+        .write.partitionBy("__chunk").parquet(raw.toString)
       (0 until batches).foreach { i =>
-        writeChunk(df.filter(col(orderCol) >= lo + i * step &&
-          col(orderCol) < lo + (i + 1) * step), i)
+        val d = raw.resolve(s"__chunk=$i")
+        if (Files.isDirectory(d)) {
+          val listed = Files.list(d)
+          val parts = try {
+            val b = scala.collection.mutable.Buffer[Path]()
+            listed.iterator.forEachRemaining { p =>
+              if (p.getFileName.toString.startsWith("part-")) b += p
+            }
+            b.sortBy(_.getFileName.toString)
+          } finally listed.close()
+          parts.zipWithIndex.foreach { case (p, j) =>
+            val dst = staging.resolve(s"chunk-$i-$j.parquet")
+            Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
+            pin(dst, i)
+          }
+        }
       }
+      // raw/ keeps only _SUCCESS + empty dirs; hidden files (_-prefixed)
+      // are ignored by the file source, but drop the dir for cleanliness
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val l = Files.list(p)
+          try l.iterator.forEachRemaining(rm) finally l.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      rm(raw)
     }
-    sentinels.zipWithIndex.foreach { case (s, j) => writeChunk(s, batches + j) }
+    sentinels.zipWithIndex.foreach { case (s, j) =>
+      val tmp = staging.resolve(s"sent-raw-$j")
+      s.coalesce(1).write.parquet(tmp.toString)
+      val listed = Files.list(tmp)
+      val part = try {
+        var found: Path = null
+        listed.iterator.forEachRemaining { p =>
+          if (p.getFileName.toString.startsWith("part-")) found = p
+        }
+        found
+      } finally listed.close()
+      val dst = staging.resolve(s"sentinel-$j.parquet")
+      Files.move(part, dst, StandardCopyOption.ATOMIC_MOVE)
+      pin(dst, batches + j)
+      val l2 = Files.list(tmp)
+      try l2.iterator.forEachRemaining(p => Files.deleteIfExists(p)) finally l2.close()
+      Files.deleteIfExists(tmp)
+    }
     staging.toString
   }
 
@@ -202,6 +243,21 @@ object EventStream extends Serializable {
   final case class EvT(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
       value: Double)
 
+  /** Run `body` with a temporarily lowered shuffle-partition count: a
+    * stateful micro-batch query instantiates one state store per shuffle
+    * partition per batch, so fixture-scale key counts drown in scheduler
+    * overhead at the session's full width. The partition count is baked
+    * into each query's (fresh, temporary) checkpoint at start, so scoping
+    * the conf around `start()` is safe; production streams with real key
+    * cardinality simply keep the session default.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** X3 (production shape): streaming sessionization where the final open
     * sessions emit *through the stream* — `flatMapGroupsWithState` with an
     * event-time `GroupStateTimeout` on a watermarked feed, no driver-side
@@ -261,12 +317,14 @@ object EventStream extends Serializable {
         .withWatermark("ts", "0 seconds")
         .as[EvT]
       val name = s"graft_sessions_et_${nameCounter.incrementAndGet()}"
-      val q = stream.groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append(),
-          GroupStateTimeout.EventTimeTimeout())(handle)
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(spark, 8) {
+        val q = stream.groupByKey(_.user_id)
+          .flatMapGroupsWithState(OutputMode.Append(),
+            GroupStateTimeout.EventTimeTimeout())(handle)
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       spark.table(name).filter(col("user_id") >= 0L)
         .select(col("user_id"), col("session_seq"), col("n_events"),
           round(col("sum_value"), 4).as("sum_value"))
@@ -333,9 +391,11 @@ object EventStream extends Serializable {
         .select(unix_timestamp(col("window.start")).as("hour"),
           col("event_type"), col("n"), col("sum_value"))
       val name = s"graft_wm_final_${nameCounter.incrementAndGet()}"
-      val q = agg.writeStream.outputMode("append").format("memory")
-        .queryName(name).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStatePartitions(spark, 8) {
+        val q = agg.writeStream.outputMode("append").format("memory")
+          .queryName(name).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       spark.table(name).filter(col("event_type") =!= "__sentinel")
     }
   }
