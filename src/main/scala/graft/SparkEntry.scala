@@ -149,6 +149,8 @@ object SparkEntry {
       PageRank.unrolledSql(5, EdgeUpdates.updatedUndirectedCte),
     "graph_update_sssp" -> EdgeUpdates.updatedSsspSql,
     "graph_triangles" -> Triangles.nationTrianglesSql,
+    "rmat_gen" -> RMat.unrolledSql(RMat.Params(scale = 10)),
+    "rmat_actions" -> RMat.actionsUnrolledSql(RMat.Params(scale = 10), na = 20000L),
     "q1_agg" -> Relational.q1Sql,
     "q3_revenue" -> Relational.q3Sql,
     "q5_nation_revenue" -> Relational.q5Sql,
