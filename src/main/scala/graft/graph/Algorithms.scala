@@ -66,8 +66,11 @@ object ConnectedComponents {
     // convergence sentinel: Σ labels is strictly decreasing until fixpoint.
     // Decimal(38) aggregation — a Long sum can wrap at billion-scale vertex
     // ids, and two wrapped sums aliasing would declare convergence early.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    // (Null sum = empty label table — converged trivially.)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var lastSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -138,8 +141,10 @@ object ConnectedComponents {
     var sig = (-1L, -1L)
     while (!stable && i < maxIter) {
       edges = round(edges).localCheckpoint(true)
+      // coalesce: bit_xor over an empty edge table (fully degenerate
+      // input) aggregates to null
       val s = edges.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(src, dst))")).head()
+        expr("coalesce(bit_xor(xxhash64(src, dst)), 0L)")).head()
       val next = (s.getLong(0), s.getLong(1))
       stable = next == sig
       sig = next
@@ -356,6 +361,12 @@ object PageRank {
       .agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nv = degrees.count().toDouble
+    if (nv == 0.0) {
+      degrees.unpersist()
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return (Seq.empty[(Long, Double)].toDF("id", "pr"), 0)
+    }
     // single state table (id, outdeg, pr): no ranks⋈degrees join inside the
     // loop — one broadcast, one edges scan, one contribution shuffle, one
     // |V|-row update join per iteration

@@ -132,6 +132,17 @@ class GraphSpec extends AnyFunSuite {
     assert(n == 50L)
   }
 
+  test("graph algorithms are total on the empty graph") {
+    import spark.implicits._
+    val g = Graph(Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight"))
+    assert(ConnectedComponents(g).count() == 0)
+    assert(ConnectedComponents.alternating(g).count() == 0)
+    assert(Degrees(g).count() == 0)
+    assert(ShortestPaths.fromMinVertex(g).count() == 0)
+    assert(PageRank.fixedIterations(g, 3).count() == 0)
+    assert(PageRank.converged(g).count() == 0)
+  }
+
   test("iterative algorithms: broadcast-state off equals broadcast-state on") {
     // the 100 TB path: state tables too big to broadcast fall back to
     // shuffle joins on the vertex key — results must be identical
