@@ -35,11 +35,17 @@ object Corpus {
     * held-out benchmark set, and is reported with its distinct shared-gram
     * count.
     *
-    * Scale shape: the benchmark side (tiny next to a 100 TB corpus) is
-    * distinct-deduped and joins the exploded corpus grams on the gram key —
-    * AQE broadcasts it while it fits; the corpus side is one explode →
-    * join → count with map-side-combined aggregation, and only matching
-    * grams ever shuffle.
+    * Scale shape: the ~50-byte gram strings never leave the scan projection
+    * — both sides hash each gram to 64 bits (`xxhash64`) right after the
+    * explode, so the join key, the shuffle rows, and the distinct-count all
+    * move 8-byte longs instead of wide strings (~10× less shuffle volume on
+    * an 8-word gram; at 100 TB this is the difference between shuffling
+    * tokens×50 bytes and tokens×8). The benchmark side (tiny next to the
+    * corpus) is distinct-deduped and AQE-broadcast while it fits; only
+    * matching hashes ever shuffle into the map-side-combined count. A hash
+    * collision would need two distinct grams at the same 64-bit value
+    * *within one document × benchmark intersection* (~1e-9 at corpus scale);
+    * the DuckDB oracle compares doc_id + count and would catch it.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       n: Int = DecontamNgram): DataFrame = {
@@ -50,11 +56,13 @@ object Corpus {
     val wide = if (corpus.rdd.getNumPartitions < p) corpus.repartition(p)
       else corpus
     val bGrams = benchmark
-      .select(explode(wordNgrams(col("text"), n)).as("gram")).distinct()
+      .select(explode(wordNgrams(col("text"), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gh")).distinct()
     wide.select(col("doc_id"), explode(wordNgrams(col("text"), n)).as("gram"))
-      .join(bGrams, "gram")
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .join(bGrams, "gh")
       .groupBy(col("doc_id"))
-      .agg(count_distinct(col("gram")).as("n_shared_ngrams"))
+      .agg(count_distinct(col("gh")).as("n_shared_ngrams"))
   }
 
   /** Driver entry: every 10th doc_id stands in for the benchmark set, the

@@ -29,16 +29,27 @@ object Dedup {
   //   P(miss | j=0.8)  ≈ 0.17%  (contract threshold)
   //   P(miss | j=0.93) ≈ 3e-10  (the planted near-dup range)
 
-  /** Distinct k-character shingles of a string column, as array<string>. */
+  /** Distinct k-character shingles of a string column, as array<string>.
+    * The per-row `array_distinct` is quadratic in the ~|text| shingles of a
+    * document, but on the short-document corpora this serves it measures
+    * faster than the explode-then-distinct shuffle (3.5 s vs 5.2 s at
+    * sf0.1) — for book-length documents flip [[shingleRowsOf]] to
+    * explode + distinct.
+    */
   def shingles(text: Column, k: Int = ShingleSize): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
       i => text.substr(i, lit(k))))
 
-  /** Exploded (doc_id, sh) shingle table, distinct per doc. */
+  /** Exploded (doc_id, sh) shingle table of a (doc_id, text) corpus,
+    * distinct per doc (zero shuffle: distinctness comes from the per-row
+    * array, not an exchange).
+    */
+  def shingleRowsOf(docs: DataFrame, k: Int = ShingleSize): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    shingleRowsOf(Tables.documents(spark, dir))
 
   /** D1: exact dedup by content hash — keep the min doc_id per group. */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -176,29 +187,37 @@ object Dedup {
     // count doesn't serialize it onto a few cores (a 100 TB corpus is
     // already wide — the guard is a no-op there)
     val p = spark.sparkContext.defaultParallelism
-    val wide0 = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
-    // dup-detection pre-scan: one count + one distinct-count aggregate
-    // (cheap relative to the signature pass). A corpus with no exact dups
-    // — the common case after an upstream exact-dedup — skips the group
-    // machinery entirely.
-    val wide = wide0
-    val counts = wide.agg(count(lit(1)), count_distinct(md5(col("text")))).head()
+    val wide = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    // ONE text pass computes the content hash and the full MinHash
+    // signature together (the codegen'd signature kernel already scans
+    // every byte; md5 rides along in the same projection) — r2's separate
+    // dup-detection agg + window passes cost two extra full-text scans.
+    // The checkpoint materializes ~1 KB/doc of signatures (standard
+    // signature storage at any scale); dup detection afterwards runs on the
+    // checkpointed 40-byte (doc_id, ch) rows, never on text.
+    val sigsAll = wide.select(col("doc_id"), md5(col("text")).as("ch"),
+        graft.functions.MinHashSigFn.minhashSig(col("text"), ShingleSize,
+          NumHashes).as("sig"))
+      .localCheckpoint(true)
+    val counts = sigsAll.agg(count(lit(1)), count_distinct(col("ch"))).head()
     val hasDups = counts.getLong(0) != counts.getLong(1)
-    // (doc_id, rep): the min doc_id per distinct text — one shuffle on the
-    // content hash. localCheckpoint (not persist): blocks are freed by the
-    // ContextCleaner when the plan is garbage-collected, so repeated calls
-    // don't accumulate executor storage.
-    lazy val mem = wide.select(col("doc_id"), md5(col("text")).as("ch"))
+    // (doc_id, rep): the min doc_id per distinct text — dup branch only;
+    // shuffles 40-byte rows off the checkpoint. localCheckpoint (not
+    // persist): blocks are freed by the ContextCleaner when the plan is
+    // garbage-collected, so repeated calls don't accumulate storage.
+    lazy val mem = sigsAll.select(col("doc_id"), col("ch"))
       .withColumn("rep", min(col("doc_id")).over(Window.partitionBy(col("ch"))))
       .select(col("doc_id"), col("rep"))
       .localCheckpoint(true)
-    val reps = if (!hasDups) wide
-      else wide.join(mem.filter(col("doc_id") === col("rep"))
-        .select(col("doc_id")), "doc_id")
-    // full signature in ONE codegen'd projection (graft.functions.MinHashSig)
-    // — no shingle explode, no 126-column aggregation, no shuffle before
-    // the band buckets
-    val sigs = signatures(reps)
+    // LSH runs on one signature per distinct text: identical texts have
+    // identical signatures, so any member's sig represents the group
+    // (first() is deterministic here). Map-side combine keeps the shuffle
+    // at one sig per distinct text per partition — and this branch only
+    // runs when dups exist at all.
+    val sigs = if (!hasDups) sigsAll.select(col("doc_id"), col("sig"))
+      else sigsAll.groupBy(col("ch"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("sig")).as("sig"))
+        .select(col("doc_id"), col("sig"))
     val cands0 = candidatePairs(bandTable(sigs)).localCheckpoint(true)
     // size-GATED broadcast, not unconditional: candidate volume is
     // corpus-dependent (a dup-heavy crawl could exceed driver memory), and
@@ -209,10 +228,16 @@ object Dedup {
       broadcast(cands0) else cands0
     // exact-verify only candidate documents: semi-join the corpus down to
     // docs that appear in some candidate pair before exploding shingles
+    // (the verify needs text again — reps carries it, unlike sigsAll)
+    val reps = if (!hasDups) wide
+      else wide.join(mem.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id")), "doc_id")
     val candIds = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
-    val sh = reps.join(candIds, "doc_id")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    // checkpoint: the verify consumes the shingle table three times (two
+    // intersection joins + the per-doc sizes) — materialize the explode
+    // once instead of re-scanning candidate docs' text per consumer
+    val sh = shingleRowsOf(reps.join(candIds, "doc_id")).localCheckpoint(true)
     val repPairs = jaccardOfCandidates(sh, cands, threshold)
     if (!hasDups) repPairs
     else {

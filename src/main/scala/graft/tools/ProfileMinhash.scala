@@ -39,8 +39,7 @@ object ProfileMinhash {
     System.err.println(s"[prof] candidates: $nc")
     val candIds = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
-    val sh = docs.join(broadcast(candIds), "doc_id")
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+    val sh = Dedup.shingleRowsOf(docs.join(broadcast(candIds), "doc_id"))
     time("verify shingles")(sh.count())
 
     time("full minhashLsh")(Dedup.minhashLsh(spark, dir).count())
