@@ -41,6 +41,12 @@ object ConnectedComponents {
     * caller in the same session) reuses the labels `apply` already computed
     * instead of re-running the fixpoint. Values are localCheckpoint'd, so
     * the cached plan is a materialized RDD scan, not a lineage replay.
+    *
+    * Only graphs with `memoizeAnalytics` set (the session-memoized
+    * fromTpch/updatedGraph instances) enter the cache: ad-hoc graphs are
+    * keyed by DataFrame reference identity, so caching their labels would
+    * pin a checkpoint per construction forever. Dead-session entries are
+    * swept on access.
     */
   private val labelCache =
     scala.collection.concurrent.TrieMap[(Graph, Int, Boolean), DataFrame]()
@@ -52,8 +58,11 @@ object ConnectedComponents {
     */
   def apply(g: Graph, maxIter: Int = 50,
       broadcastVertices: Boolean = true): DataFrame =
-    labelCache.getOrElseUpdate((g, maxIter, broadcastVertices),
-      run(g, maxIter, broadcastVertices))
+    if (g.memoizeAnalytics) {
+      graft.core.SessionCaches.sweep(labelCache)(_._1.edges.sparkSession)
+      labelCache.getOrElseUpdate((g, maxIter, broadcastVertices),
+        run(g, maxIter, broadcastVertices))
+    } else run(g, maxIter, broadcastVertices)
 
   private def run(g: Graph, maxIter: Int,
       broadcastVertices: Boolean): DataFrame = {

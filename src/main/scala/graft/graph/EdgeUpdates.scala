@@ -75,9 +75,12 @@ object EdgeUpdates {
     * Memoized per (session, dir) like Graph.fromTpch, so the update-edges
     * and update-degrees workloads share one pipeline and one edge cache.
     */
-  def updatedGraph(spark: SparkSession, dir: String): Graph =
+  def updatedGraph(spark: SparkSession, dir: String): Graph = {
+    graft.core.SessionCaches.sweep(instances)(_._1)
     instances.getOrElseUpdate((spark, dir),
-      Graph(apply(Graph.fromTpch(spark, dir).edges, actionsFromEvents(spark, dir))))
+      Graph(apply(Graph.fromTpch(spark, dir).edges, actionsFromEvents(spark, dir)),
+        memoizeAnalytics = true))
+  }
 
   /** CTE chain ending in `upd(src, dst, weight)` — composable into larger
     * oracle queries.

@@ -14,8 +14,15 @@ import graft.core.Tables
   * algorithm inside Catalyst — joins get AQE skew handling, aggregates get
   * map-side partials, and the same code runs on a 1000-executor cluster by
   * just partitioning the edge table on `src`.
+  *
+  * @param memoizeAnalytics opt-in for the session-lifetime analytics memo
+  *   caches (e.g. converged CC labels). Only the session-memoized graphs
+  *   ([[Graph.fromTpch]], [[EdgeUpdates.updatedGraph]]) set it: an ad-hoc
+  *   graph (a dedup pair graph, a test fixture) is keyed by DataFrame
+  *   reference identity, so caching its results would pin checkpointed RDDs
+  *   forever — an unbounded leak in long-lived sessions.
   */
-final case class Graph(edges: DataFrame) {
+final case class Graph(edges: DataFrame, memoizeAnalytics: Boolean = false) {
 
   /** Symmetrized, deduplicated edge view (reference graphs are undirected:
     * networkx.Graph dedupes, Bagel builds both directions). Self-loops kept
@@ -58,8 +65,10 @@ object Graph {
   private val instances =
     scala.collection.concurrent.TrieMap[(SparkSession, String), Graph]()
 
-  def fromTpch(spark: SparkSession, dir: String): Graph =
+  def fromTpch(spark: SparkSession, dir: String): Graph = {
+    graft.core.SessionCaches.sweep(instances)(_._1)
     instances.getOrElseUpdate((spark, dir), build(spark, dir))
+  }
 
   private def build(spark: SparkSession, dir: String): Graph = {
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
@@ -70,7 +79,7 @@ object Graph {
         (lit(SupplierOffset) + col("l_suppkey")).as("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("weight"))
-    Graph(edges)
+    Graph(edges, memoizeAnalytics = true)
   }
 
   /** Oracle-SQL fragment producing the same edge table in DuckDB. */

@@ -322,14 +322,22 @@ object Dedup {
     * — `minhashLsh` (the pair listing) and `clusters` (the resolution over
     * those pairs) share one pipeline run per session, like
     * `Graph.fromTpch` memoizes the graph build.
+    *
+    * Staleness contract: the first call in a session snapshots the data
+    * under `dir`; later calls return that snapshot even if the files
+    * change. Callers that need fresh results (or want to *time* the
+    * pipeline rather than a checkpoint scan) must use [[minhashLsh]].
+    * Dead-session entries are swept on access.
     */
   private val pairCache = scala.collection.concurrent.TrieMap[
     (SparkSession, String, Double), DataFrame]()
 
   def minhashLshCached(spark: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8): DataFrame = {
+    graft.core.SessionCaches.sweep(pairCache)(_._1)
     pairCache.getOrElseUpdate((spark, dir, threshold),
       minhashLsh(spark, dir, threshold).localCheckpoint(true))
+  }
 
   /** D6: dedup resolution — the end product of the dedup pipeline: every
     * document mapped to the canonical (minimum-id) member of its near-dup
