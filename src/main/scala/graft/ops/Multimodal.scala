@@ -8,13 +8,19 @@ import graft.core.Tables
 /** Multimodal-column plumbing (SURVEY §2 M1): media as opaque `binary`
   * columns + typed metadata, processed per-partition in batches.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB; everything Spark-side — the binary
-  * column, the schema, the mapPartitions batch shape, the partition-parallel
-  * execution — is real. In production `decodeStub` is replaced by a codec
-  * call (e.g. JPEG decode) with the identical signature, and the plan is
-  * unchanged: a scan of (id, payload) partitions streaming through a
-  * per-partition iterator (no per-row setup cost, no driver collect).
+  * The decode step is REAL for still images: `javax.imageio` is
+  * JDK-standard (PNG/JPEG/GIF/BMP readers ship with the JVM — no external
+  * codecs needed), and [[decodeImage]] reads true width/height/channels
+  * from the bytes. Payloads that are not a supported image (e.g. the
+  * text-as-bytes stand-in corpus the driver oracle runs on) fall back to
+  * [[syntheticMeta]], a deterministic length-derived shape, so mixed
+  * binary columns flow through one pipeline. Audio/video codecs are not in
+  * the JDK; those stay behind the same bytes => meta signature.
+  *
+  * The Spark shape is the production one either way: a scan of
+  * (id, payload) partitions streaming through a per-partition iterator —
+  * no per-row reader setup (the magic-byte sniff gates SPI lookup), no
+  * shuffle, no driver collect.
   */
 object Multimodal {
 
@@ -22,27 +28,61 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
       height: Long, channels: Long)
 
-  /** STUB decode: derives fake-but-deterministic image dimensions from the
-    * payload length. Replace with a real codec in production (`???` shape:
-    * bytes => (width, height, channels)).
+  /** Cheap magic-byte sniff: only payloads that can be a JDK-decodable
+    * image reach ImageIO's reader lookup (a text payload costs 4 byte
+    * compares, not a stream + SPI probe per row).
     */
-  def decodeStub(payload: Array[Byte]): (Long, Long, Long) =
+  def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** Real image decode via JDK ImageIO: (width, height, channels) from the
+    * actual pixel raster, or None when the payload is not a decodable
+    * image.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Long, Long, Long)] =
+    if (!looksLikeImage(payload)) None
+    else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      .map(img => (img.getWidth.toLong, img.getHeight.toLong,
+        img.getRaster.getNumBands.toLong))
+
+  /** Deterministic fallback shape for non-image payloads (length-derived),
+    * keeping mixed binary columns total and the text-corpus oracle exact.
+    */
+  def syntheticMeta(payload: Array[Byte]): (Long, Long, Long) =
     ((payload.length % 640).toLong, (payload.length % 480).toLong, 3L)
 
-  /** Ingest documents' text as a binary payload column (stand-in for image
-    * bytes) and extract metadata per partition.
+  /** Total decode: real ImageIO for images, synthetic shape otherwise. */
+  def decode(payload: Array[Byte]): (Long, Long, Long) =
+    decodeImage(payload).getOrElse(syntheticMeta(payload))
+
+  /** Extract per-payload metadata from a binary column, one streamed
+    * partition at a time.
     */
-  def extractMeta(spark: SparkSession, dir: String): DataFrame = {
+  def extractMetaFrom(bin: org.apache.spark.sql.Dataset[MediaRow]): DataFrame = {
+    val spark = bin.sparkSession
     import spark.implicits._
-    val bin = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[MediaRow]
     bin.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, c) = decodeStub(r.payload)
+        val (w, h, c) = decode(r.payload)
         MediaMeta(r.doc_id, r.payload.length.toLong, w, h, c)
       }
     }.toDF()
+  }
+
+  /** Ingest documents' text as a binary payload column (stand-in for image
+    * bytes — none parse as images, so the oracle's length-derived shape is
+    * exact) and extract metadata per partition.
+    */
+  def extractMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractMetaFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow])
   }
 
   val extractMetaSql: String =
@@ -52,6 +92,60 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
       |  CAST(3 AS BIGINT) AS channels
       |FROM documents""".stripMargin
+
+  final case class MediaFeature(doc_id: Long, width: Long, height: Long,
+      feature: Array[Float])
+
+  /** Real image feature extraction: decode (ImageIO), resize to a
+    * `grid`×`grid` thumbnail (Graphics2D bilinear — also JDK-standard),
+    * average-pool to grayscale luminance in [0,1] — a `grid`²-float
+    * embedding comparable with the cosine ops in [[Similarity]]. Non-image
+    * payloads produce an empty vector (filter `size(feature) > 0`
+    * downstream). Same zero-shuffle mapPartitions shape as
+    * [[extractMetaFrom]].
+    */
+  def imageFeatures(bin: org.apache.spark.sql.Dataset[MediaRow],
+      grid: Int = 4): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.mapPartitions { rows =>
+      rows.map { r =>
+        val img = if (looksLikeImage(r.payload))
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload)))
+        else None
+        img match {
+          case Some(im) =>
+            val thumb = new java.awt.image.BufferedImage(grid, grid,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = thumb.createGraphics()
+            try {
+              g2.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g2.drawImage(im, 0, 0, grid, grid, null)
+            } finally g2.dispose()
+            val feat = new Array[Float](grid * grid)
+            var y = 0
+            while (y < grid) {
+              var x = 0
+              while (x < grid) {
+                val rgb = thumb.getRGB(x, y)
+                val lum = 0.299f * ((rgb >> 16) & 0xff) +
+                  0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+                feat(y * grid + x) = lum / 255f
+                x += 1
+              }
+              y += 1
+            }
+            MediaFeature(r.doc_id, im.getWidth.toLong, im.getHeight.toLong,
+              feat)
+          case None =>
+            MediaFeature(r.doc_id, 0L, 0L, Array.empty[Float])
+        }
+      }
+    }.toDF()
+  }
 
   val DefaultFrames = 4
   val DefaultFrameBytes = 64

@@ -234,4 +234,52 @@ class OpsSpec extends AnyFunSuite {
     assert(bad == 0)
     assert(out.filter(col("channels") =!= 3).count() == 0)
   }
+
+  /** Real image bytes, encoded through the JDK's own writers. */
+  private def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // left half black, right half white — a known luminance pattern
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos))
+    bos.toByteArray
+  }
+
+  test("multimodal decode: real PNG/JPEG dimensions via ImageIO; text falls back") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, imageBytes(17, 9, "png")),
+      Multimodal.MediaRow(2L, imageBytes(32, 24, "jpg")),
+      Multimodal.MediaRow(3L, "just some text bytes, not an image".getBytes("UTF-8")))
+    val out = Multimodal.extractMetaFrom(rows.toDS())
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 17 && out(1L).getLong(3) == 9)
+    assert(out(2L).getLong(2) == 32 && out(2L).getLong(3) == 24)
+    assert(out(1L).getLong(4) == 3) // RGB PNG
+    // non-image payload takes the deterministic synthetic shape
+    val n = rows(2).payload.length
+    assert(out(3L).getLong(2) == n % 640 && out(3L).getLong(3) == n % 480)
+  }
+
+  test("multimodal features: resize + grayscale pool separates dark/light halves") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, imageBytes(64, 64, "png")),
+      Multimodal.MediaRow(2L, "not an image".getBytes("UTF-8")))
+    val out = Multimodal.imageFeatures(rows.toDS(), grid = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val feat = out(1L).getSeq[Float](3)
+    assert(feat.length == 16)
+    assert(feat.forall(v => v >= 0f && v <= 1f))
+    // left columns dark, right columns light in every pooled row
+    (0 until 4).foreach { y =>
+      assert(feat(y * 4) < 0.2f && feat(y * 4 + 3) > 0.8f)
+    }
+    assert(out(2L).getSeq[Float](3).isEmpty)
+  }
 }
