@@ -13,8 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
 /** One-pass SimHash kernel shared by interpreted eval and generated code.
   *
   * Exactly the semantics of the Column-expression pipeline it replaces
-  * (and of the DuckDB oracle): whitespace tokens of the trimmed text
-  * (Java `trim` + `split("\\s+", -1)`, Spark's own split semantics),
+  * (and of the DuckDB oracle): whitespace tokens of the trimmed text —
+  * SQL `trim` semantics, stripping SPACES only (Java `String.trim` would
+  * also strip tabs/newlines and silently diverge from the oracle on text
+  * with leading/trailing non-space whitespace) — then `split("\\s+", -1)`,
   * per-token 64-bit hash = the big-endian first 8 bytes of md5(token)
   * (bit k = bit (k mod 4) of hex digit (15 − k/4) — the same bits the
   * SQL oracle derives from the hex string), ±1 bit-counters weighted by
@@ -29,7 +31,12 @@ object SimHash64Impl {
   }
 
   def simhash(s: UTF8String): Long = {
-    val toks = s.toString.trim.split("\\s+", -1)
+    val str = s.toString
+    var lo = 0
+    var hi = str.length
+    while (lo < hi && str.charAt(lo) == ' ') lo += 1
+    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
+    val toks = str.substring(lo, hi).split("\\s+", -1)
     val counts = new Array[Int](64)
     val md = digests.get()
     var t = 0

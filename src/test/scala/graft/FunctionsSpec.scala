@@ -37,7 +37,10 @@ class FunctionsSpec extends AnyFunSuite {
     def expected(text: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val counts = new Array[Int](64)
-      text.trim.split("\\s+", -1).foreach { tok =>
+      // SQL trim semantics: strip spaces only (tabs/newlines stay, exactly
+      // as the DuckDB oracle's trim() leaves them for the tokenizer)
+      val trimmed = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      trimmed.split("\\s+", -1).foreach { tok =>
         md.reset()
         val hx = md.digest(tok.getBytes("UTF-8"))
           .map(b => f"${b & 0xFF}%02x").mkString
@@ -50,7 +53,10 @@ class FunctionsSpec extends AnyFunSuite {
         if (counts(k) > 0) acc | (1L << k) else acc)
     }
     val texts = Seq("the quick brown fox", "a a a b", "", "  spaced   out  ",
-      "unicode tökens über ällés")
+      "unicode tökens über ällés",
+      // leading/trailing NON-SPACE whitespace: SQL trim leaves it, so the
+      // tokenizer sees a leading/trailing empty token — the kernel must too
+      "\tleading tab", "trailing newline\n", " \n mixed \t ")
     val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
       .select(col("id"), graft.functions.SimHash64Fn.simhash64(col("text")).as("s"))
