@@ -61,7 +61,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshCached(s, d)),
-    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashBlocked(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     // --- similarity search (S1..S3) ---

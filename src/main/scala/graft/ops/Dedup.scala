@@ -273,6 +273,11 @@ object Dedup {
     Tables.documents(spark, dir).select(col("doc_id"),
       graft.functions.SimHash64Fn.simhash64(col("text")).as("simhash"))
 
+  /** Narrow 4×16-bit banding. Lossless at maxHamming ≤ 3, but the bucket
+    * space is FIXED at 4·2^16 — per-bucket candidate pairs grow
+    * quadratically with corpus size, a named scale ceiling. The driver
+    * query runs [[simhashBlocked]], whose key space widens instead.
+    */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val fps = simhashFingerprints(spark, dir)
     val banded = fps.select(col("doc_id"), col("simhash"),
@@ -280,13 +285,73 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.key"))
-    banded.as("a").join(banded.as("b"),
+    pairsFromBuckets(banded, maxHamming)
+  }
+
+  /** Nearly-equal split of the 64 fingerprint bits into `blocks` blocks:
+    * (length, bit-offset) per block, low bits first.
+    */
+  private[graft] def blockLayout(blocks: Int): Seq[(Int, Int)] = {
+    val base = 64 / blocks
+    val rem = 64 % blocks
+    val lens = Seq.tabulate(blocks)(i => if (i < rem) base + 1 else base)
+    lens.zip(lens.scanLeft(0)(_ + _))
+  }
+
+  /** Permuted-table blocking of a fingerprint table (Manku et al., WWW'07
+    * §3, "Detecting Near-Duplicates for Web Crawling"): one table per
+    * `prefixBlocks`-subset of the `blocks` fingerprint blocks, keyed on
+    * the concatenated bits of that subset. A pair at Hamming distance
+    * ≤ `blocks − prefixBlocks` dirties at most that many blocks, so some
+    * subset of `prefixBlocks` blocks is entirely clean and the pair shares
+    * its full key in that table — blocking stays lossless (the pigeonhole
+    * bound; property-tested) while the per-table key space is 2^(~32) for
+    * the default 6-choose-3, i.e. buckets keep pace with corpus growth
+    * instead of saturating like a fixed 16-bit band.
+    *
+    * Output: (doc_id, simhash, band, key) bucket rows — `band` is the
+    * table index, ready for the same bucket self-join as the banded path.
+    */
+  private[graft] def permutedTables(fps: DataFrame, blocks: Int,
+      prefixBlocks: Int): DataFrame = {
+    val layout = blockLayout(blocks)
+    val tables = (0 until blocks).combinations(prefixBlocks).toSeq
+    val keyed = tables.zipWithIndex.map { case (subset, ti) =>
+      val key = subset.foldLeft(lit(0L)) { (acc, b) =>
+        val (len, off) = layout(b)
+        shiftleft(acc, len).bitwiseOR(
+          shiftrightunsigned(col("simhash"), off)
+            .bitwiseAND(lit((1L << len) - 1)))
+      }
+      struct(lit(ti).as("band"), key.as("key"))
+    }
+    fps.select(col("doc_id"), col("simhash"),
+        explode(array(keyed: _*)).as("tk"))
+      .select(col("doc_id"), col("simhash"), col("tk.band"), col("tk.key"))
+  }
+
+  /** Bucket self-join → verified distinct pairs at Hamming ≤ maxHamming. */
+  private def pairsFromBuckets(buckets: DataFrame, maxHamming: Int): DataFrame =
+    buckets.as("a").join(buckets.as("b"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+
+  /** D4 at scale: SimHash near-dup pairs via permuted-table blocking.
+    * Semantics identical to [[simhash]] (same fingerprints, same pair
+    * set — both lossless at the Hamming bound), same DuckDB oracle.
+    */
+  def simhashBlocked(spark: SparkSession, dir: String, maxHamming: Int = 3,
+      blocks: Int = 6, prefixBlocks: Int = 3): DataFrame = {
+    require(prefixBlocks + maxHamming <= blocks,
+      s"lossless blocking needs prefixBlocks + maxHamming <= blocks " +
+        s"(got $prefixBlocks + $maxHamming > $blocks)")
+    pairsFromBuckets(
+      permutedTables(simhashFingerprints(spark, dir), blocks, prefixBlocks),
+      maxHamming)
   }
 
   /** DuckDB oracle for `simhash`: brute-force all-pairs Hamming distance

@@ -81,6 +81,51 @@ class OpsSpec extends AnyFunSuite {
     val dupPair = Dedup.exact(spark, sf).filter(col("n_copies") >= 2).count()
     assert(sh.filter(col("hamming") === 0).count() >= dupPair ||
       dupPair == 0)
+    // permuted-table blocking (the scale path the driver runs) must yield
+    // the identical pair set — its pigeonhole bound is the same guarantee
+    val blocked = Dedup.simhashBlocked(spark, sf)
+    assert(brute.exceptAll(blocked).count() == 0, "blocking missed pairs")
+    assert(blocked.exceptAll(brute).count() == 0, "blocking wrong pairs")
+  }
+
+  test("simhash permuted tables: pigeonhole losslessness and bounded buckets at 1e5 docs") {
+    import spark.implicits._
+    // pigeonhole property over adversarial fingerprints: for EVERY 3-bit
+    // flip pattern across block boundaries, some table keeps a clean prefix
+    val layout = Dedup.blockLayout(6)
+    val probes = for {
+      i <- 0 until 64 by 7; j <- (i + 1) until 64 by 11; k <- (j + 1) until 64 by 13
+    } yield (0x5a5a5a5a5a5a5a5aL, 0x5a5a5a5a5a5a5a5aL ^ (1L << i) ^ (1L << j) ^ (1L << k))
+    val fps = probes.zipWithIndex.flatMap { case ((a, b), n) =>
+      Seq((n * 2L, a), (n * 2L + 1L, b))
+    }.toDF("doc_id", "simhash")
+    val buckets = Dedup.permutedTables(fps, 6, 3)
+    val paired = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") + 1 === col("y.doc_id"))
+      .filter(col("x.doc_id") % 2 === 0)
+      .select(col("x.doc_id")).distinct().count()
+    assert(paired == probes.length, "a hamming-3 pair escaped every table")
+
+    // scale behavior: 1e5 uniform-random fingerprints. The fixed 4x2^16
+    // banding already averages >1 candidate per bucket here and its pair
+    // count grows ~n^2/2^18; the ~32-bit permuted prefixes keep buckets
+    // nearly singleton (pair count ~n^2*20/2^32), two orders lower.
+    val n = 100000L
+    val rand = spark.range(n).select(col("id").as("doc_id"),
+      xxhash64(col("id")).as("simhash"))
+    def candidatePairs(buckets: org.apache.spark.sql.DataFrame): Long =
+      buckets.groupBy(col("band"), col("key")).count()
+        .agg(sum(expr("count * (count - 1) div 2"))).head().getLong(0)
+    val banded = rand.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.key"))
+    val nBanded = candidatePairs(banded)
+    val nBlocked = candidatePairs(Dedup.permutedTables(rand, 6, 3))
+    assert(nBanded > n, s"expected banding to saturate at 1e5 docs ($nBanded)")
+    assert(nBlocked < n / 10,
+      s"permuted tables should stay near-singleton ($nBlocked vs $nBanded banded)")
   }
 
   test("embedding cosine pairs are symmetric-safe and thresholded") {
