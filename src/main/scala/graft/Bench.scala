@@ -62,9 +62,7 @@ object Bench {
     "graph_update_edges" -> ((s, d) =>
       graft.graph.EdgeUpdates.updatedGraph(s, d).cachedUndirected.count(): Unit))
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  def sparkAt(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -74,9 +72,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Run `toRun` against one SF dir, logging per-query stderr lines;
+    * `runJson`, when set, is where the reference-format run file goes.
+    * Returns (query, seconds) in run order, crashed queries as -1.
+    */
+  def runSuite(spark: SparkSession, sfDir: String, toRun: Seq[String],
+      runJson: Option[String] = None): Seq[(String, Double)] = {
     val qs = SparkEntry.queries
-    // optional args: run only the named queries (dev iteration)
-    val toRun = if (args.nonEmpty) args.toSeq else headline
     // untimed JIT/codegen warmup so the first timed query isn't charged
     // for JVM startup (the reference harness times workloads, not startup)
     try qs("q1_agg")(spark, sfDir).count() catch { case _: Throwable => }
@@ -103,18 +108,33 @@ object Bench {
       // a crashed query must not masquerade as a fast success: record -1
       name -> (if (ok) sec else -1.0)
     }
-    val secs = results.toMap
-    try writeRefRunJson(spark, sfDir, secs) catch {
+    try writeRefRunJson(spark, sfDir, results.toMap, runJson) catch {
       case e: Throwable =>
         System.err.println(s"[bench] ref-run json skipped: ${e.getMessage}")
     }
+    results
+  }
+
+  /** One summary JSON line for a suite run — any failure poisons the total
+    * (a broken query must read as "not comparable", not as a faster suite).
+    */
+  def summaryLine(results: Seq[(String, Double)], sfDir: String): String = {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    // any failure poisons the headline total — a broken query must read as
-    // "not comparable", not as a faster suite
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"}""")
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = sparkAt(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // optional args: run only the named queries (dev iteration)
+    val toRun = if (args.nonEmpty) args.toSeq else headline
+    val results = runSuite(spark, sfDir, toRun,
+      Some(sys.env.getOrElse("SPARK_GRAFT_RUN_JSON",
+        "target/graft-results/run.graft.json")))
+    println(summaryLine(results, sfDir))
     spark.stop()
   }
 
@@ -127,7 +147,8 @@ object Bench {
     * caveat ships in the JSON's `notes`).
     */
   private def writeRefRunJson(spark: SparkSession, sfDir: String,
-      secs: Map[String, Double]): Unit = {
+      secs: Map[String, Double], runJson: Option[String]): Unit = {
+    if (runJson.isEmpty) return
     val needed = refMetricOf.keySet + "graph_update_edges"
     if (!needed.forall(q => secs.getOrElse(q, -1.0) > 0)) return
     val g = graft.graph.Graph.fromTpch(spark, sfDir)
@@ -168,8 +189,7 @@ object Bench {
          |  }
          |}
          |""".stripMargin
-    val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_RUN_JSON",
-      "target/graft-results/run.graft.json"))
+    val out = java.nio.file.Paths.get(runJson.get)
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, json)
     System.err.println(s"[bench] reference-format run json → $out")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -75,19 +75,52 @@ object ResultsAnalytics {
     */
   val higherIsBetter: Set[String] = Set("update")
 
-  /** Chart-shaped summary: per metric, packages ranked best-first (rate
-    * metrics descend, time/memory metrics ascend), with each package's
-    * factor-worse-than-best (1.0 = best, always ≥ 1).
+  /** Run-size tier from the results-file name (the reference names runs
+    * `<ts>.<engine>.<tier>`; graft's sweep writes `run.graft.<tier>`).
+    * Untiered files chart as "all".
     */
+  def tierOf(file: Column): Column = {
+    val t = regexp_extract(file, "\\.(tiny|small|medium|large)(\\.fail)?$", 1)
+    when(t === "", lit("all")).otherwise(t)
+  }
+
+  /** Chart-shaped summary: per (tier, metric), packages ranked best-first
+    * (rate metrics descend, time/memory metrics ascend), with each
+    * package's factor-worse-than-best (1.0 = best, always ≥ 1).
+    */
+  def summaryByTier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = metrics(load(spark, dir))
+      .withColumn("tier", tierOf(col("file")))
+      // zero timings are "not measured" placeholders (e.g. the *-NA runs)
+      .filter(col("value") > 0.0)
+      .groupBy(col("tier"), col("metric"), col("package"))
+      .agg(avg(col("value")).as("value"), count(lit(1)).as("n_runs"))
+    val rate = col("metric").isInCollection(higherIsBetter)
+    // rank key: negate rate metrics so one ascending window ranks both kinds
+    val keyed = m.withColumn("__key",
+      when(rate, -col("value")).otherwise(col("value")))
+    val w = Window.partitionBy(col("tier"), col("metric"))
+      .orderBy(col("__key").asc)
+    val best = first(col("value")).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    keyed.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("rel_to_best",
+        when(best =!= 0.0,
+          round(when(rate, best / col("value"))
+            .otherwise(col("value") / best), 4))
+          .otherwise(lit(null)))
+      .drop("__key")
+  }
+
+  /** Tier-blind summary (all runs of a package averaged per metric). */
   def summary(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = metrics(load(spark, dir))
-      // zero timings are "not measured" placeholders (e.g. the *-NA runs)
       .filter(col("value") > 0.0)
       .groupBy(col("metric"), col("package"))
       .agg(avg(col("value")).as("value"), count(lit(1)).as("n_runs"))
     val rate = col("metric").isInCollection(higherIsBetter)
-    // rank key: negate rate metrics so one ascending window ranks both kinds
     val keyed = m.withColumn("__key",
       when(rate, -col("value")).otherwise(col("value")))
     val w = Window.partitionBy(col("metric")).orderBy(col("__key").asc)
@@ -110,32 +143,40 @@ object ResultsAnalytics {
     "update" -> "Update Rate (edges/s)",
     "mem" -> "Memory Usage (KB)")
 
+  private val tierOrder = Seq("tiny", "small", "medium", "large", "all")
+
   /** Self-contained HTML bar charts — the make_graphs.py output
     * re-expressed without external JS (inline SVG, log-free linear bars
-    * scaled per metric). One section per chart in the reference's order.
+    * scaled per metric). One section per (metric, tier) in the reference's
+    * metric order, tiers smallest-first, so a package's scaling slope
+    * reads left to right down the page.
     */
   def chartsHtml(spark: SparkSession, dir: String): String = {
-    val rows = summary(spark, dir)
-      .select("metric", "package", "value", "rank").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
-    val sections = (metricNames :+ "mem").flatMap { m =>
-      val bars = rows.filter(_._1 == m).sortBy(_._4)
-      if (bars.isEmpty) None else Some {
-        val maxV = bars.map(_._3).max
-        def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
-          .replace(">", "&gt;")
-        val rects = bars.zipWithIndex.map { case ((_, pkg, v, _), i) =>
-          val wpx = math.max(1, (560.0 * v / maxV).round)
-          val label = String.format(java.util.Locale.ROOT, "%.4g", Double.box(v))
-          s"""<g transform="translate(0,${i * 24})">
-             |<text x="150" y="15" text-anchor="end" font-size="12">${esc(pkg)}</text>
-             |<rect x="160" y="3" width="$wpx" height="16" fill="#4472a8"/>
-             |<text x="${160 + wpx + 5}" y="15" font-size="11">$label</text>
-             |</g>""".stripMargin
-        }.mkString("\n")
-        s"""<h2>${chartTitles.getOrElse(m, m)}</h2>
-           |<svg width="800" height="${bars.length * 24 + 8}">$rects</svg>""".stripMargin
-      }
+    val rows = summaryByTier(spark, dir)
+      .select("tier", "metric", "package", "value", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val sections = for {
+      m <- metricNames :+ "mem"
+      t <- tierOrder
+      bars = rows.filter(r => r._2 == m && r._1 == t).sortBy(_._5)
+      if bars.nonEmpty
+    } yield {
+      val maxV = bars.map(_._4).max
+      def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;")
+      val rects = bars.zipWithIndex.map { case ((_, _, pkg, v, _), i) =>
+        val wpx = math.max(1, (560.0 * v / maxV).round)
+        val label = String.format(java.util.Locale.ROOT, "%.4g", Double.box(v))
+        val hl = if (pkg.startsWith("graft")) "#b0563a" else "#4472a8"
+        s"""<g transform="translate(0,${i * 24})">
+           |<text x="150" y="15" text-anchor="end" font-size="12">${esc(pkg)}</text>
+           |<rect x="160" y="3" width="$wpx" height="16" fill="$hl"/>
+           |<text x="${160 + wpx + 5}" y="15" font-size="11">$label</text>
+           |</g>""".stripMargin
+      }.mkString("\n")
+      s"""<h2>${chartTitles.getOrElse(m, m)} — $t</h2>
+         |<svg width="800" height="${bars.length * 24 + 8}">$rects</svg>""".stripMargin
     }
     s"<!DOCTYPE html><html><head><meta charset='utf-8'><title>graft results</title>" +
       s"</head><body>\n${sections.mkString("\n")}\n</body></html>"
