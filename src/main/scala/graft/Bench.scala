@@ -37,7 +37,7 @@ object Bench {
     "ann_topk", "ann_lsh", "ann_ivf",
     "ann_lsh_exhaustive", "ann_ivf_exhaustive",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "text_tfidf", "text_ngrams", "text_normalize",
+    "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",
     "corpus_decontaminate", "corpus_sample", "stats_profile",
     "multimodal_meta", "multimodal_frames", "stream_events_hourly",
     "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ArrayDot, MinHashSig, SimHash64}
+import graft.functions.{ArrayDot, MinHashSig, RepetitionStats, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's codegen
   * expressions as SQL functions, so a pure-SQL user gets the same kernels:
@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(text) takes one argument")
         SimHash64(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "repetition_stats(text) takes one argument")
+        RepetitionStats(args.head)
       }))
   }
 }

@@ -80,6 +80,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "text_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     "text_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     // --- corpus curation (T8..T10) ---
     "corpus_decontaminate" -> ((s, d) => Corpus.decontaminateQuery(s, d)),
     "corpus_sample" -> ((s, d) => Corpus.sampleStratified(s, d)),
@@ -176,6 +177,7 @@ object SparkEntry {
     "text_tfidf" -> TextAnalysis.tfidfSql(),
     "text_normalize" -> TextAnalysis.normalizeSql,
     "text_ngrams" -> TextAnalysis.corpusNgramsSql(),
+    "text_repetition" -> TextAnalysis.repetitionSql,
     "corpus_decontaminate" -> Corpus.decontaminateSql(),
     "corpus_sample" -> Corpus.sampleStratifiedSql,
     "stats_profile" -> Corpus.numericProfileSql,

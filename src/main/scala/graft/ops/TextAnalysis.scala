@@ -268,4 +268,74 @@ object TextAnalysis {
        |SELECT ngram, count(*) AS n_occurrences FROM g GROUP BY 1
        |ORDER BY n_occurrences DESC, ngram ASC LIMIT $k""".stripMargin
   }
+
+  /** T11: per-document repetition metrics — the Gopher/MassiveText quality
+    * signals (Rae et al. 2021 §A.1.1: threshold on the most-common-n-gram
+    * fraction and the duplicated-n-gram fraction to drop boilerplate and
+    * spam), as count ratios over word tokens:
+    *
+    *   - `top_word_frac`  — most frequent token / token count
+    *   - `top_2gram_frac` — most frequent adjacent pair / 2-gram count
+    *   - `dup_3gram_frac` — instances of repeated 3-grams / 3-gram count
+    *
+    * One [[graft.functions.RepetitionStats]] codegen projection per row —
+    * repetition is a per-document property, so unlike T5/T6 it costs no
+    * explode and no shuffle (the corpus-gram groupBy formulation would
+    * shuffle every gram in the corpus to compute a per-row stat).
+    * Fractions over short docs are NULL, not a division error.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val r = graft.functions.RepetitionStatsFn.repetitionStats(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), r.as("r"))
+      .select(col("doc_id"),
+        col("r.n_words").as("n_words"),
+        round(col("r.top_word_n").cast("double") / col("r.n_words"), 6)
+          .as("top_word_frac"),
+        when(col("r.n_words") > 1,
+          round(col("r.top_2gram_n").cast("double") / (col("r.n_words") - 1), 6))
+          .as("top_2gram_frac"),
+        when(col("r.n_words") > 2,
+          round(col("r.dup_3gram_n").cast("double") / (col("r.n_words") - 2), 6))
+          .as("dup_3gram_frac"))
+  }
+
+  val repetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |  FROM documents
+      |), base AS (
+      |  SELECT doc_id, len(ws) AS n_words FROM t
+      |), topw AS (
+      |  SELECT doc_id, max(c) AS top_word_n FROM (
+      |    SELECT doc_id, w, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w)
+      |  GROUP BY doc_id
+      |), top2 AS (
+      |  SELECT doc_id, max(c) AS top_2gram_n FROM (
+      |    SELECT doc_id, g, count(*) AS c
+      |    FROM (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+      |          FROM t, unnest(range(1, len(ws))) AS u(i)) GROUP BY doc_id, g)
+      |  GROUP BY doc_id
+      |), dup3 AS (
+      |  SELECT doc_id, coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS dup_3gram_n
+      |  FROM (
+      |    SELECT doc_id, g, count(*) AS c
+      |    FROM (SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+      |          FROM t, unnest(range(1, len(ws) - 1)) AS u(i)) GROUP BY doc_id, g)
+      |  GROUP BY doc_id
+      |)
+      |SELECT b.doc_id,
+      |  CAST(b.n_words AS BIGINT) AS n_words,
+      |  round(topw.top_word_n / b.n_words::DOUBLE, 6) AS top_word_frac,
+      |  CASE WHEN b.n_words > 1
+      |    THEN round(top2.top_2gram_n / (b.n_words - 1)::DOUBLE, 6) END
+      |    AS top_2gram_frac,
+      |  CASE WHEN b.n_words > 2
+      |    THEN round(dup3.dup_3gram_n / (b.n_words - 2)::DOUBLE, 6) END
+      |    AS dup_3gram_frac
+      |FROM base b
+      |LEFT JOIN topw USING (doc_id)
+      |LEFT JOIN top2 USING (doc_id)
+      |LEFT JOIN dup3 USING (doc_id)""".stripMargin
 }

@@ -89,4 +89,59 @@ class FunctionsSpec extends AnyFunSuite {
       .select(MinHashSigFn.minhashSig(col("text"), 5, 126)).head().getSeq[Long](0)
     assert(short.length == 126)
   }
+
+  test("repetition_stats: hand-computed counters and SQL registration") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a a a b"),           // top word a×3; 2-grams: "a a"×2, "a b"; no dup 3-gram
+      (1L, "x y z x y z"),       // 3-grams: "x y z"×2 of 4 → dup3 = 2
+      (2L, "w"),                 // single word: 0 2-grams, 0 3-grams
+      (3L, "  p  q  "))          // SQL-trim + multi-space split → p q
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.functions.RepetitionStatsFn.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.top_word_n"),
+        col("r.top_2gram_n"), col("r.dup_3gram_n"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((4L, 3L, 2L, 0L)))
+    assert(got(1L) == ((6L, 2L, 2L, 2L)))
+    assert(got(2L) == ((1L, 1L, 0L, 0L)))
+    assert(got(3L) == ((2L, 1L, 1L, 0L)))
+    val viaSql = spark.sql(
+      "SELECT repetition_stats('a a a b').top_word_n AS t").head().getLong(0)
+    assert(viaSql == 3L)
+  }
+
+  test("repetition_stats matches an explode+groupBy formulation on real docs") {
+    // independent derivation: corpus-gram shuffle version of the same
+    // counters over the sf0.001 documents (the kernel exists precisely to
+    // avoid this plan; here it serves as the cross-check)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = split(trim(col("text")), "\\s+")
+    def gram(n: Int) = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    def counts(n: Int) = docs.select(col("doc_id"), explode(gram(n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val expTop = counts(1).groupBy("doc_id").agg(max(col("c")).as("top_word_n"))
+    val expTop2 = counts(2).groupBy("doc_id").agg(max(col("c")).as("top_2gram_n"))
+    val expDup3 = counts(3).groupBy("doc_id")
+      .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_3gram_n"))
+    val expected = expTop.join(expTop2, Seq("doc_id"), "left")
+      .join(expDup3, Seq("doc_id"), "left")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = docs.select(col("doc_id"),
+        graft.functions.RepetitionStatsFn.repetitionStats(col("text")).as("r"))
+      .collect().map { r =>
+        val s = r.getStruct(1)
+        r.getLong(0) -> ((s.getLong(1), s.getLong(2), s.getLong(3)))
+      }.toMap
+    assert(got.size == expected.size && got.nonEmpty)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: kernel ${got(id)} != explode $e")
+    }
+  }
 }
