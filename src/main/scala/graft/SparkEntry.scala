@@ -81,6 +81,7 @@ object SparkEntry {
     "text_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     "text_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "corpus_dsir" -> ((s, d) => Corpus.dsirWeights(s, d)),
     // --- corpus curation (T8..T10) ---
     "corpus_decontaminate" -> ((s, d) => Corpus.decontaminateQuery(s, d)),
     "corpus_sample" -> ((s, d) => Corpus.sampleStratified(s, d)),
@@ -178,6 +179,7 @@ object SparkEntry {
     "text_normalize" -> TextAnalysis.normalizeSql,
     "text_ngrams" -> TextAnalysis.corpusNgramsSql(),
     "text_repetition" -> TextAnalysis.repetitionSql,
+    "corpus_dsir" -> Corpus.dsirSql(),
     "corpus_decontaminate" -> Corpus.decontaminateSql(),
     "corpus_sample" -> Corpus.sampleStratifiedSql,
     "stats_profile" -> Corpus.numericProfileSql,

@@ -182,4 +182,96 @@ object Corpus {
          |  round(quantile_cont($c, 0.75), 6) AS q75
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** Hashed-feature bucket count — fixed at 16^3 so the bucket is exactly
+    * the value of three md5 hex digits, computable identically in Spark
+    * (`conv(substr(md5(g), 30, 3), 16, 10)`) and DuckDB (strpos hex-digit
+    * arithmetic; it has no conv).
+    */
+  val DsirBuckets = 4096
+  val DsirTargetLang = "en"
+
+  private def dsirBucket(g: Column): Column =
+    conv(substring(md5(g), 30, 3), 16, 10).cast("int")
+
+  /** T12: DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * document by the log-likelihood ratio of a *target* distribution (here
+    * the `lang = 'en'` slice) against the raw corpus, under hashed n-gram
+    * (unigram + bigram) bag-of-words models with Laplace smoothing.
+    * Documents that look like the target score high; selection/mixing then
+    * samples by weight. The standard data-mixing operator for pretraining
+    * pipelines.
+    *
+    * Scale shape: ONE corpus scan builds both models at once (per-bucket
+    * raw count + target count in the same map-side-combined aggregate over
+    * ≤ [[DsirBuckets]] keys); the per-bucket log-ratio table is bounded at
+    * 4096 rows by construction — a constant-size dim, broadcast
+    * explicitly — so the second scan's scoring join never shuffles the
+    * grams; the only corpus-sized shuffle is the map-side-combined per-doc
+    * sum, ∝ distinct doc_ids. Feature hashing (3 md5 hex digits) keeps the
+    * model size independent of vocabulary, which is the point of DSIR's
+    * hashed variant at web scale.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val p = spark.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    dsir(wide)
+  }
+
+  /** Core of T12 over any (doc_id, lang, text) frame — see [[dsirWeights]]. */
+  def dsir(docs: DataFrame): DataFrame = {
+    // unigrams + adjacent bigrams, lowercased — the paper's feature set
+    val feats = docs.select(col("doc_id"), col("lang"),
+      explode(concat(toks(col("text")), wordNgrams(col("text"), 2))).as("g"))
+    val fb = feats.select(col("doc_id"), col("lang"), dsirBucket(col("g")).as("bucket"))
+    val bc = fb.groupBy(col("bucket")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    // model totals: O(1) driver scalars off the bucket aggregate
+    val tot = bc.agg(sum(col("cr")), sum(col("ct"))).head()
+    val (tr, tt) = (tot.getLong(0), tot.getLong(1))
+    val b = DsirBuckets
+    // identical term order to the oracle SQL: ln(ct+1) − ln(Tt+B) −
+    // ln(cr+1) + ln(Tr+B), left-associative in both engines
+    val w = bc.select(col("bucket"),
+      (log(col("ct") + 1) - log(lit((tt + b).toDouble)) -
+        log(col("cr") + 1) + log(lit((tr + b).toDouble))).as("w"))
+    fb.join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("w")), 6).as("dsir_logratio"))
+  }
+
+  def dsirSql(b: Int = DsirBuckets, target: String = DsirTargetLang): String = {
+    def hx(i: Int) = s"(strpos('0123456789abcdef', substr(md5(g), $i, 1)) - 1)"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents
+       |), feats AS (
+       |  SELECT doc_id, lang, unnest(ws) AS g FROM t
+       |  UNION ALL
+       |  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g
+       |  FROM t, unnest(range(1, len(ws))) AS u(i)
+       |), fb AS (
+       |  SELECT doc_id, lang,
+       |    ${hx(30)} * 256 + ${hx(31)} * 16 + ${hx(32)} AS bucket
+       |  FROM feats
+       |), bc AS (
+       |  SELECT bucket, count(*) AS cr,
+       |    sum(CASE WHEN lang = '$target' THEN 1 ELSE 0 END) AS ct
+       |  FROM fb GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(cr) AS tr, sum(ct) AS tt FROM bc
+       |), w AS (
+       |  SELECT bucket,
+       |    ln(ct + 1) - ln(tt + $b) - ln(cr + 1) + ln(tr + $b) AS w
+       |  FROM bc, tot
+       |)
+       |SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |  round(sum(w.w), 6) AS dsir_logratio
+       |FROM fb JOIN w USING (bucket)
+       |GROUP BY 1""".stripMargin
+  }
 }

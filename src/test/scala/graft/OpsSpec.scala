@@ -242,6 +242,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L))
   }
 
+  test("dsir weights rank target-like documents above off-target ones") {
+    import spark.implicits._
+    // target (en) docs draw from one vocabulary, off-target from another;
+    // a shared filler word keeps the models overlapping
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha gamma beta alpha shared"),
+      (2L, "en", "beta gamma alpha beta gamma shared alpha"),
+      (3L, "de", "delta epsilon delta zeta epsilon shared delta"),
+      (4L, "de", "zeta delta epsilon zeta shared epsilon zeta"),
+      // an en-vocab doc labeled de: content, not the label, must win
+      (5L, "de", "alpha beta gamma alpha beta shared gamma"))
+      .toDF("doc_id", "lang", "text")
+    val w = Corpus.dsir(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size == 5)
+    // every en-vocab doc (1, 2, 5) outscores every de-vocab doc (3, 4)
+    for (hi <- Seq(1L, 2L, 5L); lo <- Seq(3L, 4L))
+      assert(w(hi) > w(lo), s"doc $hi (${w(hi)}) !> doc $lo (${w(lo)})")
+    // feature count = unigrams + bigrams = 2n - 1
+    val nf = Corpus.dsir(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nf.values.toSet == Set(13L))
+  }
+
   test("stratified sample is deterministic and near its per-stratum fractions") {
     val s1 = Corpus.sampleStratified(spark, sf)
     val s2 = Corpus.sampleStratified(spark, sf)
