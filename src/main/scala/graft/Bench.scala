@@ -33,7 +33,7 @@ object Bench {
     "q6_forecast", "q18_large_orders",
     "topk_orders_per_cust", "sessionize", "events_hourly",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-    "dedup_clusters",
+    "dedup_clusters", "dedup_keep_best",
     "ann_topk", "ann_lsh", "ann_ivf",
     "ann_lsh_exhaustive", "ann_ivf_exhaustive",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",

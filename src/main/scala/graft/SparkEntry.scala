@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashBlocked(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     // --- similarity search (S1..S3) ---
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -168,6 +169,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashSql(),
     "dedup_embedding" -> Dedup.embeddingCosineSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
+    "dedup_keep_best" -> Dedup.keepBestSql(),
     "ann_topk" -> Similarity.annTopKSql(),
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),
     "ann_ivf_exhaustive" -> Similarity.annTopKSql(),

@@ -452,6 +452,78 @@ object Dedup {
        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
 
+  /** D7: quality-aware dedup resolution — the pipeline's actual end
+    * product: for every near-dup cluster (D6 components over the verified
+    * MinHash+LSH pair graph), keep the member with the highest T2 quality
+    * score (doc_id ascending breaks ties deterministically). "Dedup then
+    * keep the best copy" is the standard curation step — near-dup groups
+    * in web corpora differ in boilerplate and truncation, so keeping the
+    * canonical-id member instead of the best one leaks quality.
+    *
+    * Scale shape: reuses the memoized pair set (one LSH pipeline run per
+    * session shared with D3/D6), joins quality by doc_id, and resolves
+    * each cluster with one window over canonical_id — a single shuffle of
+    * (doc_id, quality) pairs.
+    */
+  def keepBest(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = clusters(spark, dir, threshold)
+    val q = TextAnalysis.quality(spark, dir).select(col("doc_id"), col("quality"))
+    val byCluster = Window.partitionBy(col("canonical_id"))
+    val best = byCluster.orderBy(col("quality").desc, col("doc_id").asc)
+    assign.join(q, Seq("doc_id"))
+      .select(col("canonical_id"), col("doc_id"), col("quality"),
+        row_number().over(best).as("rn"),
+        count(lit(1)).over(byCluster).as("n_members"))
+      .filter(col("rn") === 1)
+      .select(col("canonical_id"), col("doc_id").as("kept_doc_id"),
+        col("n_members"), col("quality").as("kept_quality"))
+  }
+
+  def keepBestSql(threshold: Double = 0.8): String = {
+    val stoplist = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE ${exactPairsCte(threshold)},
+       |pedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+       |),
+       |cc(id, lbl) AS (
+       |  SELECT src, src FROM pedges
+       |  UNION
+       |  SELECT e.dst, cc.lbl FROM cc JOIN pedges e ON cc.id = e.src
+       |),
+       |comp AS (SELECT id, min(lbl) AS component FROM cc GROUP BY id),
+       |assign AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+       |),
+       |qt AS (
+       |  SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE AS n_tok,
+       |    list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> length(x)))::DOUBLE AS sum_len,
+       |    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> x IN ($stoplist)))::DOUBLE AS n_stop
+       |  FROM documents
+       |),
+       |q AS (
+       |  SELECT doc_id,
+       |    round(least(n_tok / 100.0, 1.0) * 0.5 + (n_stop / n_tok) * 0.25
+       |      + least((sum_len / n_tok) / 10.0, 1.0) * 0.25, 6) AS quality
+       |  FROM qt
+       |),
+       |ranked AS (
+       |  SELECT a.canonical_id, a.doc_id, q.quality,
+       |    row_number() OVER (PARTITION BY a.canonical_id
+       |      ORDER BY q.quality DESC, a.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY a.canonical_id) AS n_members
+       |  FROM assign a JOIN q USING (doc_id)
+       |)
+       |SELECT canonical_id, doc_id AS kept_doc_id,
+       |  CAST(n_members AS BIGINT) AS n_members, quality AS kept_quality
+       |FROM ranked WHERE rn = 1""".stripMargin
+  }
+
   /** D5: embedding cosine near-dup pairs ≥ threshold. Brute-force all-pairs
     * (the scale path is `Similarity.annLsh` bucketing).
     */

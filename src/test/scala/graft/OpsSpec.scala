@@ -43,6 +43,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-best resolution keeps the max-quality member of every cluster") {
+    val kept = Dedup.keepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val assign = Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = TextAnalysis.quality(spark, sf).select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // one row per cluster; members sum to the corpus
+    val clusters = assign.values.toSet
+    assert(kept.map(_._1).toSet == clusters)
+    assert(kept.map(_._3).sum == assign.size)
+    kept.foreach { case (canon, doc, n, q) =>
+      val members = assign.collect { case (d, c) if c == canon => d }.toSeq
+      assert(members.contains(doc), "kept doc outside its cluster")
+      assert(n == members.size)
+      assert(q == quality(doc))
+      // max quality, doc_id tie-break
+      val best = members.map(d => (quality(d), d)).maxBy(t => (t._1, -t._2))
+      assert(doc == best._2,
+        s"cluster $canon kept $doc but best is ${best._2}")
+    }
+  }
+
   test("minhash+LSH survives a dup-heavy corpus without a candidate blowup") {
     // 1000 identical docs would otherwise meet in every band bucket and
     // push ~500k pairs through the shingle-verify join; the exact-dup
