@@ -31,7 +31,7 @@ object Bench {
     "graph_triangles", "rmat_gen", "rmat_actions",
     "q1_agg", "q3_revenue", "q5_nation_revenue",
     "q6_forecast", "q18_large_orders",
-    "topk_orders_per_cust", "sessionize", "events_hourly",
+    "topk_orders_per_cust", "sessionize", "events_hourly", "events_asof",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best",
     "ann_topk", "ann_lsh", "ann_ivf",

@@ -57,6 +57,7 @@ object SparkEntry {
     "topk_orders_per_cust" -> ((s, d) => Relational.topkOrdersPerCust(s, d)),
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
+    "events_asof" -> ((s, d) => Relational.purchaseAsOfClick(s, d)),
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "topk_orders_per_cust" -> Relational.topkSql,
     "sessionize" -> Relational.sessionizeSql,
     "events_hourly" -> Relational.eventsHourlySql,
+    "events_asof" -> Relational.asOfSql,
     "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),

@@ -228,4 +228,89 @@ object Relational {
        |  round(total_qty, 4) AS total_qty
        |FROM big JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** Generic distributed as-of join — for every left row, the latest right
+    * row with the same keys and `rightTs` ≤ `leftTs` (rows at the exact
+    * same instant match; ties among equal-ts right rows resolve to the
+    * largest `rightId`, so the result is deterministic — native engines'
+    * ASOF joins leave that unspecified).
+    *
+    * Spark has no native as-of join; the composition below is the
+    * scale-right distributed formulation: union both sides, ONE window
+    * per key ordered by (ts, side, id) carrying the last-seen right row
+    * forward — a single shuffle on the key columns, no per-row range
+    * probe, no range-condition join (which Spark would plan as a
+    * broadcast-nested-loop). O(n log n) in each partition's row count,
+    * streams at 100 TB exactly like sessionization.
+    *
+    * `right` must carry `on` ++ (rightTs, rightId); matched right columns
+    * come back as `<rightId>_asof`, `<rightTs>_asof` (NULL when no right
+    * row precedes the left row).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTs: String, rightTs: String, rightId: String): DataFrame = {
+    val keyCols = on.map(col)
+    val rStruct = struct(col(rightTs).as("ts"), col(rightId).as("id"))
+    // side 0 = right, 1 = left: at an equal timestamp the right row sorts
+    // first, so "at or before" includes the same instant
+    val r = right.select(keyCols :+ col(rightTs).as("__ts") :+
+      rStruct.as("__r") :+ col(rightId).as("__ord"): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__left", lit(null).cast(left.schema))
+    val l = left
+      .withColumn("__left", struct(left.columns.map(col): _*))
+      .select(keyCols :+ col(leftTs).as("__ts") :+
+        lit(null).cast(r.schema("__r").dataType).as("__r") :+
+        lit(0L).as("__ord") :+ lit(1).as("__side") :+ col("__left"): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__ord").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__left.*") +:
+        Seq(col("__m.id").as(s"${rightId}_asof"),
+          col("__m.ts").as(s"${rightTs}_asof")): _*)
+  }
+
+  /** R9: as-of join query — every purchase matched to the same user's
+    * latest click at or before it, with the gap in microseconds.
+    */
+  def purchaseAsOfClick(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_ts_us"))
+    val clicks = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    asOfJoin(purchases, clicks, Seq("user_id"), "purchase_ts_us", "ts_us", "event_id")
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts_us"),
+        col("event_id_asof").as("click_id"),
+        col("ts_us_asof").as("click_ts_us"),
+        (col("purchase_ts_us") - col("ts_us_asof")).as("gap_us"))
+  }
+
+  val asOfSql: String =
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, 0 AS side
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, 1 AS side
+      |  FROM events WHERE event_type = 'purchase'
+      |), w AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      |      OVER win AS click_id,
+      |    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+      |      OVER win AS click_ts_us
+      |  FROM u
+      |  WINDOW win AS (PARTITION BY user_id
+      |    ORDER BY ts_us ASC, side ASC, CASE WHEN side = 0 THEN event_id ELSE 0 END ASC
+      |    ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+      |  click_id, click_ts_us, ts_us - click_ts_us AS gap_us
+      |FROM w WHERE side = 1""".stripMargin
 }

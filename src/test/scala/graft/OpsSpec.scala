@@ -265,6 +265,50 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L))
   }
 
+  test("as-of join matches latest at-or-before right row with deterministic ties") {
+    import spark.implicits._
+    val clicks = Seq(
+      (10L, 1L, 100L), (11L, 1L, 200L),
+      // same-user same-instant clicks: largest event_id must win
+      (20L, 2L, 500L), (21L, 2L, 500L))
+      .toDF("event_id", "user_id", "ts_us")
+    val purchases = Seq(
+      (90L, 1L, 50L),   // before any click → no match
+      (91L, 1L, 150L),  // between clicks → click 10
+      (92L, 1L, 200L),  // same instant as click 11 → matches it
+      (93L, 2L, 600L),  // after the tied clicks → larger id (21)
+      (94L, 3L, 999L))  // user with no clicks at all
+      .toDF("purchase_id", "user_id", "purchase_ts_us")
+    val out = Relational.asOfJoin(purchases, clicks, Seq("user_id"),
+        "purchase_ts_us", "ts_us", "event_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4))))).toMap
+    assert(out(90L).isEmpty)
+    assert(out(91L).contains((10L, 100L)))
+    assert(out(92L).contains((11L, 200L)))
+    assert(out(93L).contains((21L, 500L)))
+    assert(out(94L).isEmpty)
+  }
+
+  test("purchase-asof-click agrees with a per-row max lookup on real events") {
+    val p = Relational.purchaseAsOfClick(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(p.size == purchases.length)
+    purchases.foreach { case (pid, u, _, pts) =>
+      val cands = clicks.filter(c => c._2 == u && c._4 <= pts)
+      val want = if (cands.isEmpty) None
+        else Some(cands.maxBy(c => (c._4, c._1))._1)
+      assert(p(pid) == want, s"purchase $pid: got ${p(pid)}, want $want")
+    }
+  }
+
   test("dsir weights rank target-like documents above off-target ones") {
     import spark.implicits._
     // target (en) docs draw from one vocabulary, off-target from another;
