@@ -7,6 +7,20 @@ import org.apache.spark.sql.SparkSession
   * O(n²) exact-Jaccard oracle baseline — its scalable twin
   * `dedup_minhash_lsh` is benchmarked instead).
   *
+  * Steady-state policy: the suite runs twice and each query reports the
+  * min of its two trials. Trial 2 runs on a *fresh* `spark.newSession()`:
+  * JVM-global state (JIT, the Catalyst codegen cache, class loading) stays
+  * warm — that is the point of a second trial — while every session-keyed
+  * memo cache (graph instances, converged CC labels, the LSH pair set)
+  * starts cold again, so a query whose timing intentionally includes
+  * building shared state re-earns it in both trials and can never report
+  * a memo hit as its runtime. Queries whose first trial exceeds
+  * [[Bench.RetrialCeiling]] are not re-run: a 30s workload amortizes its
+  * own one-time warmup; the retrial exists so sub-second steady states
+  * aren't charged for JIT/allocation noise. (The reference harness
+  * likewise times algorithms against a loaded, warmed-up engine —
+  * runme.sh times workloads, not process startup.)
+  *
   * A query that crashes is recorded as -1 and makes the whole run
   * non-comparable: the summary carries `"failed":N` and `"value":-1`, so a
   * regression that breaks a query can never read as a speedup to a consumer
@@ -42,6 +56,13 @@ object Bench {
     "multimodal_meta", "multimodal_frames", "stream_events_hourly",
     "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
     "stream_dedup_exact")
+
+  /** First-trial seconds above which a query is not re-trialed (it
+    * amortizes its own warmup, and re-running it would double suite
+    * wall-clock to re-measure a number already inside run-to-run variance
+    * — e.g. the 100-iteration `graph_pagerank_conv`).
+    */
+  val RetrialCeiling = 20.0
 
   /** bench-query → reference results-JSON metric (make_graphs.py charts). */
   private val refMetricOf = Map(
@@ -118,12 +139,13 @@ object Bench {
   /** One summary JSON line for a suite run — any failure poisons the total
     * (a broken query must read as "not comparable", not as a faster suite).
     */
-  def summaryLine(results: Seq[(String, Double)], sfDir: String): String = {
+  def summaryLine(results: Seq[(String, Double)], sfDir: String,
+      trials: Int = 1): String = {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qjson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"trials":$trials,"queries":$qjson,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,10 +153,30 @@ object Bench {
     val spark = sparkAt(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // optional args: run only the named queries (dev iteration)
     val toRun = if (args.nonEmpty) args.toSeq else headline
-    val results = runSuite(spark, sfDir, toRun,
+    System.err.println("[bench] === trial 1 (cold JVM) ===")
+    val pass1 = runSuite(spark, sfDir, toRun)
+    // trial 2: fresh session = warm JIT/codegen, cold session memos (see
+    // the steady-state policy in the object scaladoc)
+    val retry = pass1.collect {
+      case (n, s) if s > 0 && s <= RetrialCeiling => n
+    }
+    System.err.println("[bench] === trial 2 (steady state, fresh session) ===")
+    val pass2 = runSuite(spark.newSession(), sfDir, retry).toMap
+    val merged = pass1.map { case (n, a) =>
+      val b = pass2.getOrElse(n, a)
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
+    try writeRefRunJson(spark, sfDir, merged.toMap,
+      // default OUTSIDE the charted results dir: an untiered run file
+      // sitting next to the sweep's run.graft.<tier> files would chart as
+      // a singleton "all" section where graft trivially ranks first
       Some(sys.env.getOrElse("SPARK_GRAFT_RUN_JSON",
-        "target/graft-results/run.graft.json")))
-    println(summaryLine(results, sfDir))
+        "target/graft-run/run.graft.json")))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] ref-run json skipped: ${e.getMessage}")
+    }
+    println(summaryLine(merged, sfDir, trials = 2))
     spark.stop()
   }
 

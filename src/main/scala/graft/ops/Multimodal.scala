@@ -39,6 +39,12 @@ object Multimodal {
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
       (p(0) == 'B' && p(1) == 'M'))
 
+  // ImageIO's default disk cache writes a temp file per decoded stream —
+  // pure filesystem churn for ByteArrayInputStream sources, which need no
+  // cache at all. JVM-global, set once when this object first loads on an
+  // executor (i.e. before any decode call).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image decode via JDK ImageIO: (width, height, channels) from the
     * actual pixel raster, or None when the payload is not a decodable
     * image.

@@ -249,6 +249,12 @@ object Relational {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTs: String, rightTs: String, rightId: String): DataFrame = {
+    // the composition stages rows through internal __-prefixed columns; an
+    // input already using one would be silently clobbered
+    val reserved = Set("__ts", "__side", "__ord", "__r", "__left", "__m")
+    val clashes = (left.columns ++ right.columns).filter(reserved)
+    require(clashes.isEmpty,
+      s"asOfJoin inputs must not contain reserved columns: ${clashes.mkString(", ")}")
     val keyCols = on.map(col)
     val rStruct = struct(col(rightTs).as("ts"), col(rightId).as("id"))
     // side 0 = right, 1 = left: at an equal timestamp the right row sorts
@@ -261,7 +267,11 @@ object Relational {
       .withColumn("__left", struct(left.columns.map(col): _*))
       .select(keyCols :+ col(leftTs).as("__ts") :+
         lit(null).cast(r.schema("__r").dataType).as("__r") :+
-        lit(0L).as("__ord") :+ lit(1).as("__side") :+ col("__left"): _*)
+        // typed to the right side's id so the union doesn't fail (string
+        // ids) or silently widen (decimal ids); the value itself only
+        // orders left rows among themselves, which is irrelevant
+        lit(null).cast(right.schema(rightId).dataType).as("__ord") :+
+        lit(1).as("__side") :+ col("__left"): _*)
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__ord").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

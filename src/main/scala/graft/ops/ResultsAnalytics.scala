@@ -77,11 +77,14 @@ object ResultsAnalytics {
 
   /** Run-size tier from the results-file name (the reference names runs
     * `<ts>.<engine>.<tier>`; graft's sweep writes `run.graft.<tier>`).
-    * Untiered files chart as "all".
+    * Untiered files get a null tier and are excluded from the per-tier
+    * comparison: a run at an unknown size would chart as a singleton
+    * section where its package trivially ranks first against nobody (they
+    * still count in the tier-blind [[summary]]).
     */
   def tierOf(file: Column): Column = {
     val t = regexp_extract(file, "\\.(tiny|small|medium|large)(\\.fail)?$", 1)
-    when(t === "", lit("all")).otherwise(t)
+    when(t === "", lit(null)).otherwise(t)
   }
 
   /** Chart-shaped summary: per (tier, metric), packages ranked best-first
@@ -92,6 +95,7 @@ object ResultsAnalytics {
     import org.apache.spark.sql.expressions.Window
     val m = metrics(load(spark, dir))
       .withColumn("tier", tierOf(col("file")))
+      .filter(col("tier").isNotNull)
       // zero timings are "not measured" placeholders (e.g. the *-NA runs)
       .filter(col("value") > 0.0)
       .groupBy(col("tier"), col("metric"), col("package"))
@@ -143,7 +147,7 @@ object ResultsAnalytics {
     "update" -> "Update Rate (edges/s)",
     "mem" -> "Memory Usage (KB)")
 
-  private val tierOrder = Seq("tiny", "small", "medium", "large", "all")
+  private val tierOrder = Seq("tiny", "small", "medium", "large")
 
   /** Self-contained HTML bar charts — the make_graphs.py output
     * re-expressed without external JS (inline SVG, log-free linear bars

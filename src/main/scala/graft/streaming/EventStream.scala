@@ -137,7 +137,8 @@ object EventStream extends Serializable {
   /** X1: windowed aggregation over events as a stream, returned as a batch
     * DataFrame once the AvailableNow run completes.
     */
-  def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+  def eventsHourly(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = statePartitionSession(spark0, 8)
     // raw (unnormalized) schema: the file carries ts as long nanos under
     // spark.sql.legacy.parquet.nanosAsLong; normalize after readStream.
     val schema = Tables.load(spark, dir, "events").schema
@@ -153,15 +154,13 @@ object EventStream extends Serializable {
       .select(col("hour"), col("event_type"), col("n"),
         round(col("sv"), 4).as("sum_value"))
     val name = s"graft_stream_hourly_${nameCounter.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     spark.table(name)
   }
 
@@ -260,19 +259,20 @@ object EventStream extends Serializable {
   final case class EvT(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
       value: Double)
 
-  /** Run `body` with a temporarily lowered shuffle-partition count: a
-    * stateful micro-batch query instantiates one state store per shuffle
-    * partition per batch, so fixture-scale key counts drown in scheduler
-    * overhead at the session's full width. The partition count is baked
-    * into each query's (fresh, temporary) checkpoint at start, so scoping
-    * the conf around `start()` is safe; production streams with real key
-    * cardinality simply keep the session default.
+  /** A child session with a lowered shuffle-partition count for a stateful
+    * micro-batch query: a streaming aggregation instantiates one state
+    * store per shuffle partition per batch, so fixture-scale key counts
+    * drown in scheduler overhead at the session's full width. The child
+    * shares the SparkContext (same executors, same JVM-wide codegen cache)
+    * but owns its SQLConf, so the override cannot leak into concurrent
+    * batch queries on the caller's session — the conf is never mutated,
+    * only copied. Production streams with real key cardinality simply
+    * keep the parent session's default.
     */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+  private def statePartitionSession(spark: SparkSession, n: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s
   }
 
   /** X3 (production shape): streaming sessionization where the final open
@@ -288,8 +288,9 @@ object EventStream extends Serializable {
     * and is filtered from the result. Output equals batch
     * `Relational.sessionize` exactly.
     */
-  def sessionizeEventTime(spark: SparkSession, dir: String,
+  def sessionizeEventTime(spark0: SparkSession, dir: String,
       batches: Int = 4): DataFrame = {
+    val spark = statePartitionSession(spark0, 8)
     import spark.implicits._
     val events = graft.core.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
@@ -334,14 +335,12 @@ object EventStream extends Serializable {
         .withWatermark("ts", "0 seconds")
         .as[EvT]
       val name = s"graft_sessions_et_${nameCounter.incrementAndGet()}"
-      withStatePartitions(spark, 8) {
-        val q = stream.groupByKey(_.user_id)
-          .flatMapGroupsWithState(OutputMode.Append(),
-            GroupStateTimeout.EventTimeTimeout())(handle)
-          .writeStream.outputMode("append").format("memory").queryName(name)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
+      val q = stream.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout())(handle)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
       spark.table(name).filter(col("user_id") >= 0L)
         .select(col("user_id"), col("session_seq"), col("n_events"),
           round(col("sum_value"), 4).as("sum_value"))
@@ -382,8 +381,9 @@ object EventStream extends Serializable {
     * equals the batch hourly aggregation exactly (the sentinel's own
     * window never finalizes, and is filtered regardless).
     */
-  def eventsHourlyWatermarkedFinal(spark: SparkSession, dir: String,
+  def eventsHourlyWatermarkedFinal(spark0: SparkSession, dir: String,
       batches: Int = 4): DataFrame = {
+    val spark = statePartitionSession(spark0, 8)
     import spark.implicits._
     val events = graft.core.Tables.events(spark, dir)
       .select(col("ts"), unix_micros(col("ts")).as("ts_us"),
@@ -408,11 +408,9 @@ object EventStream extends Serializable {
         .select(unix_timestamp(col("window.start")).as("hour"),
           col("event_type"), col("n"), col("sum_value"))
       val name = s"graft_wm_final_${nameCounter.incrementAndGet()}"
-      withStatePartitions(spark, 8) {
-        val q = agg.writeStream.outputMode("append").format("memory")
-          .queryName(name).trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(name).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
       spark.table(name).filter(col("event_type") =!= "__sentinel")
     }
   }
@@ -423,7 +421,8 @@ object EventStream extends Serializable {
     * once the AvailableNow run drains; with a Kafka source this is the
     * continuously-maintained dedup index of an ingest pipeline.
     */
-  def dedupExactStream(spark: SparkSession, dir: String): DataFrame = {
+  def dedupExactStream(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = statePartitionSession(spark0, 8)
     val schema = Tables.load(spark, dir, "documents").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -431,15 +430,13 @@ object EventStream extends Serializable {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     val name = s"graft_stream_dedup_${nameCounter.incrementAndGet()}"
-    withStatePartitions(spark, 8) {
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     spark.table(name)
   }
 
