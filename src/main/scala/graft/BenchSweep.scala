@@ -4,37 +4,49 @@ package graft
   * tiny/small/medium/large and make_graphs.py charts the per-tier series —
   * the scaling *slope* is the comparison, not one point).
   *
-  * Runs the full headline suite once per SF tier in a single session,
-  * prints one summary JSON line per tier, and writes one reference-format
-  * run file per tier named like the reference's results files
-  * (`run.graft.<tier>`) so [[graft.ops.ResultsAnalytics]] charts graft
-  * next to each engine at every tier it has data for.
+  * Two kinds of tier:
   *
-  * Tier mapping is by nearest reference graph size: sf0.01 builds
-  * nv≈1.6k/ne≈49k (ref tiny: 1k/14k), sf0.1 builds nv≈16k/ne≈587k
-  * (ref small: 33k/504k).
+  *  - `dir=tier` runs the full headline suite against that SF dir and
+  *    prints its summary JSON line — the cross-SF scaling signal for the
+  *    whole operator surface (TPC-H tables, documents, events).
+  *  - `rmat:<tier>` runs [[RmatTier]]: the reference's OWN benchmark graph
+  *    at that tier's published SCALE (tiny=2^10 … medium=2^20 vertices,
+  *    edge factor 8) through the five reference workloads, and writes the
+  *    reference-format run file `run.graft.<tier>` that
+  *    [[graft.ops.ResultsAnalytics]] charts next to each engine. Only
+  *    R-MAT tiers write run files: they are the same graphs the reference
+  *    engines ran, so the per-tier chart is a same-workload comparison
+  *    (the earlier nearest-size mapping of SF dirs onto tiers is retired).
   *
-  * Args: `dir=tier` pairs (default `/root/testdata/sf0.01=tiny
-  * /root/testdata/sf0.1=small`); optional trailing `charts=<out.html>`
-  * renders the combined reference+graft chart set afterwards.
+  * Default: sf0.01 + sf0.1 headline sweeps, then R-MAT tiny/small/medium.
+  * Optional trailing `charts=<out.html>` renders the combined
+  * reference+graft chart set afterwards.
   */
 object BenchSweep {
   def main(args: Array[String]): Unit = {
     val (chartArgs, tierArgs) = args.partition(_.startsWith("charts="))
     val tiers: Seq[(String, String)] =
       if (tierArgs.nonEmpty) tierArgs.toSeq.map { a =>
-        val Array(d, t) = a.split("=", 2); (d, t)
+        a.split("=", 2) match {
+          case Array(d, t) => (d, t)
+          case Array(d) => (d, d.stripPrefix("rmat:"))
+        }
       }
-      else Seq("/root/testdata/sf0.01" -> "tiny",
-        "/root/testdata/sf0.1" -> "small")
+      else Seq("/root/testdata/sf0.01" -> "sf0.01",
+        "/root/testdata/sf0.1" -> "sf0.1",
+        "rmat:tiny" -> "tiny", "rmat:small" -> "small",
+        "rmat:medium" -> "medium")
     val spark = Bench.sparkAt(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val outDir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_RESULTS_DIR", "target/graft-results"))
     java.nio.file.Files.createDirectories(outDir)
     val lines = tiers.map { case (dir, tier) =>
       System.err.println(s"[bench] === tier $tier ($dir) ===")
-      val results = Bench.runSuite(spark, dir, Bench.headline,
-        Some(outDir.resolve(s"run.graft.$tier").toString))
+      val results =
+        if (dir.startsWith("rmat:"))
+          RmatTier.run(spark, tier, "target/graft-data",
+            Some(outDir.resolve(s"run.graft.$tier").toString))
+        else Bench.runSuite(spark, dir, Bench.headline, runJson = None)
       Bench.summaryLine(results, dir)
     }
     lines.foreach(println)
