@@ -27,27 +27,20 @@ object RMat {
     (pmod(xxhash64(lit(p.seed), idc, lit(salt)), lit(1L << 40)).cast("double")
       / lit((1L << 40).toDouble))
 
-  /** One R-MAT (src, dst) draw for the given id column; `saltBase` keeps
-    * independent draws (edge generation vs. per-attempt action inserts) in
-    * disjoint hash streams.
+  /** (src, dst) edge table with nv*edgeFactor rows. The draw chain runs in
+    * the [[graft.functions.RmatImpl]] codegen kernel: as one inlined
+    * Column expression it is `scale` chained hashes per edge, which
+    * overflows Janino's 64 KB method limit past SCALE ~19 and drops the
+    * scan to interpreted eval; the kernel is one call in the generated
+    * code at any SCALE. Bit-identical to the Column formulation the
+    * DuckDB oracle emulates.
     */
-  private def rmatPair(p: Params, idc: Column, saltBase: Long): (Column, Column) = {
-    val zero = (lit(0L), lit(0L))
-    (0 until p.scale).foldLeft(zero) { case ((s, t), k) =>
-      val r = u01(p, idc, saltBase + k)
-      // quadrant: A=(0,0) B=(0,1) C=(1,0) D=(1,1) with P = a,b,c,d
-      val srcBit = when(r >= p.a + p.b, 1L).otherwise(0L)
-      val dstBit = when((r >= p.a && r < p.a + p.b) || r >= p.a + p.b + p.c, 1L)
-        .otherwise(0L)
-      (s + (srcBit * (1L << k)), t + (dstBit * (1L << k)))
-    }
-  }
-
-  /** (src, dst) edge table with nv*edgeFactor rows. */
   def edges(spark: SparkSession, p: Params): DataFrame = {
     val ne = (1L << p.scale) * p.edgeFactor
-    val (srcCol, dstCol) = rmatPair(p, col("id"), 0L)
-    spark.range(ne).select(srcCol.as("src"), dstCol.as("dst"))
+    val pr = graft.functions.RmatKernels.rmatPair(
+      col("id"), p.scale, 0L, p.seed, p.a, p.b, p.c)
+    spark.range(ne).select(pr.as("p"))
+      .select(col("p").getItem(0).as("src"), col("p").getItem(1).as("dst"))
   }
 
   /** Weighted graph: multiplicities collapsed, like the CSR the reference
@@ -170,14 +163,9 @@ object RMat {
     * vanishing-probability fallback flips the low dst bit.
     */
   private def insertEdge(p: Params, idc: Column): (Column, Column) = {
-    val attempts = (0 until InsertAttempts).map { a =>
-      val (s, t) = rmatPair(p, idc, InsertSalt + a.toLong * p.scale)
-      when(s =!= t, struct(s.as("src"), t.as("dst")))
-    }
-    val (s0, t0) = rmatPair(p, idc, InsertSalt)
-    val chosen = coalesce(
-      attempts :+ struct(s0.as("src"), t0.bitwiseXOR(lit(1L)).as("dst")): _*)
-    (chosen.getField("src"), chosen.getField("dst"))
+    val pr = graft.functions.RmatKernels.rmatInsertPair(
+      idc, p.scale, p.seed, p.a, p.b, p.c, InsertSalt, InsertAttempts)
+    (pr.getItem(0), pr.getItem(1))
   }
 
   /** R-MAT action stream — the Spark re-expression of the reference's
@@ -213,13 +201,10 @@ object RMat {
     val (insSrc, insDst) = insertEdge(p, id)
     // delete target: first accepted draw among InsertAttempts tries —
     // accepted = a base-graph edge, or an earlier action that inserted
-    val picks = (0 until InsertAttempts).map { a =>
-      val pick = floor(u01(p, id, DeleteSalt + a) *
-        (lit(ne.toDouble) + id.cast("double"))).cast("long")
-      when(pick < ne || !isDeleteCoin(p, pDelete, pick - ne), pick)
-    }
-    val pick = coalesce(picks :+ pmod(xxhash64(lit(p.seed), id,
-      lit(DeleteSalt + 99L)), lit(math.max(ne, 1L))): _*)
+    // (codegen kernel: inlined, the attempt cascade re-expands every draw
+    // per branch and overflows the 64 KB generated-method limit)
+    val pick = graft.functions.RmatKernels.rmatDeletePick(
+      id, ne, p.seed, DeleteSalt, IsDelSalt, pDelete, InsertAttempts)
     val acts = spark.range(na).select(id.as("action_id"), isDel.as("is_del"),
       insSrc.as("ins_src"), insDst.as("ins_dst"), pick.as("pick"))
     val inserts = acts.filter(!col("is_del"))
