@@ -45,6 +45,8 @@ object SparkEntry {
     "graph_update_sssp" -> ((s, d) =>
       ShortestPaths.fromMinVertex(EdgeUpdates.updatedGraph(s, d))),
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
+    "graph_triangles_scale" -> ((s, d) =>
+      Triangles.orientedCount(Triangles.partCoOrderEdges(s, d))),
     "rmat_gen" -> ((s, _) => RMat.graph(s, RMat.Params(scale = 10)).edges),
     "rmat_actions" -> ((s, _) =>
       RMat.actions(s, RMat.Params(scale = 10), na = 20000L)),
@@ -153,6 +155,7 @@ object SparkEntry {
       PageRank.unrolledSql(5, EdgeUpdates.updatedUndirectedCte),
     "graph_update_sssp" -> EdgeUpdates.updatedSsspSql,
     "graph_triangles" -> Triangles.nationTrianglesSql,
+    "graph_triangles_scale" -> Triangles.partTrianglesSql,
     "rmat_gen" -> RMat.unrolledSql(RMat.Params(scale = 10)),
     "rmat_actions" -> RMat.actionsUnrolledSql(RMat.Params(scale = 10), na = 20000L),
     "q1_agg" -> Relational.q1Sql,

@@ -132,6 +132,19 @@ class GraphSpec extends AnyFunSuite {
     assert(n == 50L)
   }
 
+  test("oriented triangle count equals the unoriented count") {
+    // the clique fixture (known answer) …
+    val ne = Triangles.nationEdges(spark, TestSpark.sfTiny)
+    assert(Triangles.orientedCount(ne).head().getLong(0) == 50L)
+    // … and the SF-scaling part co-occurrence graph: the orientation must
+    // not change the count, only the wedge-candidate bound
+    val pe = Triangles.partCoOrderEdges(spark, TestSpark.sfTiny)
+    val unoriented = Triangles.count(pe).head().getLong(0)
+    val oriented = Triangles.orientedCount(pe).head().getLong(0)
+    assert(oriented == unoriented && oriented > 0,
+      s"oriented=$oriented unoriented=$unoriented")
+  }
+
   test("graph algorithms are total on the empty graph") {
     import spark.implicits._
     val g = Graph(Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight"))
