@@ -138,14 +138,31 @@ object Bench {
 
   /** One summary JSON line for a suite run — any failure poisons the total
     * (a broken query must read as "not comparable", not as a faster suite).
+    * `recall` publishes the ANN operating points' quality next to their
+    * runtimes (an ANN row without its recall is not a comparable number).
     */
   def summaryLine(results: Seq[(String, Double)], sfDir: String,
-      trials: Int = 1): String = {
+      trials: Int = 1, recall: Map[String, Double] = Map.empty): String = {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"trials":$trials,"queries":$qjson,"sf":"$sfDir"}"""
+    val rjson = if (recall.isEmpty) "" else
+      recall.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString(""","recall":{""", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"trials":$trials$rjson,"queries":$qjson,"sf":"$sfDir"}"""
+  }
+
+  /** recall@5 of the benched ANN operating points vs the exact baseline,
+    * computed once per run (outside the timers) and reported in stderr and
+    * the summary JSON.
+    */
+  def annRecall(spark: SparkSession, sfDir: String): Map[String, Double] = {
+    import graft.ops.Similarity
+    val exact = Similarity.annTopK(spark, sfDir).localCheckpoint(true)
+    Map(
+      "ann_lsh" -> Similarity.recallAtK(exact, Similarity.annLsh(spark, sfDir)),
+      "ann_ivf" -> Similarity.recallAtK(exact, Similarity.annIvf(spark, sfDir)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -176,7 +193,19 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] ref-run json skipped: ${e.getMessage}")
     }
-    println(summaryLine(merged, sfDir, trials = 2))
+    val recall = try {
+      val r = if (toRun.exists(Set("ann_lsh", "ann_ivf")))
+        annRecall(spark, sfDir) else Map.empty[String, Double]
+      r.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        System.err.println(f"[bench] recall@5 $k%-18s $v%.3f")
+      }
+      r
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] recall skipped: ${e.getMessage}")
+        Map.empty[String, Double]
+    }
+    println(summaryLine(merged, sfDir, trials = 2, recall = recall))
     spark.stop()
   }
 

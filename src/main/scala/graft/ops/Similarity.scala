@@ -63,11 +63,23 @@ object Similarity {
     * each query touches ~(probes/2^nBits) of the corpus; bucket assignment
     * is a deterministic, codegen'd projection (hyperplanes seeded
     * scala.util.Random — reproducible). Recall vs `annTopK` is
-    * property-tested; no SQL oracle (approximate by design).
+    * property-tested and published per bench run; no SQL oracle
+    * (approximate by design).
+    *
+    * Default operating point: picked off the measured recall/scan curve
+    * ([[graft.tools.ProfileAnn]]) to clear recall@5 ≥ 0.9 on the driver
+    * embeddings. Those embeddings are ISOTROPIC (mean pair cosine ≈ 0,
+    * top-5 ≈ 0.29), and on isotropic data any partition index's recall ≈
+    * its scanned fraction — so the 0.9 bar forces a wide scan here
+    * (nBits=4, probe radius 3 ⇒ ~94%). On a real, clustered embedding
+    * corpus the same pipeline holds 0.9 recall at small scan fractions —
+    * the curve, not the pipeline, is data-determined (hyperplane agreement
+    * probability is 1 − θ/π per bit: ≈0.9 for a cos-0.95 near-duplicate
+    * vs ≈0.6 for this corpus's cos-0.3 "nearest" noise).
     */
   def annLsh(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 20,
-      nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
-      probeHamming: Int = 1): DataFrame = {
+      nBits: Int = 4, dim: Int = 64, seed: Long = 42L,
+      probeHamming: Int = 3): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] =
       Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
@@ -100,16 +112,37 @@ object Similarity {
         round(col("c"), 6).as("cos"), col("rank"))
   }
 
+  /** Recall of an approximate top-k result against the exact one: the
+    * fraction of true (query, neighbor) pairs the ANN method recovered,
+    * averaged over queries. The operating-point quality number every ANN
+    * bench row must publish alongside its runtime — a fast index with
+    * silent recall loss is not a faster query.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
+    val pairs = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = pairs.join(approx.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id")).count()
+    val total = pairs.count()
+    if (total == 0) 1.0 else hits.toDouble / total
+  }
+
   /** S3: IVF-style ANN — a k-means coarse quantizer (MLlib, trained on a
     * bounded sample) partitions the corpus into nLists inverted lists; each
     * query scores only its nProbe nearest lists. The second classic scale
     * path next to hyperplane LSH: each query touches ~nProbe/nLists of the
     * corpus, and the list assignment is one broadcast-join against the
-    * centroid table. Recall vs `annTopK` is property-tested; no SQL oracle
-    * (approximate by design, and k-means is iterative).
+    * centroid table. Recall vs `annTopK` is property-tested and published
+    * per bench run; no SQL oracle (approximate by design, and k-means is
+    * iterative).
+    *
+    * Default nProbe: the measured recall@5-≥-0.9 operating point on the
+    * driver's isotropic embeddings (nProbe=10/16 ⇒ 62% scanned, recall
+    * 0.92–0.97 across SFs — see the isotropy caveat on [[annLsh]]; IVF
+    * sits above the recall=scan diagonal even on isotropic data because
+    * k-means cells retain mild locality in 64-dim).
     */
   def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 20,
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      nLists: Int = 16, nProbe: Int = 10, seed: Long = 42L,
       trainSample: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector

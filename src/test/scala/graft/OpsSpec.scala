@@ -210,6 +210,16 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("published ANN operating points clear recall@5 >= 0.9") {
+    // the defaults are what the bench rows run and what the bench summary
+    // JSON publishes — the quality bar lives here, next to the runtime
+    val exact = Similarity.annTopK(spark, sf)
+    val rl = Similarity.recallAtK(exact, Similarity.annLsh(spark, sf))
+    val ri = Similarity.recallAtK(exact, Similarity.annIvf(spark, sf))
+    assert(rl >= 0.9, s"ann_lsh recall@5 $rl < 0.9")
+    assert(ri >= 0.9, s"ann_ivf recall@5 $ri < 0.9")
+  }
+
   test("ann_ivf: probing all lists equals brute force, fewer probes keep recall") {
     val exact = Similarity.annTopK(spark, sf, k = 3, nQueries = 10)
     // nProbe = nLists degenerates to brute force over all lists
