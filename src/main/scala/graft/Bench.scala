@@ -52,10 +52,11 @@ object Bench {
     "ann_lsh_exhaustive", "ann_ivf_exhaustive",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",
-    "corpus_decontaminate", "corpus_sample", "corpus_dsir", "stats_profile",
+    "corpus_decontaminate", "corpus_sample", "corpus_dsir", "corpus_pack",
+    "corpus_curate", "stats_profile",
     "multimodal_meta", "multimodal_frames", "stream_events_hourly",
     "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
-    "stream_dedup_exact")
+    "stream_dedup_exact", "stream_degrees_incremental")
 
   /** First-trial seconds above which a query is not re-trialed (it
     * amortizes its own warmup, and re-running it would double suite

@@ -89,6 +89,8 @@ object SparkEntry {
     // --- corpus curation (T8..T10) ---
     "corpus_decontaminate" -> ((s, d) => Corpus.decontaminateQuery(s, d)),
     "corpus_sample" -> ((s, d) => Corpus.sampleStratified(s, d)),
+    "corpus_pack" -> ((s, d) => Pack.chunks(s, d)),
+    "corpus_curate" -> ((s, d) => Pack.curate(s, d)),
     "stats_profile" -> ((s, d) => Corpus.numericProfile(s, d)),
     // --- multimodal (M1) ---
     "multimodal_meta" -> ((s, d) => Multimodal.extractMeta(s, d)),
@@ -99,7 +101,9 @@ object SparkEntry {
     "stream_sessionize" -> ((s, d) => EventStream.sessionizeEventTime(s, d)),
     "stream_hourly_watermarked" -> ((s, d) =>
       EventStream.eventsHourlyWatermarkedFinal(s, d)),
-    "stream_dedup_exact" -> ((s, d) => EventStream.dedupExactStream(s, d)))
+    "stream_dedup_exact" -> ((s, d) => EventStream.dedupExactStream(s, d)),
+    "stream_degrees_incremental" -> ((s, d) =>
+      EventStream.incrementalDegreesStream(s, d)))
 
   /** DuckDB-equivalent SQL per query key (same column names, types, and
     * rounding as the Spark result — the driver hash-compares).
@@ -189,6 +193,8 @@ object SparkEntry {
     "corpus_dsir" -> Corpus.dsirSql(),
     "corpus_decontaminate" -> Corpus.decontaminateSql(),
     "corpus_sample" -> Corpus.sampleStratifiedSql,
+    "corpus_pack" -> Pack.chunksSql(),
+    "corpus_curate" -> Pack.curateSql(),
     "stats_profile" -> Corpus.numericProfileSql,
     "multimodal_meta" -> Multimodal.extractMetaSql,
     "multimodal_frames" -> Multimodal.sampleFramesSql,
@@ -196,5 +202,6 @@ object SparkEntry {
     "stream_graph_updates" -> EdgeUpdates.updatedEdgesSql,
     "stream_sessionize" -> Relational.sessionizeSql,
     "stream_hourly_watermarked" -> EventStream.eventsHourlySql,
-    "stream_dedup_exact" -> Dedup.exactSql)
+    "stream_dedup_exact" -> Dedup.exactSql,
+    "stream_degrees_incremental" -> EdgeUpdates.updatedDegreesSql)
 }

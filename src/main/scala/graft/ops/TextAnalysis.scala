@@ -37,7 +37,24 @@ object TextAnalysis {
     * matches bit-for-bit (after rounding).
     */
   def quality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    val q = qualityExprs(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      q.nTok.cast("long").as("n_tokens"),
+      round(q.avgLen, 6).as("avg_token_len"),
+      round(q.stopRatio, 6).as("stopword_ratio"),
+      round(q.score, 6).as("quality"))
+  }
+
+  /** The T2 column bundle, shared with the curation pipeline (Pack.curate)
+    * so both produce bit-identical scores.
+    */
+  case class QualityExprs(nTok: Column, avgLen: Column, stopRatio: Column,
+      score: Column)
+
+  def qualityExprs(text: Column): QualityExprs = {
+    val toks = tokens(text)
     val nTok = size(toks).cast("double")
     val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
       lit(0L), (acc, x) => acc + x).cast("double")
@@ -46,13 +63,7 @@ object TextAnalysis {
     val stopRatio = nStop / nTok
     val score = least(nTok / 100.0, lit(1.0)) * 0.5 +
       stopRatio * 0.25 + least(avgLen / lit(10.0), lit(1.0)) * 0.25
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      nTok.cast("long").as("n_tokens"),
-      round(avgLen, 6).as("avg_token_len"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(score, 6).as("quality"))
+    QualityExprs(nTok, avgLen, stopRatio, score)
   }
 
   val qualitySql: String = {

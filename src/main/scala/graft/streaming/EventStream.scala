@@ -464,4 +464,73 @@ object EventStream extends Serializable {
     q.awaitTermination()
     state
   }
+
+  /** X6: INCREMENTAL degree maintenance over the streaming action feed —
+    * the first of the incremental-maintenance family: instead of
+    * re-aggregating degrees from the full edge table after each batch
+    * (X2 + G2 = cost ∝ |E| per batch), each micro-batch updates the
+    * maintained degree table by only the vertices it touched:
+    *
+    *  1. canonicalize the batch's touched pairs ({min,max} of the action's
+    *     endpoints — a batch-sized set);
+    *  2. undirected presence of just those pairs before and after folding
+    *     the batch into the edge state (one semi-join per side against the
+    *     broadcast-small touched set — the edge state is scanned, never
+    *     shuffled on its full width);
+    *  3. presence flips become ±1 deltas per endpoint (self-loops count
+    *     once, matching Graph.undirected keeping one direction);
+    *  4. merge the batch-sized delta table into the |V|-row degree state
+    *     (full-outer + coalesce; vertices reaching degree 0 drop out).
+    *
+    * Per-batch cost is one edge-state scan + a |V|-row merge — no |E|-wide
+    * groupBy — which is the shape that matters when the maintained graph is
+    * 100 TB and a batch is a few thousand actions. The drained result
+    * equals batch G10 degrees (`graph_update_degrees`) exactly, which is
+    * the oracle this query is checked against.
+    */
+  def incrementalDegreesStream(spark: SparkSession, dir: String,
+      batches: Int = 4): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    val actions = EdgeUpdates.actionsFromEvents(spark, dir)
+    val staging = stageByChunks(actions, "action_id", batches)
+    var edgeState = Graph.fromTpch(spark, dir).edges.localCheckpoint(true)
+    // initial degree snapshot: the one full aggregation (the stream starts
+    // from an existing graph, as a production pipeline would)
+    val undirected0 = edgeState.select(col("src"), col("dst"))
+      .union(edgeState.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var degState = undirected0.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree")).localCheckpoint(true)
+    val stream = spark.readStream.schema(actions.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val touched = canon(batch).distinct().localCheckpoint(true)
+        def presentPairs(st: DataFrame): DataFrame =
+          canon(st).join(touched, Seq("a", "b"), "left_semi").distinct()
+        val before = presentPairs(edgeState).localCheckpoint(true)
+        edgeState = EdgeUpdates(edgeState, batch).localCheckpoint(true)
+        val after = presentPairs(edgeState).localCheckpoint(true)
+        val flips = after.except(before).withColumn("d", lit(1L))
+          .union(before.except(after).withColumn("d", lit(-1L)))
+        val vertexDeltas = flips.select(
+            explode(when(col("a") === col("b"), array(col("a")))
+              .otherwise(array(col("a"), col("b")))).as("id"), col("d"))
+          .groupBy(col("id")).agg(sum(col("d")).as("delta"))
+        degState = degState.join(vertexDeltas, Seq("id"), "full_outer")
+          .select(col("id"),
+            (coalesce(col("degree"), lit(0L)) +
+              coalesce(col("delta"), lit(0L))).as("degree"))
+          .filter(col("degree") > 0L)
+          .localCheckpoint(true)
+      }
+      .start()
+    q.awaitTermination()
+    degState
+  }
 }

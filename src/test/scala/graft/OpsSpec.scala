@@ -427,4 +427,73 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(out(2L).getSeq[Float](3).isEmpty)
   }
+
+  test("packIndex matches a sequential prefix-sum and is groupWidth-invariant") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+"))
+        .cast("long").as("n_tokens"))
+    val got = Pack.packIndex(docs, seqLen = 100, groupWidth = 7L)
+      .select("doc_id", "n_tokens", "tok_start", "chunk_id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // sequential reference: cumsum in doc_id order on the driver
+    var cum = 0L
+    docs.orderBy("doc_id").collect().foreach { r =>
+      val (id, n) = (r.getLong(0), r.getLong(1))
+      val (gn, gStart, gChunk) = got(id)
+      assert(gn == n && gStart == cum && gChunk == cum / 100,
+        s"doc $id: got ($gn,$gStart,$gChunk), want ($n,$cum,${cum / 100})")
+      cum += n
+    }
+    // the distributed two-level split must be invisible in the result
+    val alt = Pack.packIndex(docs, seqLen = 100, groupWidth = 1000L)
+      .select("doc_id", "n_tokens", "tok_start", "chunk_id")
+    val base = Pack.packIndex(docs, seqLen = 100, groupWidth = 7L)
+      .select("doc_id", "n_tokens", "tok_start", "chunk_id")
+    assert(alt.exceptAll(base).count() == 0)
+    assert(base.exceptAll(alt).count() == 0)
+  }
+
+  test("pack chunks conserve tokens and fill sequences contiguously") {
+    val chunks = Pack.chunks(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val total = graft.core.Tables.documents(spark, sf)
+      .select(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .head().getLong(0)
+    assert(chunks.map(_._3).sum == total, "token mass not conserved")
+    assert(chunks.head._1 == 0L, "first chunk must be 0")
+    // a doc starts in chunk k only after chunks 0..k-1 are past their
+    // boundary: ids are contiguous whenever every doc < SeqLen tokens
+    chunks.sliding(2).foreach { case Array((a, _, _), (b, _, _)) =>
+      assert(b - a == 1L, s"chunk gap between $a and $b")
+    case _ => }
+  }
+
+  test("curate: every gate holds on the surviving manifest") {
+    val manifest = Pack.curate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(manifest.nonEmpty, "curation kept nothing at test SF")
+    val docs = graft.core.Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    manifest.foreach { case (id, _, q, _) =>
+      assert(id % 10 != 0, s"benchmark doc $id leaked into the corpus")
+      assert(q >= Pack.QualityMin, s"doc $id below the quality gate: $q")
+      assert(docs(id)._2 == "en", s"doc $id past the language gate")
+    }
+    // exact dedup: no two survivors share text
+    val texts = manifest.map { case (id, _, _, _) => docs(id)._1 }
+    assert(texts.distinct.length == texts.length, "duplicate text survived")
+    // decontamination: no survivor appears in the contaminated set
+    val contaminated = Corpus.decontaminateQuery(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    manifest.foreach { case (id, _, _, _) =>
+      assert(!contaminated(id), s"contaminated doc $id survived") }
+    // packing: chunk ids are the prefix-sum of survivor token counts
+    var cum = 0L
+    manifest.sortBy(_._1).foreach { case (id, n, _, chunk) =>
+      assert(chunk == cum / Pack.SeqLen, s"doc $id chunk $chunk != ${cum / Pack.SeqLen}")
+      cum += n
+    }
+  }
 }

@@ -76,4 +76,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(oneShot).count() == 0)
     assert(oneShot.exceptAll(streamed).count() == 0)
   }
+
+  test("incremental streaming degrees equal batch degrees over the updated graph") {
+    val streamed = EventStream.incrementalDegreesStream(spark, sf, batches = 3)
+    val batch = graft.graph.Degrees(EdgeUpdates.updatedGraph(spark, sf))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }

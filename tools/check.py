@@ -15,8 +15,11 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    only = set(sys.argv[3:])  # optional query-name filter for the dev loop
     ok = fail = 0
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         sql = oracle[name]
         path = f"{out}/{name}"
         if not os.path.isdir(path):
