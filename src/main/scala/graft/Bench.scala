@@ -46,12 +46,14 @@ object Bench {
     "q1_agg", "q3_revenue", "q5_nation_revenue",
     "q6_forecast", "q18_large_orders",
     "topk_orders_per_cust", "sessionize", "events_hourly", "events_asof",
+    "events_json",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best",
     "ann_topk", "ann_lsh", "ann_ivf",
     "ann_lsh_exhaustive", "ann_ivf_exhaustive",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",
+    "text_pii", "text_inverted_index",
     "corpus_decontaminate", "corpus_sample", "corpus_dsir", "corpus_pack",
     "corpus_curate", "stats_profile",
     "multimodal_meta", "multimodal_frames", "stream_events_hourly",

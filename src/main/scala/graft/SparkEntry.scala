@@ -60,6 +60,7 @@ object SparkEntry {
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
     "events_asof" -> ((s, d) => Relational.purchaseAsOfClick(s, d)),
+    "events_json" -> ((s, d) => Relational.eventsJson(s, d)),
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -85,6 +86,8 @@ object SparkEntry {
     "text_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     "text_ngrams" -> ((s, d) => TextAnalysis.corpusNgrams(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "text_pii" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
+    "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     "corpus_dsir" -> ((s, d) => Corpus.dsirWeights(s, d)),
     // --- corpus curation (T8..T10) ---
     "corpus_decontaminate" -> ((s, d) => Corpus.decontaminateQuery(s, d)),
@@ -171,6 +174,7 @@ object SparkEntry {
     "sessionize" -> Relational.sessionizeSql,
     "events_hourly" -> Relational.eventsHourlySql,
     "events_asof" -> Relational.asOfSql,
+    "events_json" -> Relational.eventsJsonSql,
     "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
@@ -190,6 +194,8 @@ object SparkEntry {
     "text_normalize" -> TextAnalysis.normalizeSql,
     "text_ngrams" -> TextAnalysis.corpusNgramsSql(),
     "text_repetition" -> TextAnalysis.repetitionSql,
+    "text_pii" -> TextAnalysis.piiRedactSql,
+    "text_inverted_index" -> TextAnalysis.invertedIndexSql(),
     "corpus_dsir" -> Corpus.dsirSql(),
     "corpus_decontaminate" -> Corpus.decontaminateSql(),
     "corpus_sample" -> Corpus.sampleStratifiedSql,

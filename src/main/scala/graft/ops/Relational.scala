@@ -302,6 +302,41 @@ object Relational {
         (col("purchase_ts_us") - col("ts_us_asof")).as("gap_us"))
   }
 
+  /** R10: semi-structured extraction — parse the `props` JSON column and
+    * aggregate over an extracted field. The JSON parse itself can't push to
+    * the parquet scan, but column pruning does (ReadSchema keeps only the 4
+    * referenced columns), and the parse runs inside whole-stage codegen
+    * (`get_json_object` is a codegen'd native expression — Jackson parse per
+    * row, no UDF). One shuffle: the map-side-combined aggregate.
+    *
+    * `floor(k/10)` (not integer cast) keeps bucket semantics identical in
+    * both engines — Spark's double→long cast truncates while DuckDB's
+    * rounds half-even.
+    */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"), floor(col("k") / 10).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"),
+        max(col("k")).as("max_k"))
+  }
+
+  val eventsJsonSql: String =
+    """SELECT event_type,
+      |  CAST(floor(CAST(json_extract(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_bucket,
+      |  count(*) AS n,
+      |  round(sum(value), 4) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users,
+      |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |WHERE json_extract(props, '$.k') IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   val asOfSql: String =
     """WITH u AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, 0 AS side

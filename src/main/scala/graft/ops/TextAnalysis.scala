@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -349,4 +350,132 @@ object TextAnalysis {
       |LEFT JOIN topw USING (doc_id)
       |LEFT JOIN top2 USING (doc_id)
       |LEFT JOIN dup3 USING (doc_id)""".stripMargin
+
+  // --- T15: PII detection + redaction -------------------------------------
+
+  /** Simple-by-design patterns (no backrefs/lookaheads) so the Java-regex
+    * (Spark) and RE2 (DuckDB) engines agree on every match.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b555-[0-9]{4}\\b"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** T15: PII detection + redaction. The synthetic corpus contains no PII,
+    * so the query first plants it deterministically (emails on doc_id%3,
+    * phones on %5, IPv4s on %7 — derived from doc_id identically in both
+    * engines), then counts each category and redacts in a fixed
+    * email→phone→ip order (the orders can't overlap by construction, but a
+    * fixed order keeps the output well-defined on adversarial text too).
+    *
+    * Pure per-row Column work — regexp_count / regexp_replace are codegen'd
+    * native expressions, zero exchanges, the shape that streams at 100 TB.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), id, lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(planted, lit(EmailPattern), lit("<EMAIL>")),
+        lit(PhonePattern), lit("<PHONE>")),
+      lit(Ipv4Pattern), lit("<IP>"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      regexp_count(planted, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(planted, lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_count(planted, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      md5(redacted.cast("binary")).as("redacted_md5"))
+  }
+
+  val piiRedactSql: String = {
+    // DuckDB single-quoted literals don't process backslashes — the Scala
+    // pattern strings inline verbatim
+    val (email, phone, ip) = (EmailPattern, PhonePattern, Ipv4Pattern)
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    text
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0
+       |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+       |              || CAST(doc_id % 100 AS VARCHAR)
+       |         ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g')) AS redacted_md5
+       |FROM planted""".stripMargin
+  }
+
+  // --- T16: inverted index ------------------------------------------------
+
+  /** T16: corpus inverted index — per term: document frequency, total
+    * occurrences, and a bounded posting list (first `cap` doc_ids ascending,
+    * comma-joined).
+    *
+    * Scale shape: the per-(term, doc) counts aggregate map-side before the
+    * term shuffle; the posting list is capped BEFORE collection via a
+    * row_number window (never `collect_list` the full postings — a stopword
+    * term's list is O(corpus) and would OOM a single aggregation buffer at
+    * 100 TB; real systems shard postings exactly this way). Stats and
+    * postings both shuffle on `term`, so AQE plans the final join
+    * exchange-free.
+    */
+  def invertedIndex(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    val termDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val stats = termDoc.groupBy(col("term")).agg(
+      count(lit(1)).as("df"),
+      sum(col("n")).as("n_occurrences"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val postings = termDoc
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .groupBy(col("term"))
+      .agg(array_join(
+        transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+        ",").as("postings"))
+    stats.join(postings, "term")
+      .select(col("term"), col("df"), col("n_occurrences"), col("postings"))
+  }
+
+  def invertedIndexSql(cap: Int = 20): String =
+    s"""WITH td AS (
+       |  SELECT term, doc_id, count(*) AS n
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |        FROM documents)
+       |  GROUP BY 1, 2
+       |), stats AS (
+       |  SELECT term, count(*) AS df, CAST(sum(n) AS BIGINT) AS n_occurrences
+       |  FROM td GROUP BY 1
+       |), topd AS (
+       |  SELECT term, doc_id FROM (
+       |    SELECT term, doc_id,
+       |      row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+       |    FROM td) WHERE rn <= $cap
+       |), posting AS (
+       |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       |    AS postings
+       |  FROM topd GROUP BY 1
+       |)
+       |SELECT term, df, n_occurrences, postings
+       |FROM stats JOIN posting USING (term)""".stripMargin
 }

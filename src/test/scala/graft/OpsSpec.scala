@@ -496,4 +496,60 @@ class OpsSpec extends AnyFunSuite {
       cum += n
     }
   }
+
+  test("events_json: buckets partition all events and bound the extracted key") {
+    val out = Relational.eventsJson(spark, sf).collect()
+    val total = graft.core.Tables.events(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n")).sum == total,
+      "every event must land in exactly one (type, bucket) cell")
+    out.foreach { r =>
+      val (b, mk) = (r.getAs[Long]("k_bucket"), r.getAs[Long]("max_k"))
+      assert(mk >= b * 10 && mk < (b + 1) * 10, s"max_k $mk outside bucket $b")
+    }
+  }
+
+  test("pii: counts follow the planting rule and redaction strips every match") {
+    val out = TextAnalysis.piiRedact(spark, sf).collect()
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(out.length == nDocs)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_emails") == (if (id % 3 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_phones") == (if (id % 5 == 0) 1L else 0L))
+      assert(r.getAs[Long]("n_ips") == (if (id % 7 == 0) 1L else 0L))
+    }
+    // counting and replacing agree: zero matches survive redaction
+    import spark.implicits._
+    val planted = Seq((0L, "a x@y.com b 555-0001 c 1.2.3.4 d"),
+      (1L, "no pii here"), (2L, "x@y.com x@y.com")).toDF("doc_id", "text")
+    val re = planted.select(
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        lit(TextAnalysis.EmailPattern), lit("<EMAIL>")),
+        lit(TextAnalysis.PhonePattern), lit("<PHONE>")),
+        lit(TextAnalysis.Ipv4Pattern), lit("<IP>")).as("r"))
+      .collect().map(_.getString(0))
+    assert(re(0) == "a <EMAIL> b <PHONE> c <IP> d")
+    assert(re(1) == "no pii here")
+    assert(re(2) == "<EMAIL> <EMAIL>", "redaction must replace ALL occurrences")
+  }
+
+  test("inverted index: df/postings agree with a direct per-term recount") {
+    val out = TextAnalysis.invertedIndex(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("df"),
+        r.getAs[Long]("n_occurrences"), r.getAs[String]("postings")))).toMap
+    val docs = graft.core.Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim
+        .split("\\s+").toSeq)
+    val byTerm = docs.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1)
+    assert(out.keySet == byTerm.keySet)
+    byTerm.foreach { case (term, pairs) =>
+      val (df, occ, postings) = out(term)
+      val docIds = pairs.map(_._2).distinct.sorted
+      assert(df == docIds.length, s"df mismatch for $term")
+      assert(occ == pairs.length, s"occurrence mismatch for $term")
+      assert(postings == docIds.take(20).mkString(","),
+        s"postings mismatch for $term")
+    }
+  }
 }
