@@ -44,6 +44,7 @@ object SparkEntry {
       PageRank.fixedIterations(EdgeUpdates.updatedGraph(s, d), 5)),
     "graph_update_sssp" -> ((s, d) =>
       ShortestPaths.fromMinVertex(EdgeUpdates.updatedGraph(s, d))),
+    "graph_kcore" -> ((s, d) => KCore(Graph.fromTpch(s, d), k = 32)),
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
     "graph_triangles_scale" -> ((s, d) =>
       Triangles.orientedCount(Triangles.partCoOrderEdges(s, d))),
@@ -161,6 +162,7 @@ object SparkEntry {
     "graph_update_pagerank5" ->
       PageRank.unrolledSql(5, EdgeUpdates.updatedUndirectedCte),
     "graph_update_sssp" -> EdgeUpdates.updatedSsspSql,
+    "graph_kcore" -> KCore.unrolledSql(k = 32, rounds = 8),
     "graph_triangles" -> Triangles.nationTrianglesSql,
     "graph_triangles_scale" -> Triangles.partTrianglesSql,
     "rmat_gen" -> RMat.unrolledSql(RMat.Params(scale = 10)),

@@ -442,3 +442,73 @@ object PageRank {
        |SELECT id, round(pr, 8) AS pr FROM pr$iterations""".stripMargin
   }
 }
+
+/** k-core decomposition by iterative peeling (Matula & Beck 1983; the
+  * distributed formulation follows Montresor et al., "Distributed k-Core
+  * Decomposition", 2011): repeatedly drop vertices with induced degree < k
+  * until the fixpoint; what remains is the maximal subgraph where every
+  * vertex has ≥ k neighbors — the standard density filter for community
+  * mining and graph cleaning. An extension over the reference surface,
+  * like triangle counting.
+  *
+  * Spark-first shape: each round is one map-side-combined degree aggregate
+  * plus two semi-joins of the edge table against the |V|-row survivor set
+  * (broadcast by default — disable at billion-vertex scale and the
+  * semi-joins shuffle on the pre-partitioned vertex key). The edge table
+  * shrinks monotonically and is re-checkpointed per round, so later rounds
+  * scan the already-peeled set, not the original graph. Convergence = edge
+  * count unchanged, a free scalar on the just-materialized checkpoint.
+  */
+object KCore {
+  /** Vertices of the k-core with their induced ("core") degree. */
+  def apply(g: Graph, k: Int, maxIter: Int = 100,
+      broadcastVertices: Boolean = true): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    var edges = g.cachedUndirected.select(col("src"), col("dst"))
+    var prev = edges.count()
+    var converged = prev == 0L
+    var i = 0
+    while (!converged && i < maxIter) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= k)
+        .select(col("src").as("id"))
+      val kept = bc(keep.localCheckpoint(true))
+      val next = edges
+        .join(kept, edges("src") === kept("id"), "left_semi")
+      // symmetric input + symmetric filter ⇒ the edge set stays symmetric,
+      // so per-round degrees remain a plain groupBy(src)
+      val pruned = next.join(kept, next("dst") === kept("id"), "left_semi")
+        .localCheckpoint(true)
+      val n = pruned.count()
+      converged = n == prev
+      prev = n
+      edges = pruned
+      i += 1
+    }
+    if (!converged)
+      System.err.println(s"[graft] WARN KCore: fixpoint not reached after " +
+        s"$maxIter rounds — result may contain sub-$k vertices")
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** DuckDB oracle: `rounds` unrolled peel steps (idempotent past the
+    * fixpoint — peeling a k-core is the identity), materialized per round
+    * so DuckDB never re-inlines the chain.
+    */
+  def unrolledSql(k: Int, rounds: Int,
+      edgesCte: String = Graph.undirectedCte): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""keep$r AS MATERIALIZED (
+         |  SELECT src FROM e${r - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  WHERE e.src IN (SELECT src FROM keep$r)
+         |    AND e.dst IN (SELECT src FROM keep$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+       |$steps
+       |SELECT src AS id, count(*) AS core_degree
+       |FROM e$rounds GROUP BY 1""".stripMargin
+  }
+}

@@ -210,4 +210,33 @@ class GraphSpec extends AnyFunSuite {
     val maxDeg = Degrees(RMat.graph(spark, p)).agg(max("degree")).head().getLong(0)
     assert(maxDeg > 30)
   }
+
+  test("k-core: peels a planted structure and matches a sequential peel") {
+    // triangle+tail: {1,2,3} is the 2-core; 4-5 dangle off it
+    val g = mkGraph((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val core = KCore(g, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $core")
+    // k above the max degree peels everything
+    assert(KCore(g, k = 4).count() == 0)
+    // real graph: every core member keeps >= k induced neighbors, and the
+    // result equals a driver-side sequential peel
+    val gt = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val k = 16
+    val out = KCore(gt, k).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.forall(_ >= k), "core member below k induced degree")
+    var adj = gt.undirected.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val keep = adj.collect { case (v, ns) if ns.size >= k => v }.toSet
+      val next = adj.collect { case (v, ns) if keep(v) =>
+        v -> ns.intersect(keep) }.filter(_._2.nonEmpty)
+      changed = next != adj
+      adj = next
+    }
+    assert(out == adj.map { case (v, ns) => v -> ns.size.toLong },
+      "distributed peel disagrees with sequential peel")
+  }
 }
