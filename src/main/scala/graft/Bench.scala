@@ -49,7 +49,7 @@ object Bench {
     "topk_orders_per_cust", "sessionize", "events_hourly", "events_asof",
     "events_json",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-    "dedup_clusters", "dedup_keep_best",
+    "dedup_clusters", "dedup_keep_best", "dedup_semantic",
     "ann_topk", "ann_lsh", "ann_ivf",
     "ann_lsh_exhaustive", "ann_ivf_exhaustive",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",

@@ -69,6 +69,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashBlocked(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_semantic" -> ((s, d) => Dedup.semantic(s, d)),
+    // nClusters=1 ⇒ within-cluster pairs are ALL pairs ≡ D5 (oracle-green twin)
+    "dedup_semantic_exhaustive" -> ((s, d) => Dedup.semantic(s, d, nClusters = 1)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     // --- similarity search (S1..S3) ---
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
@@ -184,6 +187,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashSql(),
     "dedup_embedding" -> Dedup.embeddingCosineSql(),
     "dedup_clusters" -> Dedup.clustersSql(),
+    "dedup_semantic_exhaustive" -> Dedup.embeddingCosineSql(),
     "dedup_keep_best" -> Dedup.keepBestSql(),
     "ann_topk" -> Similarity.annTopKSql(),
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),

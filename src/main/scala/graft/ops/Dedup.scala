@@ -543,4 +543,52 @@ object Dedup {
        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(a.v, b.v) >= $threshold""".stripMargin
+
+  /** D8: SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"): a
+    * k-means coarse quantizer partitions the embedding space; candidate
+    * pairs are generated ONLY within a cluster, turning the O(n²) all-pairs
+    * scan (D5) into O(Σ n_c²) — the paper's exact trick for running
+    * semantic dedup on web-scale corpora. Emitted pairs carry true cosines
+    * (≥ threshold), so D6/D7 cluster-resolution composes downstream
+    * unchanged.
+    *
+    * Scale shape: assignment is a codegen'd projection against the
+    * driver-side centroid table (no join, no shuffle); the within-cluster
+    * self-join shuffles once on cluster_id, and skewed (oversized) clusters
+    * are AQE's skew-join case. Each vector joins its `nAssign` nearest
+    * cells (multi-assignment — the standard recall repair for boundary
+    * pairs; candidate volume grows ≤ nAssign² per cell, still O(Σ n_c²)
+    * overall), and pairs sharing several cells dedup through the final
+    * distinct. `nClusters = 1` degenerates to the exact D5 all-pairs scan —
+    * the oracle-checkable exhaustive twin; the operating point is
+    * probabilistic (pairs split across all probed cells are missed) and is
+    * recall-property-tested instead.
+    */
+  def semantic(spark: SparkSession, dir: String, nClusters: Int = 16,
+      threshold: Double = 0.4, seed: Long = 42L, nAssign: Int = 2,
+      trainSample: Int = 100000): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val assigned =
+      if (nClusters <= 1) e.withColumn("cluster_id", lit(0L))
+      else {
+        val centroids = Similarity.kmeansCentroids(e, nClusters, seed, trainSample)
+        e.withColumn("cluster_id",
+          explode(transform(
+            Similarity.nearestLists(centroids, col("v"), nAssign),
+            s => s.getField("list_id"))))
+      }
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
 }

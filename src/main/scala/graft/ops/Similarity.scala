@@ -141,34 +141,49 @@ object Similarity {
     * sits above the recall=scan diagonal even on isotropic data because
     * k-means cells retain mild locality in 64-dim).
     */
-  def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 20,
-      nLists: Int = 16, nProbe: Int = 10, seed: Long = 42L,
-      trainSample: Int = 100000): DataFrame = {
+  /** Train a seeded k-means coarse quantizer on a bounded uniform sample
+    * (never `limit()`: a limit prefix is a biased sample of the corpus and
+    * funnels through a single partition). Returns the (list_id, centroid)
+    * table driver-side — nLists is small by construction, so the centroids
+    * inline into codegen'd assignment expressions.
+    */
+  def kmeansCentroids(e: DataFrame, nLists: Int, seed: Long,
+      trainSample: Int): Seq[(Long, Seq[Double])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = vectors(spark, dir)
-    // seeded uniform sample, not limit(): a limit prefix is a biased sample
-    // of the corpus and funnels through a single partition
     val n = e.count()
     val trainFrac = math.min(1.0, trainSample.toDouble / math.max(1L, n))
     val train = if (trainFrac >= 1.0) e else e.sample(trainFrac, seed)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features")
       .fit(train.select(array_to_vector(col("v")).as("features")))
-    val centroids = model.clusterCenters.zipWithIndex.map {
+    model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i.toLong, c.toArray.toSeq)
     }.toSeq
-    def nearestLists(v: Column, n: Int): Column = {
-      // rank centroids by distance² = |c|² - 2<v,c> (|v|² constant per row);
-      // centroid count is small, so this is a codegen'd projection — list
-      // assignment costs no shuffle and no join
-      val scored = centroids.map { case (id, c) =>
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * graft.functions.ArrayDot.dot(v,
-          typedlit(c))).as("d"), lit(id).as("list_id"))
-      }
-      slice(array_sort(array(scored: _*)), 1, n)
+  }
+
+  /** The `n` nearest centroid list-ids for a vector column, ranked by
+    * distance² = |c|² - 2<v,c> (|v|² constant per row); centroid count is
+    * small, so this is a codegen'd projection — list assignment costs no
+    * shuffle and no join.
+    */
+  def nearestLists(centroids: Seq[(Long, Seq[Double])], v: Column,
+      n: Int): Column = {
+    val scored = centroids.map { case (id, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * graft.functions.ArrayDot.dot(v,
+        typedlit(c))).as("d"), lit(id).as("list_id"))
     }
+    slice(array_sort(array(scored: _*)), 1, n)
+  }
+
+  def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 20,
+      nLists: Int = 16, nProbe: Int = 10, seed: Long = 42L,
+      trainSample: Int = 100000): DataFrame = {
+    val e = vectors(spark, dir)
+    val centroids = kmeansCentroids(e, nLists, seed, trainSample)
+    def nearestLists(v: Column, n: Int): Column =
+      Similarity.nearestLists(centroids, v, n)
     val assigned = e.withColumn("list_id",
       element_at(nearestLists(col("v"), 1), 1).getField("list_id"))
     val q = e.filter(col("vec_id") < nQueries)

@@ -497,6 +497,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup: no false pairs, exhaustive twin exact, useful recall") {
+    val exact = Dedup.embeddingCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nClusters=1 ⇒ identical to the all-pairs scan, row for row
+    val exh = Dedup.semantic(spark, sf, nClusters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exh == exact, "exhaustive twin must equal the brute-force scan")
+    // operating point: every emitted pair is a true pair (cosines are
+    // computed on the real vectors, never approximated)...
+    val sem = Dedup.semantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact), "semantic dedup emitted a sub-threshold pair")
+    // ...and k-means blocking keeps most of them (near-dup pairs co-cluster)
+    val recall = if (exact.isEmpty) 1.0 else sem.size.toDouble / exact.size
+    System.err.println(f"[test] semdedup recall vs exact: $recall%.3f " +
+      s"(${sem.size}/${exact.size} pairs)")
+    assert(recall >= 0.5, f"semantic recall $recall%.3f below floor")
+  }
+
   test("events_json: buckets partition all events and bound the extracted key") {
     val out = Relational.eventsJson(spark, sf).collect()
     val total = graft.core.Tables.events(spark, sf).count()
