@@ -533,4 +533,159 @@ object EventStream extends Serializable {
     q.awaitTermination()
     degState
   }
+
+  /** X7: INCREMENTAL connected-components maintenance over the streaming
+    * action feed — eager merges, lazy split repair:
+    *
+    *  - **Inserts (per batch, eager)**: a new edge can only MERGE
+    *    components. The batch's insert pairs are contracted through the
+    *    current label table (endpoint → component), and a mini-CC over
+    *    that batch-sized contracted graph yields the component merge map,
+    *    applied to the |V|-row label table in one join. Per-batch cost is
+    *    ∝ batch + |V| — the full edge set is never re-scanned, which is
+    *    the shape that matters when the graph is 100 TB and a batch is a
+    *    few thousand actions. (Labels stay exact for insert-only feeds —
+    *    the common streaming-ingest case.)
+    *  - **Deletes (recorded per batch, repaired at drain)**: an edge
+    *    removal can SPLIT a component, and detecting a split online needs
+    *    spanning-forest state (Holm et al.-style dynamic connectivity) —
+    *    deliberately out of scope. Instead, endpoints of presence-flipping
+    *    deletions are recorded as dirty, and ONE repair pass at drain
+    *    re-runs CC on just the dirty components' induced subgraph (their
+    *    current labels close over edges: merges were already applied, so
+    *    no edge leaves a dirty component). Deletions that only lower a
+    *    multi-edge weight never flip presence and cost nothing.
+    *
+    * The drained result equals batch CC over the fully-updated graph
+    * (`graph_update_cc`), which is the oracle this query is checked
+    * against.
+    */
+  def incrementalCcStream(spark: SparkSession, dir: String,
+      batches: Int = 4): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df.select(
+      least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    val actions = EdgeUpdates.actionsFromEvents(spark, dir)
+    val staging = stageByChunks(actions, "action_id", batches)
+    var edgeState = Graph.fromTpch(spark, dir).edges.localCheckpoint(true)
+    // initial labels: the one full CC (the stream starts from an existing
+    // graph snapshot, as a production pipeline would)
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[xcc] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    var labels = t("initial-cc") {
+      graft.graph.ConnectedComponents(Graph.fromTpch(spark, dir))
+        .localCheckpoint(true)
+    }
+    // endpoints of presence-flipping deletions, pending the drain repair
+    // (vertex ids, not component ids: later merges may rename components)
+    var dirtyVerts = spark.emptyDataFrame.select(lit(0L).as("id")).limit(0)
+      .localCheckpoint(true)
+    val stream = spark.readStream.schema(actions.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => t("batch") {
+        // the batch-derived pair sets are batch-bounded by construction and
+        // localCheckpoint'd (no Catalyst stats) — broadcast them explicitly
+        // or every probe below sort-merges the FULL edge state per batch
+        val dels = canon(batch.filter(col("is_del"))).distinct()
+          .localCheckpoint(true)
+        def presentDel(st: DataFrame): DataFrame =
+          canon(st).join(broadcast(dels), Seq("a", "b"), "left_semi").distinct()
+        val before = presentDel(edgeState).localCheckpoint(true)
+        edgeState = EdgeUpdates(edgeState, batch).localCheckpoint(true)
+        val after = presentDel(edgeState)
+        val flipped = before.except(after)
+        dirtyVerts = dirtyVerts
+          .union(flipped.select(col("a").as("id")))
+          .union(flipped.select(col("b").as("id")))
+          .distinct().localCheckpoint(true)
+        // inserts: only pairs that SURVIVED the batch's last-action-wins
+        // resolution may merge (an insert-then-delete within one batch
+        // must not — and no repair would be scheduled for it, since the
+        // edge never flips from present to absent): probe the new edge
+        // state with the broadcast batch pairs — one scan, no shuffle
+        val insRaw = canon(batch.filter(!col("is_del"))).distinct()
+          .localCheckpoint(true)
+        val ins = canon(edgeState)
+          .join(broadcast(insRaw), Seq("a", "b"), "left_semi").distinct()
+          .localCheckpoint(true)
+        val endpoints = ins.select(explode(array(col("a"), col("b"))).as("id"))
+          .distinct()
+        val newVerts = endpoints.join(labels, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("component"))
+        val labeled = labels.union(newVerts)
+        val la = labeled.select(col("id").as("a"), col("component").as("ca"))
+        val lb = labeled.select(col("id").as("b"), col("component").as("cb"))
+        // build side = the broadcast batch pairs; the |V|-row label table
+        // streams through both joins without an exchange
+        val contracted = broadcast(broadcast(ins).join(la, "a")).join(lb, "b")
+          .select(col("ca").as("src"), col("cb").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .collect()
+        labels = labeled.localCheckpoint(true)
+        // merge map via driver-side union-find on the CONTRACTED edge list
+        // — bounded by batch size (never corpus size) by construction, so
+        // collecting it is the scale-right move: a distributed CC loop here
+        // costs several barrier jobs per micro-batch for a graph of a few
+        // hundred nodes. Union-by-min keeps the min-label invariant
+        // (component id = min vertex id), so merged labels stay exact.
+        if (contracted.nonEmpty) {
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val n = parent(c); parent(c) = r; c = n
+            }
+            r
+          }
+          contracted.foreach { row =>
+            val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val merges = parent.keys.map(k => k -> find(k))
+            .filter { case (k, r) => k != r }.toSeq
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val mergeDf = merges.toDF("component", "merged")
+          labels = labels.join(broadcast(mergeDf), Seq("component"), "left")
+            .select(col("id"),
+              coalesce(col("merged"), col("component")).as("component"))
+            .localCheckpoint(true)
+        }
+      }}
+      .start()
+    q.awaitTermination()
+    // drain: one split-repair pass over the dirty components' subgraph
+    if (dirtyVerts.limit(1).count() > 0) t("drain-repair") {
+      val dirtyComps = labels
+        .join(dirtyVerts, Seq("id"), "left_semi")
+        .select(col("component")).distinct().localCheckpoint(true)
+      val lsrc = labels.select(col("id").as("src"), col("component"))
+      val sub = edgeState.select(col("src"), col("dst"))
+        .join(lsrc, "src")
+        .join(dirtyComps, Seq("component"), "left_semi")
+        .select(col("src"), col("dst"))
+      val sg = Graph(sub)
+      val fresh = graft.graph.ConnectedComponents(sg)
+      val clean = labels.join(dirtyComps, Seq("component"), "left_anti")
+        .select(col("id"), col("component"))
+      labels = clean.union(fresh.select(col("id"), col("component")))
+        .localCheckpoint(true)
+      sg.cachedUndirected.unpersist()
+    }
+    // vertices isolated by deletion carry no edge: match batch-CC's vertex
+    // set (components over the updated edge list)
+    val present = edgeState.select(col("src").as("id"))
+      .union(edgeState.select(col("dst").as("id"))).distinct()
+    labels.join(present, Seq("id"), "left_semi")
+  }
 }

@@ -83,4 +83,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("incremental streaming CC equals batch CC over the updated graph") {
+    val streamed = EventStream.incrementalCcStream(spark, sf, batches = 3)
+    val batch = graft.graph.ConnectedComponents(EdgeUpdates.updatedGraph(spark, sf))
+    assert(streamed.exceptAll(batch).count() == 0,
+      "incremental labels not in batch CC")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "batch CC labels missing from incremental result")
+  }
 }
