@@ -62,6 +62,7 @@ object SparkEntry {
     "events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
     "events_asof" -> ((s, d) => Relational.purchaseAsOfClick(s, d)),
     "events_json" -> ((s, d) => Relational.eventsJson(s, d)),
+    "events_rollup" -> ((s, d) => Relational.eventsRollup(s, d)),
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -92,6 +93,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_pii" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+    "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "corpus_dsir" -> ((s, d) => Corpus.dsirWeights(s, d)),
     // --- corpus curation (T8..T10) ---
     "corpus_decontaminate" -> ((s, d) => Corpus.decontaminateQuery(s, d)),
@@ -110,7 +112,9 @@ object SparkEntry {
       EventStream.eventsHourlyWatermarkedFinal(s, d)),
     "stream_dedup_exact" -> ((s, d) => EventStream.dedupExactStream(s, d)),
     "stream_degrees_incremental" -> ((s, d) =>
-      EventStream.incrementalDegreesStream(s, d)))
+      EventStream.incrementalDegreesStream(s, d)),
+    "stream_cc_incremental" -> ((s, d) =>
+      EventStream.incrementalCcStream(s, d)))
 
   /** DuckDB-equivalent SQL per query key (same column names, types, and
     * rounding as the Spark result — the driver hash-compares).
@@ -180,6 +184,7 @@ object SparkEntry {
     "events_hourly" -> Relational.eventsHourlySql,
     "events_asof" -> Relational.asOfSql,
     "events_json" -> Relational.eventsJsonSql,
+    "events_rollup" -> Relational.eventsRollupSql,
     "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
@@ -202,6 +207,7 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.repetitionSql,
     "text_pii" -> TextAnalysis.piiRedactSql,
     "text_inverted_index" -> TextAnalysis.invertedIndexSql(),
+    "text_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
     "corpus_dsir" -> Corpus.dsirSql(),
     "corpus_decontaminate" -> Corpus.decontaminateSql(),
     "corpus_sample" -> Corpus.sampleStratifiedSql,
@@ -215,5 +221,6 @@ object SparkEntry {
     "stream_sessionize" -> Relational.sessionizeSql,
     "stream_hourly_watermarked" -> EventStream.eventsHourlySql,
     "stream_dedup_exact" -> Dedup.exactSql,
-    "stream_degrees_incremental" -> EdgeUpdates.updatedDegreesSql)
+    "stream_degrees_incremental" -> EdgeUpdates.updatedDegreesSql,
+    "stream_cc_incremental" -> EdgeUpdates.updatedCcSql)
 }

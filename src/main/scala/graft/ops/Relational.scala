@@ -337,6 +337,34 @@ object Relational {
       |WHERE json_extract(props, '$.k') IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  /** R11: OLAP rollup — subtotal lattice over (event_type, hour) with a
+    * grouping id distinguishing the aggregation levels. Spark expands the
+    * rollup into a single Expand + hash-aggregate (one shuffle, map-side
+    * combined, no per-level re-scan); the oracle is DuckDB's GROUP BY
+    * ROLLUP with GROUPING() — both engines put the leftmost rollup column
+    * in the most significant gid bit.
+    */
+  def eventsRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour"),
+        col("value"))
+      .rollup(col("event_type"), col("hour"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  val eventsRollupSql: String =
+    """SELECT event_type,
+      |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+      |  CAST(GROUPING(event_type, date_trunc('hour', ts)) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY ROLLUP (event_type, date_trunc('hour', ts))""".stripMargin
+
   val asOfSql: String =
     """WITH u AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, 0 AS side

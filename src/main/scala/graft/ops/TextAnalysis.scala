@@ -478,4 +478,86 @@ object TextAnalysis {
        |)
        |SELECT term, df, n_occurrences, postings
        |FROM stats JOIN posting USING (term)""".stripMargin
+
+  // --- T17: count-min-sketch heavy hitters --------------------------------
+
+  /** CMS geometry: depth 4 × width 4096. The four hash functions are four
+    * disjoint 3-hex-digit windows of ONE md5 per term (12 bits each ⇒ the
+    * width needs no modulo), so the sketch is deterministic and the SAME
+    * hashes are computable in DuckDB — even the approximate sketch is
+    * hash-oracle-checkable, unlike seed-dependent sketch libraries.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 4096
+
+  private def cmsBuckets(hx: Column): Column =
+    array((0 until CmsDepth).map { s =>
+      struct(lit(s).as("s"),
+        conv(substring(hx, 3 * s + 1, 3), 16, 10).cast("long").as("bucket"))
+    }: _*)
+
+  /** T17: heavy hitters — the exact top-k terms with their count-min-sketch
+    * estimates (Cormode & Muthukrishnan 2005) next to the exact counts.
+    *
+    * The sketch build is the 100 TB shape: token increments aggregate into
+    * ≤ depth×width = 16k cells with map-side combine, so the shuffle is
+    * O(sketch), not O(corpus) — on a cluster each executor folds its
+    * partition into partial cells and only the 16k-cell table moves. The
+    * exact top-k (one term-shuffle) is the ground truth the estimates are
+    * judged against; CMS error is one-sided (n_cms ≥ n_exact always,
+    * property-tested), which the oracle exposes by comparing both columns.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+    val sketch = toks
+      .select(explode(cmsBuckets(md5(col("term").cast("binary")))).as("sb"))
+      .groupBy(col("sb.s").as("s"), col("sb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term").asc).limit(k)
+    val cand = exact
+      .select(col("term"), col("n_exact"),
+        explode(cmsBuckets(md5(col("term").cast("binary")))).as("sb"))
+      .select(col("term"), col("n_exact"),
+        col("sb.s").as("s"), col("sb.bucket").as("bucket"))
+    broadcast(cand).join(sketch, Seq("s", "bucket"))
+      .groupBy(col("term"), col("n_exact"))
+      .agg(min(col("c")).as("n_cms"))
+      .select(col("term"), col("n_exact"), col("n_cms"))
+  }
+
+  def heavyHittersSql(k: Int = 20): String = {
+    // 3-hex-digit window at 1-based offset `off` as an integer (DuckDB has
+    // no conv(); positional strpos digit sum, as in the sampling oracle)
+    def bucket(off: Int): String = (0 until 3).map { i =>
+      s"(strpos('0123456789abcdef', substr(hx, ${off + i}, 1)) - 1) * ${1 << (4 * (2 - i))}"
+    }.mkString("(", " + ", ")")
+    val incs = (0 until CmsDepth).map { s =>
+      s"SELECT $s AS s, ${bucket(3 * s + 1)} AS bucket FROM h"
+    }.mkString("\n  UNION ALL ")
+    val cbs = (0 until CmsDepth).map { s =>
+      s"SELECT term, n_exact, $s AS s, ${bucket(3 * s + 1)} AS bucket FROM eh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents
+       |), h AS MATERIALIZED (SELECT md5(term) AS hx FROM toks),
+       |inc AS (
+       |  $incs
+       |), sketch AS MATERIALIZED (
+       |  SELECT s, bucket, count(*) AS c FROM inc GROUP BY 1, 2
+       |), exact AS MATERIALIZED (
+       |  SELECT term, n_exact FROM (
+       |    SELECT term, count(*) AS n_exact,
+       |      row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rn
+       |    FROM toks GROUP BY term) WHERE rn <= $k
+       |), eh AS (SELECT term, n_exact, md5(term) AS hx FROM exact),
+       |cb AS (
+       |  $cbs
+       |)
+       |SELECT term, n_exact, CAST(min(c) AS BIGINT) AS n_cms
+       |FROM cb JOIN sketch USING (s, bucket)
+       |GROUP BY term, n_exact""".stripMargin
+  }
 }

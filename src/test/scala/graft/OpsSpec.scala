@@ -516,6 +516,36 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"semantic recall $recall%.3f below floor")
   }
 
+  test("heavy hitters: one-sided CMS error, k rows, top term exact") {
+    val out = TextAnalysis.heavyHitters(spark, sf, k = 20).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_exact"), r.getAs[Long]("n_cms")))
+    assert(out.length == 20)
+    out.foreach { case (t, exact, cms) =>
+      assert(cms >= exact, s"CMS underestimated '$t': $cms < $exact")
+    }
+    // ground truth recount for the most frequent term
+    val counts = graft.core.Tables.documents(spark, sf).collect()
+      .flatMap(_.getAs[String]("text").trim.split("\\s+"))
+      .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val top = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(20).toMap
+    out.foreach { case (t, exact, _) =>
+      assert(top(t) == exact, s"exact count mismatch for '$t'")
+    }
+  }
+
+  test("rollup: levels nest consistently and gid marks them") {
+    val out = Relational.eventsRollup(spark, sf).collect()
+    val total = graft.core.Tables.events(spark, sf).count()
+    val grand = out.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == total)
+    val perType = out.filter(_.getAs[Long]("gid") == 1L)
+    assert(perType.map(_.getAs[Long]("n")).sum == total)
+    val leaves = out.filter(_.getAs[Long]("gid") == 0L)
+    assert(leaves.map(_.getAs[Long]("n")).sum == total)
+    assert(out.forall(r => Set(0L, 1L, 3L)(r.getAs[Long]("gid"))),
+      "rollup must not emit the hour-only (gid=2) cube level")
+  }
+
   test("events_json: buckets partition all events and bound the extracted key") {
     val out = Relational.eventsJson(spark, sf).collect()
     val total = graft.core.Tables.events(spark, sf).count()
