@@ -47,9 +47,10 @@ object Bench {
     "q1_agg", "q3_revenue", "q5_nation_revenue",
     "q6_forecast", "q18_large_orders",
     "topk_orders_per_cust", "sessionize", "events_hourly", "events_asof",
-    "events_json", "events_rollup",
+    "events_json", "events_rollup", "events_moving_avg",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic",
+    "dedup_semantic_exhaustive",
     "ann_topk", "ann_lsh", "ann_ivf",
     "ann_lsh_exhaustive", "ann_ivf_exhaustive",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",

@@ -63,6 +63,7 @@ object SparkEntry {
     "events_asof" -> ((s, d) => Relational.purchaseAsOfClick(s, d)),
     "events_json" -> ((s, d) => Relational.eventsJson(s, d)),
     "events_rollup" -> ((s, d) => Relational.eventsRollup(s, d)),
+    "events_moving_avg" -> ((s, d) => Relational.eventsMovingAvg(s, d)),
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -185,6 +186,7 @@ object SparkEntry {
     "events_asof" -> Relational.asOfSql,
     "events_json" -> Relational.eventsJsonSql,
     "events_rollup" -> Relational.eventsRollupSql,
+    "events_moving_avg" -> Relational.eventsMovingAvgSql,
     "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),

@@ -337,6 +337,32 @@ object Relational {
       |WHERE json_extract(props, '$.k') IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  /** R12: rolling window frame — per-user moving average of `value` over
+    * the last 5 events (4 preceding + current, event-time order with
+    * event_id tie-break). One shuffle on user_id; the frame aggregate is a
+    * running window inside whole-stage codegen. The per-entity rolling
+    * feature is the standard feature-engineering shape for training-data
+    * pipelines.
+    */
+  def eventsMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("ma5", round(avg(col("value")).over(w), 6))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("ma5"), col("n_window"))
+  }
+
+  val eventsMovingAvgSql: String =
+    """SELECT event_id, user_id,
+      |  round(avg(value) OVER w, 6) AS ma5,
+      |  count(*) OVER w AS n_window
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** R11: OLAP rollup — subtotal lattice over (event_type, hour) with a
     * grouping id distinguishing the aggregation levels. Spark expands the
     * rollup into a single Expand + hash-aggregate (one shuffle, map-side

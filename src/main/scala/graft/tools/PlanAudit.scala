@@ -26,7 +26,8 @@ object PlanAudit {
       "graph_pagerank5", "graph_pagerank_conv", "stream_events_hourly",
       // streaming mains drain eagerly; their final "plan" is a memory-sink
       // or checkpoint scan — audited by hand like the iterative algorithms
-      "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked")
+      "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
+      "stream_cc_incremental")
     names.filterNot(skip).foreach { name =>
       // audit the real pipeline, not the session-memoized checkpoint the
       // driver entry returns after another query warmed it

@@ -516,6 +516,27 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"semantic recall $recall%.3f below floor")
   }
 
+  test("moving average: frame bounded at 5, first row equals its own value") {
+    val out = Relational.eventsMovingAvg(spark, sf).collect()
+    assert(out.length == graft.core.Tables.events(spark, sf).count())
+    assert(out.forall(r => r.getAs[Long]("n_window") >= 1L &&
+      r.getAs[Long]("n_window") <= 5L))
+    // per-user recount for one user: windows grow 1,2,3,4,5,5,...
+    val ev = graft.core.Tables.events(spark, sf)
+      .orderBy(col("ts"), col("event_id"))
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Double]("value")))
+    val u = ev.groupBy(_._2).maxBy(_._2.length)._2
+    val ma = out.map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ma5")).toMap
+    u.zipWithIndex.foreach { case ((eid, _, _), i) =>
+      val frame = u.slice(math.max(0, i - 4), i + 1).map(_._3)
+      val expected = BigDecimal(frame.sum / frame.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ma(eid) - expected) < 2e-6,
+        s"ma5 mismatch for event $eid: ${ma(eid)} vs $expected")
+    }
+  }
+
   test("heavy hitters: one-sided CMS error, k rows, top term exact") {
     val out = TextAnalysis.heavyHitters(spark, sf, k = 20).collect()
       .map(r => (r.getString(0), r.getAs[Long]("n_exact"), r.getAs[Long]("n_cms")))
