@@ -30,6 +30,12 @@ import graft.graph.{ConnectedComponents, EdgeUpdates, Graph, PageRank, RMat, Sho
   */
 object RmatTier {
 
+  /** Vertex-count ceiling for broadcasting iteration state into the
+    * per-round edges join (~100 MB of state; above it the algorithms use
+    * their equivalence-tested shuffle-join fallback).
+    */
+  val BroadcastableVertices = 4000000L
+
   /** tier → (SCALE, action count), ref README.md:72-80. Edge factor 8. */
   val tiers: Map[String, (Int, Long)] = Map(
     "tiny" -> (10, 100000L),
@@ -86,9 +92,21 @@ object RmatTier {
       graph.cachedUndirected.count()
       graph
     }
-    val (_, svSec) = timed("sv")(ConnectedComponents(g).count())
-    val (_, ssspSec) = timed("sssp")(ShortestPaths.fromMinVertex(g).count())
-    val (_, prSec) = timed("pr")(PageRank.converged(g).count())
+    // broadcast the |V|-row iteration state only while it genuinely fits:
+    // at SCALE 24 (16.8M vertices) the per-round broadcast hash relation is
+    // gigabytes and OOMs a bounded-heap driver — that tier exercises the
+    // equivalence-tested shuffle-join fallback, the same switch a
+    // billion-vertex cluster run would flip
+    val nv = g.vertices.count()
+    val bc = nv <= BroadcastableVertices
+    if (!bc) System.err.println(
+      s"[bench] nv=$nv > $BroadcastableVertices: shuffle-join state path")
+    val (_, svSec) = timed("sv")(
+      ConnectedComponents(g, broadcastVertices = bc).count())
+    val (_, ssspSec) = timed("sssp")(
+      ShortestPaths.fromMinVertex(g, broadcastState = bc).count())
+    val (_, prSec) = timed("pr")(
+      PageRank.converged(g, broadcastVertices = bc).count())
     // update: inputs pre-materialized, the timed step is the action-log
     // application alone (ref: tests/bagel/App.scala:195-203 reads the
     // action file untimed, then times the apply)
@@ -100,7 +118,6 @@ object RmatTier {
     val rate = naActual / updSec
     System.err.println(f"[bench] rmat_update rate: $naActual actions / $updSec%.2f s = $rate%.0f act/s")
 
-    val nv = g.vertices.count()
     val ne = g.cachedUndirected.count()
     runJson.foreach { path =>
       val rt = Runtime.getRuntime
