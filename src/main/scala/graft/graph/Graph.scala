@@ -33,13 +33,18 @@ final case class Graph(edges: DataFrame, memoizeAnalytics: Boolean = false) {
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
-  /** Materialized, row-count-partitioned undirected view — computed once
-    * per Graph instance and shared by every algorithm run against it
-    * (`Graph.fromTpch` memoizes instances per (session, dir), so the six
-    * graph workloads in a session scan and cache the edge table once).
+  /** Materialized, row-count-partitioned undirected view, hash-partitioned
+    * on `src` — computed once per Graph instance and shared by every
+    * algorithm run against it (`Graph.fromTpch` memoizes instances per
+    * (session, dir), so the six graph workloads in a session scan and
+    * cache the edge table once). The src alignment means degree aggregates
+    * and the shuffle-fallback frontier/state joins read the cache without
+    * re-exchanging the edge side — at the large R-MAT tier that is the
+    * difference between exchanging 265M edges or 15M state rows per
+    * iteration.
     */
   lazy val cachedUndirected: DataFrame =
-    graft.core.Partitioning.cachedSized(undirected)
+    graft.core.Partitioning.cachedSizedBy(undirected, Seq("src"))
 
   /** Distinct vertex ids appearing in any edge. */
   def vertices: DataFrame =
