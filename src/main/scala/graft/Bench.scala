@@ -47,17 +47,18 @@ object Bench {
     "q1_agg", "q3_revenue", "q5_nation_revenue",
     "q6_forecast", "q18_large_orders",
     "topk_orders_per_cust", "sessionize", "events_hourly", "events_asof",
-    "events_json", "events_rollup", "events_moving_avg",
+    "events_json", "events_rollup", "events_moving_avg", "events_funnel",
+    "events_retention",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic",
-    "dedup_semantic_exhaustive",
+    "dedup_semantic_exhaustive", "dedup_substring",
     "ann_topk", "ann_lsh", "ann_ivf",
     "ann_lsh_exhaustive", "ann_ivf_exhaustive",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",
     "text_pii", "text_inverted_index", "text_heavy_hitters",
-    "corpus_decontaminate", "corpus_sample", "corpus_dsir", "corpus_pack",
-    "corpus_curate", "stats_profile",
+    "corpus_decontaminate", "corpus_sample", "corpus_mix", "corpus_dsir",
+    "corpus_pack", "corpus_curate", "stats_profile",
     "multimodal_meta", "multimodal_frames", "stream_events_hourly",
     "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
     "stream_dedup_exact", "stream_degrees_incremental",

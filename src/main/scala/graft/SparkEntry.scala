@@ -64,6 +64,8 @@ object SparkEntry {
     "events_json" -> ((s, d) => Relational.eventsJson(s, d)),
     "events_rollup" -> ((s, d) => Relational.eventsRollup(s, d)),
     "events_moving_avg" -> ((s, d) => Relational.eventsMovingAvg(s, d)),
+    "events_funnel" -> ((s, d) => Relational.eventsFunnel(s, d)),
+    "events_retention" -> ((s, d) => Relational.eventsRetention(s, d)),
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -75,6 +77,7 @@ object SparkEntry {
     // nClusters=1 ⇒ within-cluster pairs are ALL pairs ≡ D5 (oracle-green twin)
     "dedup_semantic_exhaustive" -> ((s, d) => Dedup.semantic(s, d, nClusters = 1)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.substringContainment(s, d)),
     // --- similarity search (S1..S3) ---
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
@@ -99,6 +102,7 @@ object SparkEntry {
     // --- corpus curation (T8..T10) ---
     "corpus_decontaminate" -> ((s, d) => Corpus.decontaminateQuery(s, d)),
     "corpus_sample" -> ((s, d) => Corpus.sampleStratified(s, d)),
+    "corpus_mix" -> ((s, d) => Corpus.mixWeights(s, d)),
     "corpus_pack" -> ((s, d) => Pack.chunks(s, d)),
     "corpus_curate" -> ((s, d) => Pack.curate(s, d)),
     "stats_profile" -> ((s, d) => Corpus.numericProfile(s, d)),
@@ -187,6 +191,8 @@ object SparkEntry {
     "events_json" -> Relational.eventsJsonSql,
     "events_rollup" -> Relational.eventsRollupSql,
     "events_moving_avg" -> Relational.eventsMovingAvgSql,
+    "events_funnel" -> Relational.eventsFunnelSql,
+    "events_retention" -> Relational.eventsRetentionSql,
     "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
@@ -196,6 +202,7 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.clustersSql(),
     "dedup_semantic_exhaustive" -> Dedup.embeddingCosineSql(),
     "dedup_keep_best" -> Dedup.keepBestSql(),
+    "dedup_substring" -> Dedup.substringContainmentSql(),
     "ann_topk" -> Similarity.annTopKSql(),
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),
     "ann_ivf_exhaustive" -> Similarity.annTopKSql(),
@@ -213,6 +220,7 @@ object SparkEntry {
     "corpus_dsir" -> Corpus.dsirSql(),
     "corpus_decontaminate" -> Corpus.decontaminateSql(),
     "corpus_sample" -> Corpus.sampleStratifiedSql,
+    "corpus_mix" -> Corpus.mixWeightsSql(),
     "corpus_pack" -> Pack.chunksSql(),
     "corpus_curate" -> Pack.curateSql(),
     "stats_profile" -> Corpus.numericProfileSql,

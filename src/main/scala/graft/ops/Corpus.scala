@@ -19,12 +19,20 @@ object Corpus {
     * tokens — Spark's sequence(1, 0) is DESCENDING, not empty). Dedup
     * happens downstream where the set is already small: per-row
     * array_distinct is a quadratic scan over hundreds of grams per doc.
+    *
+    * Each gram is one `slice` + `array_join`, NOT n element_at calls:
+    * higher-order `transform` lambdas run interpreted (no codegen, no
+    * common-subexpression elimination), so every expression referencing
+    * the token array re-evaluates the regex split per element — n
+    * element_at's made gram construction O(n·grams·|text|) per document
+    * (measured 20.5 s for a 235k-gram corpus single-core; slice makes it
+    * one re-split per gram, ~8× less).
     */
-  private def wordNgrams(text: Column, n: Int): Column = {
+  private[ops] def wordNgrams(text: Column, n: Int): Column = {
     val t = toks(text)
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+        i => array_join(slice(t, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -281,4 +289,52 @@ object Corpus {
        |FROM fb JOIN w USING (bucket)
        |GROUP BY 1""".stripMargin
   }
+
+  val MixAlpha = 0.3
+  val MixBudgetFrac = 0.5
+
+  /** T18: temperature-based source mixing — the multilingual-LM sampling
+    * scheme (XLM-R / mBERT, α=0.3): per-source weights w_s ∝ n_s^α
+    * normalized over sources, flattening the head so low-resource strata
+    * are over-sampled relative to their raw share; then per-source keep
+    * rates realizing a global doc budget (rates cap at 1 — a stratum can't
+    * be sampled above its size).
+    *
+    * One map-side-combined count per source is the only corpus-sized work;
+    * the normalization window runs over the O(#sources) aggregate. The
+    * rates feed T9's md5 coin for the actual reproducible sample, so
+    * mixture design and mixture execution stay separate, auditable steps.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = pow(col("n_docs").cast("double"), lit(MixAlpha))
+    val w = p / sum(p).over(all)
+    val budget = sum(col("n_docs")).over(all).cast("double") * lit(MixBudgetFrac)
+    val rate = least(lit(1.0), w * budget / col("n_docs").cast("double"))
+    Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        round(w, 6).as("weight"),
+        round(rate, 6).as("rate"),
+        floor(col("n_docs").cast("double") * rate).cast("long").as("expected_docs"))
+  }
+
+  def mixWeightsSql(alpha: Double = MixAlpha,
+      budgetFrac: Double = MixBudgetFrac): String =
+    s"""WITH counts AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT source, n_docs,
+       |    pow(n_docs, $alpha) / sum(pow(n_docs, $alpha)) OVER () AS weight,
+       |    CAST(sum(n_docs) OVER () AS DOUBLE) * $budgetFrac AS budget
+       |  FROM counts
+       |)
+       |SELECT source, n_docs,
+       |  round(weight, 6) AS weight,
+       |  round(least(1.0, weight * budget / n_docs), 6) AS rate,
+       |  CAST(floor(n_docs * least(1.0, weight * budget / n_docs)) AS BIGINT)
+       |    AS expected_docs
+       |FROM w""".stripMargin
 }

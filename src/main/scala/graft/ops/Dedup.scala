@@ -591,4 +591,88 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  val ContainNgram = 8
+  val ContainThreshold = 0.5
+
+  /** D9: substring-containment dedup — the within-corpus counterpart of
+    * Lee et al. 2022's substring dedup, set-approximated: report pairs
+    * where the smaller document's distinct word-8-gram set is ≥ threshold
+    * contained in the other's. Containment |A∩B| / min(|A|,|B|) catches
+    * "doc B embeds doc A plus extra content", which Jaccard structurally
+    * misses (the union term dilutes an embedded doc to j ≈ |A|/|B|).
+    *
+    * Scale shape mirrors T8 decontamination, not D2's all-pairs: grams are
+    * hashed to two independently-seeded 64-bit values right after the
+    * explode (the join key and shuffle rows are 16 bytes, collision-proof
+    * against the string oracle), and an 8-WORD gram is selective enough
+    * that only true shared substrings ever join — random documents share
+    * none. The residual hub risk is boilerplate grams (license headers);
+    * production caps gram document-frequency before the join, the same
+    * df-cap the inverted index applies.
+    */
+  def substringContainment(spark: SparkSession, dir: String,
+      threshold: Double = ContainThreshold): DataFrame = {
+    def gh2(g: Column): Column = xxhash64(g, lit("graft.contain.2"))
+    // explode with duplicates and dedup AFTER hashing: a per-row
+    // array_distinct over ~1k gram strings is a quadratic scan per doc
+    // (measured 43 s at sf0.1); the distributed distinct shuffles 24-byte
+    // hashed rows instead. The deduped gram table feeds three consumers
+    // (both join sides + sizes), so materialize it once — recomputing the
+    // explode+hash per consumer tripled the scan cost (24 s → 7 s).
+    // gram construction is compute-bound (interpreted HOF lambda): spread
+    // it across cores even when the corpus arrives as a handful of parquet
+    // files (no-op on an already-wide 100 TB corpus) — same medicine as T8
+    val p = spark.sparkContext.defaultParallelism
+    val docs0 = Tables.documents(spark, dir)
+    val docs = if (docs0.rdd.getNumPartitions < p) docs0.repartition(p) else docs0
+    val g = docs
+      .select(col("doc_id"),
+        explode(Corpus.wordNgrams(col("text"), ContainNgram)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"),
+        gh2(col("gram")).as("gh2"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.gh") === col("b.gh") && col("a.gh2") === col("b.gh2") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    // no broadcast hint on sizes: it is per-doc, so it only LOOKS small at
+    // test SF — AQE sees the actual post-shuffle sizes (the checkpoint cost
+    // static stats, not runtime ones) and broadcasts whichever side fits
+    // (here: the candidate-pair side at scale)
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  def substringContainmentSql(n: Int = ContainNgram,
+      threshold: Double = ContainThreshold): String = {
+    val gram = (0 until n).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= $n
+       |    THEN list_transform(range(1, len(t) - ${n - 2}), i -> $gram)
+       |    ELSE []::VARCHAR[] END)) AS gram
+       |  FROM tk
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(containment, 6) AS containment FROM (
+       |  SELECT id_a, id_b, inter::DOUBLE / least(x.n, y.n) AS containment
+       |  FROM inter JOIN sizes x ON id_a = x.doc_id
+       |  JOIN sizes y ON id_b = y.doc_id) t
+       |WHERE containment >= $threshold""".stripMargin
+  }
 }

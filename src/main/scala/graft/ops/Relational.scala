@@ -391,6 +391,118 @@ object Relational {
       |FROM events
       |GROUP BY ROLLUP (event_type, date_trunc('hour', ts))""".stripMargin
 
+  /** R13: staged conversion funnel over events — per user, the first view,
+    * the first click at-or-after that view, and the first purchase
+    * at-or-after that click, all in event-sequence order (ts, event_id);
+    * reports per-stage user counts and mean stage-transition times.
+    *
+    * Everything happens on ONE shuffle of events by user_id: running-min
+    * windows compute stage reachability in sequence order (a click only
+    * qualifies once a view precedes it in the same user's ordered stream),
+    * then the per-user aggregate and the final single-row rollup reuse the
+    * same partitioning. No self-joins of the event table — the naive
+    * formulation joins events to itself once per stage, which at 100 TB is
+    * two extra fact-to-fact shuffles.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val staged = ev
+      // earliest view at-or-before this row (sequence order)
+      .withColumn("t1r",
+        min(when(col("event_type") === "view", col("ts_us"))).over(byUser))
+      // clicks that already saw a view
+      .withColumn("t2c",
+        when(col("event_type") === "click" && col("t1r").isNotNull, col("ts_us")))
+      .withColumn("t2r", min(col("t2c")).over(byUser))
+      // purchases that already saw a qualified click
+      .withColumn("t3c",
+        when(col("event_type") === "purchase" && col("t2r").isNotNull, col("ts_us")))
+    staged.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("t1"),
+        min(col("t2c")).as("t2"),
+        min(col("t3c")).as("t3"))
+      .agg(
+        count(col("t1")).as("users_view"),
+        count(col("t2")).as("users_click"),
+        count(col("t3")).as("users_purchase"),
+        round(avg(col("t2") - col("t1")) / 1e6, 4).as("avg_view_to_click_sec"),
+        round(avg(col("t3") - col("t2")) / 1e6, 4).as("avg_click_to_purchase_sec"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH staged AS (
+      |  SELECT user_id, event_type, event_id, ts_us,
+      |    min(CASE WHEN event_type = 'view' THEN ts_us END) OVER w AS t1r,
+      |    CASE WHEN event_type = 'click' AND
+      |      min(CASE WHEN event_type = 'view' THEN ts_us END) OVER w IS NOT NULL
+      |      THEN ts_us END AS t2c
+      |  FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), staged2 AS (
+      |  SELECT *,
+      |    CASE WHEN event_type = 'purchase' AND
+      |      min(t2c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+      |      THEN ts_us END AS t3c
+      |  FROM (SELECT user_id, event_type, event_id, ts_us, t2c FROM staged)
+      |), per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1,
+      |    min(t2c) AS t2,
+      |    min(t3c) AS t3
+      |  FROM staged2 GROUP BY user_id
+      |)
+      |SELECT count(t1) AS users_view, count(t2) AS users_click,
+      |  count(t3) AS users_purchase,
+      |  round(avg(t2 - t1) / 1e6, 4) AS avg_view_to_click_sec,
+      |  round(avg(t3 - t2) / 1e6, 4) AS avg_click_to_purchase_sec
+      |FROM per_user""".stripMargin
+
+  /** R14: cohort retention — users grouped by first-activity day, counted
+    * on each later active day offset. The canonical product/growth
+    * analysis and, shape-wise, the "activity matrix" of any longitudinal
+    * training corpus (documents per crawl cohort per snapshot).
+    *
+    * No self-join of the activity table: the per-user cohort day is a
+    * window min over the deduped (user, day) rows, so the plan is
+    * distinct → user_id window → final rollup — three map-side-combined
+    * exchanges of strictly shrinking width, vs the naive first-day-table
+    * join that shuffles the activity rows twice and materializes a
+    * per-user side table.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .distinct()
+    val cohort = min(col("d")).over(Window.partitionBy(col("user_id")))
+    ev.select(col("user_id"), col("d"), cohort.as("cohort_d"))
+      // rows are distinct per (user, day) ⇒ plain count = distinct users
+      .groupBy(col("cohort_d"), (col("d") - col("cohort_d")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val eventsRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort_d
+      |  FROM ev
+      |)
+      |SELECT cohort_d, d - cohort_d AS day_offset,
+      |  count(*) AS n_users
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   val asOfSql: String =
     """WITH u AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, 0 AS side

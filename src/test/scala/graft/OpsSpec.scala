@@ -622,4 +622,93 @@ class OpsSpec extends AnyFunSuite {
         s"postings mismatch for $term")
     }
   }
+
+  test("funnel: stage counts match a sequential per-user replay") {
+    val out = Relational.eventsFunnel(spark, sf).head()
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // replay each user's stream in (ts, event_id) order: first view, first
+    // click after it, first purchase after that — the funnel's semantics
+    var (nV, nC, nP) = (0L, 0L, 0L)
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      var (t1, t2, t3) = (Option.empty[Long], Option.empty[Long], Option.empty[Long])
+      rows.sortBy(r => (r._4, r._3)).foreach { case (_, typ, _, ts) =>
+        if (typ == "view" && t1.isEmpty) t1 = Some(ts)
+        else if (typ == "click" && t1.isDefined && t2.isEmpty) t2 = Some(ts)
+        else if (typ == "purchase" && t2.isDefined && t3.isEmpty) t3 = Some(ts)
+      }
+      if (t1.isDefined) nV += 1
+      if (t2.isDefined) nC += 1
+      if (t3.isDefined) nP += 1
+    }
+    assert(out.getAs[Long]("users_view") == nV)
+    assert(out.getAs[Long]("users_click") == nC)
+    assert(out.getAs[Long]("users_purchase") == nP)
+    assert(nV >= nC && nC >= nP, "funnel stages must be monotone")
+  }
+
+  test("retention: cohort matrix equals a full recount") {
+    val out = Relational.eventsRetention(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cohort_d"), r.getAs[Long]("day_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    val days = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), datediff(to_date(col("ts")),
+        lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val cohort = days.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val expected = days.groupBy { case (u, d) => (cohort(u), d - cohort(u)) }
+      .map { case (k, rows) => k -> rows.map(_._1).distinct.length.toLong }
+    assert(out == expected)
+    out.keys.foreach { case (_, off) => assert(off >= 0L) }
+  }
+
+  test("mix weights: normalized, budget-respecting, head-flattening") {
+    val out = Corpus.mixWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("weight"), r.getAs[Double]("rate"),
+        r.getAs[Long]("expected_docs")))
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(out.map(_._2).sum == nDocs)
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4, "weights must sum to 1")
+    out.foreach { case (s, n, w, r, e) =>
+      assert(r > 0 && r <= 1.0, s"rate out of range for $s")
+      assert(e <= n, s"expected docs exceed stratum size for $s")
+      assert(w > 0, s"zero weight for $s")
+    }
+    // α < 1 flattens: a stratum with FEWER docs gets a HIGHER sampling rate
+    val sorted = out.sortBy(_._2)
+    if (sorted.head._2 < sorted.last._2)
+      assert(sorted.head._4 >= sorted.last._4,
+        "temperature sampling must over-sample small strata")
+    // realized budget stays within one doc per stratum of the target
+    assert(out.map(_._5).sum <= (nDocs * Corpus.MixBudgetFrac).toLong + out.length)
+  }
+
+  test("substring containment: matches a brute-force 8-gram recount") {
+    val out = Dedup.substringContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment"))
+      .toMap
+    val grams = graft.core.Tables.documents(spark, sf).collect().map { r =>
+      val t = r.getAs[String]("text").trim.toLowerCase.split("\\s+").toSeq
+      r.getAs[Long]("doc_id") -> t.sliding(Dedup.ContainNgram)
+        .filter(_.length == Dedup.ContainNgram).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, ga) <- grams; (b, gb) <- grams if a < b
+      inter = (ga & gb).size
+      c = inter.toDouble / math.min(ga.size, gb.size)
+      if c >= Dedup.ContainThreshold
+    } yield (a, b) -> BigDecimal(c).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (k, c) =>
+      assert(math.abs(out(k) - c) < 2e-6, s"containment mismatch for $k")
+    }
+    // containment dominates jaccard: |∩|/min ≥ |∩|/|∪| — an embedded doc
+    // (all its grams in a larger one) scores 1.0 regardless of size gap
+    expected.values.foreach(c => assert(c <= 1.0 + 1e-9))
+  }
 }
