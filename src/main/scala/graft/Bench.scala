@@ -57,6 +57,7 @@ object Bench {
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",
     "text_pii", "text_inverted_index", "text_heavy_hitters",
+    "text_unigram_xent",
     "corpus_decontaminate", "corpus_sample", "corpus_mix", "corpus_dsir",
     "corpus_pack", "corpus_curate", "stats_profile",
     "multimodal_meta", "multimodal_frames", "stream_events_hourly",

@@ -98,6 +98,7 @@ object SparkEntry {
     "text_pii" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    "text_unigram_xent" -> ((s, d) => TextAnalysis.unigramXent(s, d)),
     "corpus_dsir" -> ((s, d) => Corpus.dsirWeights(s, d)),
     // --- corpus curation (T8..T10) ---
     "corpus_decontaminate" -> ((s, d) => Corpus.decontaminateQuery(s, d)),
@@ -217,6 +218,7 @@ object SparkEntry {
     "text_pii" -> TextAnalysis.piiRedactSql,
     "text_inverted_index" -> TextAnalysis.invertedIndexSql(),
     "text_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
+    "text_unigram_xent" -> TextAnalysis.unigramXentSql,
     "corpus_dsir" -> Corpus.dsirSql(),
     "corpus_decontaminate" -> Corpus.decontaminateSql(),
     "corpus_sample" -> Corpus.sampleStratifiedSql,

@@ -246,6 +246,42 @@ object TextAnalysis {
        |  FROM scored)
        |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= $k""".stripMargin
 
+  /** T19: unigram LM cross-entropy — the CCNet/LLaMA-pipeline "perplexity
+    * filter" signal: score each document by the mean negative log
+    * likelihood of its tokens under the corpus's own unigram distribution
+    * (nats/token). Templated/boilerplate text scores low, rare-token soup
+    * scores high; production filters both tails.
+    *
+    * One term explode feeds both the vocabulary count and the token⋈vocab
+    * join — tf and c are aggregates keyed on term, so the join co-locates
+    * on the existing exchange and AQE broadcasts small vocabularies at
+    * runtime (a web-scale vocabulary stays a shuffle join, correctly).
+    * The per-doc aggregate is map-side combined; nothing driver-side but
+    * the scalar token total.
+    */
+  def unigramXent(spark: SparkSession, dir: String): DataFrame = {
+    val terms = termTable(spark, dir)
+    val cnt = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = cnt.agg(sum(col("c"))).head().getLong(0).toDouble
+    terms.join(cnt, "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-sum(log(col("c").cast("double") / lit(total))) /
+          count(lit(1)), 4).as("xent_nats"))
+  }
+
+  val unigramXentSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, t.term FROM documents,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(term)
+      |), cnt AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(-sum(ln(c / (SELECT t FROM tot))) / count(*), 4) AS xent_nats
+      |FROM terms JOIN cnt USING (term)
+      |GROUP BY doc_id""".stripMargin
+
   /** T6: corpus-level word n-gram counts, top-k — the "what does the corpus
     * repeat" profile. One explode + one count shuffle; top-k via a single
     * global sort of the (small) distinct-ngram aggregate.

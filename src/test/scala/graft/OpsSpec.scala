@@ -711,4 +711,23 @@ class OpsSpec extends AnyFunSuite {
     // (all its grams in a larger one) scores 1.0 regardless of size gap
     expected.values.foreach(c => assert(c <= 1.0 + 1e-9))
   }
+
+  test("unigram xent: matches a direct corpus-LM recount") {
+    val out = TextAnalysis.unigramXent(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("xent_nats")))).toMap
+    val docs = graft.core.Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim
+        .toLowerCase.split("\\s+").toSeq)
+    val counts = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, a) => t -> a.length.toDouble }
+    val total = counts.values.sum
+    assert(out.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, ts) =>
+      val (n, x) = out(id)
+      assert(n == ts.length, s"token count mismatch for doc $id")
+      val expected = -ts.map(t => math.log(counts(t) / total)).sum / ts.length
+      assert(math.abs(x - expected) < 2e-4, s"xent mismatch for doc $id")
+    }
+  }
 }
