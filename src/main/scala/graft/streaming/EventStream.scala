@@ -510,9 +510,11 @@ object EventStream extends Serializable {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // batch-bounded + checkpointed (stats-less) — broadcast explicitly
+        // or the static planner sort-merges the full edge state per batch
         val touched = canon(batch).distinct().localCheckpoint(true)
         def presentPairs(st: DataFrame): DataFrame =
-          canon(st).join(touched, Seq("a", "b"), "left_semi").distinct()
+          canon(st).join(broadcast(touched), Seq("a", "b"), "left_semi").distinct()
         val before = presentPairs(edgeState).localCheckpoint(true)
         edgeState = EdgeUpdates(edgeState, batch).localCheckpoint(true)
         val after = presentPairs(edgeState).localCheckpoint(true)
@@ -593,9 +595,18 @@ object EventStream extends Serializable {
       .foreachBatch { (batch: DataFrame, _: Long) => t("batch") {
         // the batch-derived pair sets are batch-bounded by construction and
         // localCheckpoint'd (no Catalyst stats) — broadcast them explicitly
-        // or every probe below sort-merges the FULL edge state per batch
-        val dels = canon(batch.filter(col("is_del"))).distinct()
+        // or every probe below sort-merges the FULL edge state per batch.
+        // ONE materialization carries both the delete and insert pair sets
+        // (each micro-batch job has a ~0.3 s scheduling floor, so per-batch
+        // job count IS the cost here, not data volume)
+        val pairs = batch.select(
+            least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"), col("is_del"))
+          .groupBy(col("a"), col("b"))
+          .agg(max(when(col("is_del"), 1).otherwise(0)).as("has_del"),
+            max(when(col("is_del"), 0).otherwise(1)).as("has_ins"))
           .localCheckpoint(true)
+        val dels = pairs.filter(col("has_del") === 1).select(col("a"), col("b"))
         def presentDel(st: DataFrame): DataFrame =
           canon(st).join(broadcast(dels), Seq("a", "b"), "left_semi").distinct()
         val before = presentDel(edgeState).localCheckpoint(true)
@@ -611,8 +622,9 @@ object EventStream extends Serializable {
         // must not — and no repair would be scheduled for it, since the
         // edge never flips from present to absent): probe the new edge
         // state with the broadcast batch pairs — one scan, no shuffle
-        val insRaw = canon(batch.filter(!col("is_del"))).distinct()
-          .localCheckpoint(true)
+        // (checkpointed: consumed by both the new-vertex probe and the
+        // contraction join)
+        val insRaw = pairs.filter(col("has_ins") === 1).select(col("a"), col("b"))
         val ins = canon(edgeState)
           .join(broadcast(insRaw), Seq("a", "b"), "left_semi").distinct()
           .localCheckpoint(true)
