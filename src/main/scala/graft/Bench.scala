@@ -42,13 +42,13 @@ object Bench {
     "graph_pagerank5", "graph_pagerank_conv",
     "graph_update_edges", "graph_update_degrees",
     "graph_update_cc", "graph_update_pagerank5", "graph_update_sssp",
-    "graph_triangles", "graph_triangles_scale", "graph_kcore",
+    "graph_triangles", "graph_triangles_scale", "graph_kcore", "graph_lpa",
     "rmat_gen", "rmat_actions",
     "q1_agg", "q3_revenue", "q5_nation_revenue",
     "q6_forecast", "q18_large_orders",
     "topk_orders_per_cust", "sessionize", "events_hourly", "events_asof",
     "events_json", "events_rollup", "events_moving_avg", "events_funnel",
-    "events_retention",
+    "events_retention", "events_hopping",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic",
     "dedup_semantic_exhaustive", "dedup_substring",
@@ -57,7 +57,7 @@ object Bench {
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",
     "text_pii", "text_inverted_index", "text_heavy_hitters",
-    "text_unigram_xent",
+    "text_unigram_xent", "text_hll_distinct",
     "corpus_decontaminate", "corpus_sample", "corpus_mix", "corpus_dsir",
     "corpus_pack", "corpus_curate", "stats_profile",
     "multimodal_meta", "multimodal_frames", "stream_events_hourly",

@@ -45,6 +45,7 @@ object SparkEntry {
     "graph_update_sssp" -> ((s, d) =>
       ShortestPaths.fromMinVertex(EdgeUpdates.updatedGraph(s, d))),
     "graph_kcore" -> ((s, d) => KCore(Graph.fromTpch(s, d), k = 32)),
+    "graph_lpa" -> ((s, d) => LabelPropagation(Graph.fromTpch(s, d), rounds = 5)),
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
     "graph_triangles_scale" -> ((s, d) =>
       Triangles.orientedCount(Triangles.partCoOrderEdges(s, d))),
@@ -66,6 +67,7 @@ object SparkEntry {
     "events_moving_avg" -> ((s, d) => Relational.eventsMovingAvg(s, d)),
     "events_funnel" -> ((s, d) => Relational.eventsFunnel(s, d)),
     "events_retention" -> ((s, d) => Relational.eventsRetention(s, d)),
+    "events_hopping" -> ((s, d) => Relational.eventsHopping(s, d)),
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -99,6 +101,7 @@ object SparkEntry {
     "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "text_unigram_xent" -> ((s, d) => TextAnalysis.unigramXent(s, d)),
+    "text_hll_distinct" -> ((s, d) => TextAnalysis.hllDistinct(s, d)),
     "corpus_dsir" -> ((s, d) => Corpus.dsirWeights(s, d)),
     // --- corpus curation (T8..T10) ---
     "corpus_decontaminate" -> ((s, d) => Corpus.decontaminateQuery(s, d)),
@@ -176,6 +179,7 @@ object SparkEntry {
       PageRank.unrolledSql(5, EdgeUpdates.updatedUndirectedCte),
     "graph_update_sssp" -> EdgeUpdates.updatedSsspSql,
     "graph_kcore" -> KCore.unrolledSql(k = 32, rounds = 8),
+    "graph_lpa" -> LabelPropagation.unrolledSql(rounds = 5),
     "graph_triangles" -> Triangles.nationTrianglesSql,
     "graph_triangles_scale" -> Triangles.partTrianglesSql,
     "rmat_gen" -> RMat.unrolledSql(RMat.Params(scale = 10)),
@@ -194,6 +198,7 @@ object SparkEntry {
     "events_moving_avg" -> Relational.eventsMovingAvgSql,
     "events_funnel" -> Relational.eventsFunnelSql,
     "events_retention" -> Relational.eventsRetentionSql,
+    "events_hopping" -> Relational.eventsHoppingSql,
     "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
@@ -219,6 +224,7 @@ object SparkEntry {
     "text_inverted_index" -> TextAnalysis.invertedIndexSql(),
     "text_heavy_hitters" -> TextAnalysis.heavyHittersSql(),
     "text_unigram_xent" -> TextAnalysis.unigramXentSql,
+    "text_hll_distinct" -> TextAnalysis.hllDistinctSql,
     "corpus_dsir" -> Corpus.dsirSql(),
     "corpus_decontaminate" -> Corpus.decontaminateSql(),
     "corpus_sample" -> Corpus.sampleStratifiedSql,

@@ -512,3 +512,59 @@ object KCore {
        |FROM e$rounds GROUP BY 1""".stripMargin
   }
 }
+
+/** Label-propagation community detection (Raghavan, Albert & Kumara 2007),
+  * made deterministic for oracle checking: synchronous rounds, each vertex
+  * adopts the most frequent label among its neighbors with ties broken by
+  * the smallest label (the classic algorithm's random tie-break and
+  * asynchronous schedule trade determinism for convergence speed; fixed
+  * synchronous rounds keep the result a pure function of the graph). An
+  * extension over the reference surface, like triangles and k-core.
+  *
+  * Spark-first shape: each round is two map-side-combined aggregates —
+  * count labels per (vertex, label), then `max_by` argmax per vertex — both
+  * shuffling |V|-to-|E|-bounded rows on the vertex key; no window sort, no
+  * per-round edge rewrite (the edge cache is scanned as-is). At
+  * billion-vertex scale disable the label-table broadcast and the join
+  * falls back to the pre-partitioned vertex key, as in PageRank/k-core.
+  */
+object LabelPropagation {
+  def apply(g: Graph, rounds: Int = 5,
+      broadcastVertices: Boolean = true): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    val edges = g.cachedUndirected.select(col("src"), col("dst"))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = edges.join(bc(labels), col("src") === col("id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        // deterministic argmax without a window: max count, then min label
+        .groupBy(col("dst").as("id"))
+        .agg(expr("max_by(lbl, struct(c, -lbl))").as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("id"), col("lbl").as("label"))
+  }
+
+  /** DuckDB oracle: the same synchronous rounds unrolled; the argmax is a
+    * row_number over the per-(vertex, label) counts with the same
+    * (count DESC, label ASC) tie-break.
+    */
+  def unrolledSql(rounds: Int,
+      edgesCte: String = Graph.undirectedCte): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT dst AS id, lbl FROM (
+         |    SELECT e.dst, p.lbl, count(*) AS c,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, p.lbl ASC) AS rn
+         |    FROM edges e JOIN l${r - 1} p ON e.src = p.id
+         |    GROUP BY e.dst, p.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |l0 AS (SELECT DISTINCT src AS id, CAST(src AS BIGINT) AS lbl FROM edges),
+       |$steps
+       |SELECT CAST(id AS BIGINT) AS id, CAST(lbl AS BIGINT) AS label FROM l$rounds""".stripMargin
+  }
+}

@@ -184,6 +184,42 @@ object Relational {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** R15: hopping (sliding) windows — 1-hour windows every 15 minutes, so
+    * each event lands in size/slide = 4 overlapping windows. Spark's
+    * `window(ts, size, slide)` plans this as a codegen'd 4-row expansion
+    * feeding ONE map-side-combined aggregate — the per-event fan-out never
+    * shuffles unexpanded rows twice, and the output is bounded by
+    * (#windows × #types), not the event count. The rolling-metric shape
+    * (trailing-hour dashboards refreshed sub-hourly) that tumbling windows
+    * (R6) can't express.
+    *
+    * Window starts are epoch-aligned slide multiples, emitted as epoch
+    * seconds (BIGINT) for an engine-neutral compare.
+    */
+  def eventsHopping(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"), col("n_users"))
+  }
+
+  /** Oracle: expand each event into its 4 containing windows explicitly —
+    * starts are the slide multiples in (ts − 1h, ts], i.e. floor(ts/slide)
+    * minus j slides for j = 0..3 — then aggregate per (start, type).
+    */
+  val eventsHoppingSql: String =
+    """SELECT CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900 - j.j * 900 AS win_start,
+      |  event_type,
+      |  count(*) AS n,
+      |  round(sum(value), 4) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events, (SELECT unnest([0, 1, 2, 3]) AS j) j
+      |GROUP BY 1, 2""".stripMargin
+
   /** TPC-H Q6 style: the pure-pushdown query — every predicate reaches the
     * parquet scan (range on date, between on discount, bound on quantity),
     * a 4-column ReadSchema, and a single scalar aggregate. The plan is one

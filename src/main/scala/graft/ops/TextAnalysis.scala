@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 
@@ -595,5 +596,103 @@ object TextAnalysis {
        |SELECT term, n_exact, CAST(min(c) AS BIGINT) AS n_cms
        |FROM cb JOIN sketch USING (s, bucket)
        |GROUP BY term, n_exact""".stripMargin
+  }
+  // --- T20: HyperLogLog distinct-count sketch ------------------------------
+
+  /** HLL geometry: 2^12 = 4096 registers (first 3 hex digits of the md5
+    * route to a register; the next 15 hex digits = 60 bits feed the
+    * leading-zero rank), standard error 1.04/√m ≈ 1.6%.
+    */
+  val HllM = 4096
+
+  /** T20: distinct-token estimate via HyperLogLog (Flajolet et al. 2007).
+    *
+    * The register build is the 100 TB sketch shape (as T17's count-min):
+    * token hashes fold map-side into ≤ 4096 (register, max-rank) cells, so
+    * the shuffle is O(m), not O(corpus) — the exact-distinct alternative
+    * shuffles every distinct token. Like T17, the hash is an md5 window
+    * rather than a seed-dependent library hash, so the registers AND the
+    * estimate are deterministic and the DuckDB oracle checks the sketch
+    * itself, not just a tolerance band.
+    *
+    * The register sum Σ 2^(61−M_j) is accumulated in DECIMAL(38,0) —
+    * integer-exact, so the one double division at the end is
+    * order-independent (a double Σ 2^−M_j would round differently under
+    * Spark's vs DuckDB's summation order). Small-range correction (linear
+    * counting when E ≤ 2.5m with empty registers) matches the paper.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val hx = md5(col("term").cast("binary"))
+    val rest = substring(hx, 4, 15) // 60 bits after the 12 register bits
+    val z = length(regexp_extract(rest, "^0*", 0)) // leading zero hex digits
+    val d = rest.substr(z + lit(1), lit(1)) // first non-zero hex digit
+    val dlz = when(d === "1", 3).when(d.isin("2", "3"), 2)
+      .when(d.isin("4", "5", "6", "7"), 1).otherwise(0)
+    val rho = when(z === 15, lit(61)).otherwise(lit(4) * z + dlz + lit(1))
+    val regs = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .select(conv(substring(hx, 1, 3), 16, 10).cast("long").as("register"),
+        rho.as("rho"))
+      .groupBy(col("register")).agg(max(col("rho")).as("m_j"))
+    val twoPow61 = 2305843009213693952L // 2^61, exact in a double
+    regs.agg(
+        count(lit(1)).as("filled"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 61 - m_j)")
+          .cast(DecimalType(38, 0))).as("s_present"))
+      .select(
+        lit(HllM.toLong).as("m"),
+        col("filled").cast("long").as("filled"),
+        // alpha_m * m^2 / Σ 2^−M_j, empty registers contributing 2^0 each
+        ((lit(0.7213 / (1.0 + 1.079 / HllM)) * HllM * HllM) /
+          ((col("s_present").cast("double") +
+            (lit(HllM.toLong) - col("filled")).cast("double") * twoPow61.toDouble) /
+            twoPow61.toDouble)).as("raw"))
+      .select(col("m"), col("filled"),
+        round(when(col("raw") <= 2.5 * HllM && col("filled") < HllM,
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) /
+              (lit(HllM.toLong) - col("filled")).cast("double")))
+          .otherwise(col("raw")), 3).as("est_distinct"))
+  }
+
+  val hllDistinctSql: String = {
+    // 3-hex-digit register index (DuckDB has no conv(); positional digit sum)
+    val reg = (0 until 3).map { i =>
+      s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1 << (4 * (2 - i))}"
+    }.mkString("(", " + ", ")")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents
+       |), h AS (SELECT md5(term) AS hx FROM toks),
+       |br AS (
+       |  SELECT $reg AS register, substr(hx, 4, 15) AS rest FROM h
+       |), rk AS (
+       |  SELECT register,
+       |    CASE WHEN length(regexp_extract(rest, '^0*')) = 15 THEN 61
+       |         ELSE 4 * length(regexp_extract(rest, '^0*'))
+       |           + CASE substr(rest, length(regexp_extract(rest, '^0*')) + 1, 1)
+       |               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+       |               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+       |               WHEN '7' THEN 1 ELSE 0 END + 1
+       |    END AS rho
+       |  FROM br
+       |), regs AS (
+       |  SELECT register, max(rho) AS m_j FROM rk GROUP BY 1
+       |), s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS filled,
+       |    sum(CAST((CAST(1 AS BIGINT) << (61 - m_j)) AS HUGEINT)) AS s_present
+       |  FROM regs
+       |), raw AS (
+       |  SELECT filled,
+       |    (CAST(${0.7213 / (1.0 + 1.079 / 4096)} AS DOUBLE) * 4096 * 4096) /
+       |      ((CAST(s_present AS DOUBLE)
+       |        + CAST(4096 - filled AS DOUBLE) * 2305843009213693952.0)
+       |       / 2305843009213693952.0) AS raw
+       |  FROM s
+       |)
+       |SELECT CAST(4096 AS BIGINT) AS m, filled,
+       |  round(CASE WHEN raw <= ${2.5 * 4096} AND filled < 4096
+       |    THEN 4096.0 * ln(4096.0 / CAST(4096 - filled AS DOUBLE))
+       |    ELSE raw END, 3) AS est_distinct
+       |FROM raw""".stripMargin
   }
 }

@@ -239,4 +239,34 @@ class GraphSpec extends AnyFunSuite {
     assert(out == adj.map { case (v, ns) => v -> ns.size.toLong },
       "distributed peel disagrees with sequential peel")
   }
+
+  test("label propagation: planted communities and a sequential replay") {
+    def replay(sym: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      var lbl = adj.keys.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        lbl = adj.map { case (v, ns) =>
+          val counts = ns.groupBy(lbl).map { case (l, xs) => l -> xs.size }
+          v -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        }
+      }
+      lbl
+    }
+    // two triangles joined by a bridge: labels localize to each triangle
+    val planted = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val g = mkGraph(planted: _*)
+    val out = LabelPropagation(g, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sym = (planted ++ planted.map(_.swap)).distinct
+    assert(out == replay(sym, 5), "planted-graph LPA disagrees with replay")
+    assert(out(1L) == 1L && out(2L) == 1L && out(11L) == out(12L))
+    // real graph: exact agreement with the sequential replay
+    val gt = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val symT = gt.undirected.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val outT = LabelPropagation(gt, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(outT == replay(symT, 5), "TPC-H-graph LPA disagrees with replay")
+  }
 }

@@ -730,4 +730,35 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(x - expected) < 2e-4, s"xent mismatch for doc $id")
     }
   }
+
+  test("hopping windows: 4 windows per event, each window a direct recount") {
+    val out = Relational.eventsHopping(spark, sf)
+    val ev = graft.core.Tables.events(spark, sf)
+    // every event lands in exactly size/slide = 4 windows
+    assert(out.agg(sum("n")).head().getLong(0) == 4 * ev.count())
+    // the window() expansion equals the explicit epoch-aligned expansion
+    val manual = ev
+      .select(col("event_type"), col("value"), col("user_id"),
+        explode(sequence(lit(0), lit(3))).as("j"),
+        (floor(unix_timestamp(col("ts")) / 900) * 900).as("base"))
+      .groupBy((col("base") - col("j") * 900).as("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"),
+        count_distinct(col("user_id")).as("n_users"))
+    assert(out.exceptAll(manual).isEmpty && manual.exceptAll(out).isEmpty,
+      "window() expansion disagrees with the explicit 4-window expansion")
+  }
+
+  test("hll distinct: within standard-error band of the exact count") {
+    val row = TextAnalysis.hllDistinct(spark, sf).head()
+    val m = row.getLong(0)
+    val filled = row.getLong(1)
+    val est = row.getDouble(2)
+    assert(m == 4096 && filled > 0 && filled <= m)
+    val exact = graft.core.Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .agg(count_distinct(col("t"))).head().getLong(0).toDouble
+    // 1.04/sqrt(4096) ≈ 1.6% standard error; allow 3 sigma
+    assert(math.abs(est / exact - 1.0) < 0.05,
+      s"HLL estimate $est vs exact $exact outside 5%")
+  }
 }
