@@ -23,7 +23,8 @@ object PlanAudit {
     // iterative/streaming queries execute eagerly inside their builders and
     // their final plan is a checkpoint scan — skip, they're audited by hand
     val skip = Set("graph_cc", "graph_cc_sizes", "graph_sssp",
-      "graph_pagerank5", "graph_pagerank_conv", "stream_events_hourly",
+      "graph_pagerank5", "graph_pagerank_conv", "graph_lpa",
+      "stream_events_hourly",
       // streaming mains drain eagerly; their final "plan" is a memory-sink
       // or checkpoint scan — audited by hand like the iterative algorithms
       "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
