@@ -44,7 +44,18 @@ object EdgeUpdates {
   /** Apply an action log to a weighted edge table. Returns (src, dst, weight)
     * for all surviving edges.
     */
-  def apply(base: DataFrame, actions: DataFrame): DataFrame = {
+  def apply(base: DataFrame, actions: DataFrame): DataFrame =
+    applyAnnotated(base, actions)
+      .filter(col("weight") > 0L)
+      .select(col("src"), col("dst"), col("weight"))
+
+  /** The update merge WITHOUT the survivor filter: every touched-or-present
+    * pair with its new `weight` and pre-update `weight_old`. Presence flips
+    * (weight_old > 0 ≠ weight > 0) come free from the same single
+    * edge-table pass — the incremental streaming maintainers read them
+    * instead of probing the edge state before AND after.
+    */
+  def applyAnnotated(base: DataFrame, actions: DataFrame): DataFrame = {
     val byEdge = Window.partitionBy(col("src"), col("dst"))
     // per action row: the last delete's action_id over its edge (null if none)
     val annotated = actions.withColumn("last_del",
@@ -64,8 +75,8 @@ object EdgeUpdates {
       .select(col("src"), col("dst"),
         (when(coalesce(col("any_del"), lit(false)), lit(0L))
           .otherwise(coalesce(col("weight"), lit(0L))) +
-          coalesce(col("n_ins"), lit(0L))).as("weight"))
-      .filter(col("weight") > 0L)
+          coalesce(col("n_ins"), lit(0L))).as("weight"),
+        coalesce(col("weight"), lit(0L)).as("weight_old"))
   }
 
   private val instances =

@@ -490,9 +490,6 @@ object EventStream extends Serializable {
     */
   def incrementalDegreesStream(spark: SparkSession, dir: String,
       batches: Int = 4): DataFrame = {
-    def canon(df: DataFrame): DataFrame = df.select(
-      least(col("src"), col("dst")).as("a"),
-      greatest(col("src"), col("dst")).as("b"))
     val actions = EdgeUpdates.actionsFromEvents(spark, dir)
     val staging = stageByChunks(actions, "action_id", batches)
     var edgeState = Graph.fromTpch(spark, dir).edges.localCheckpoint(true)
@@ -510,17 +507,20 @@ object EventStream extends Serializable {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // batch-bounded + checkpointed (stats-less) — broadcast explicitly
-        // or the static planner sort-merges the full edge state per batch
-        val touched = canon(batch).distinct().localCheckpoint(true)
-        def presentPairs(st: DataFrame): DataFrame =
-          canon(st).join(broadcast(touched), Seq("a", "b"), "left_semi").distinct()
-        val before = presentPairs(edgeState).localCheckpoint(true)
-        edgeState = EdgeUpdates(edgeState, batch).localCheckpoint(true)
-        val after = presentPairs(edgeState).localCheckpoint(true)
-        val flips = after.except(before).withColumn("d", lit(1L))
-          .union(before.except(after).withColumn("d", lit(-1L)))
-        val vertexDeltas = flips.select(
+        // ONE edge-state pass per batch: the update merge itself carries
+        // old-vs-new weight, so presence flips come out of the same scan —
+        // no separate before/after probes, no excepts. Two jobs per batch
+        // (merge checkpoint + degree-state checkpoint), each one scan.
+        val merged = EdgeUpdates.applyAnnotated(edgeState, batch)
+          .localCheckpoint(true)
+        edgeState = merged.filter(col("weight") > 0L)
+          .select(col("src"), col("dst"), col("weight"))
+        val flipsD = merged
+          .filter((col("weight_old") > 0L) =!= (col("weight") > 0L))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"),
+            when(col("weight") > 0L, lit(1L)).otherwise(lit(-1L)).as("d"))
+        val vertexDeltas = flipsD.select(
             explode(when(col("a") === col("b"), array(col("a")))
               .otherwise(array(col("a"), col("b")))).as("id"), col("d"))
           .groupBy(col("id")).agg(sum(col("d")).as("delta"))
@@ -564,9 +564,6 @@ object EventStream extends Serializable {
     */
   def incrementalCcStream(spark: SparkSession, dir: String,
       batches: Int = 4): DataFrame = {
-    def canon(df: DataFrame): DataFrame = df.select(
-      least(col("src"), col("dst")).as("a"),
-      greatest(col("src"), col("dst")).as("b"))
     val actions = EdgeUpdates.actionsFromEvents(spark, dir)
     val staging = stageByChunks(actions, "action_id", batches)
     var edgeState = Graph.fromTpch(spark, dir).edges.localCheckpoint(true)
@@ -593,41 +590,31 @@ object EventStream extends Serializable {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) => t("batch") {
-        // the batch-derived pair sets are batch-bounded by construction and
-        // localCheckpoint'd (no Catalyst stats) — broadcast them explicitly
-        // or every probe below sort-merges the FULL edge state per batch.
-        // ONE materialization carries both the delete and insert pair sets
-        // (each micro-batch job has a ~0.3 s scheduling floor, so per-batch
-        // job count IS the cost here, not data volume)
-        val pairs = batch.select(
-            least(col("src"), col("dst")).as("a"),
-            greatest(col("src"), col("dst")).as("b"), col("is_del"))
-          .groupBy(col("a"), col("b"))
-          .agg(max(when(col("is_del"), 1).otherwise(0)).as("has_del"),
-            max(when(col("is_del"), 0).otherwise(1)).as("has_ins"))
+        // ONE edge-state pass per batch: the update merge carries old-vs-new
+        // weight, and its presence flips are exactly incremental CC's
+        // events — pairs flipping ON are the only possible merges (an
+        // already-present pair's endpoints are already connected, so a
+        // surviving insert on a present pair changes nothing), pairs
+        // flipping OFF the only possible splits (an insert-then-delete
+        // within one batch never flips, so it neither merges nor schedules
+        // a repair — last-action-wins is resolved inside the merge). No
+        // before/after probes, no separate insert-survivor probe.
+        val merged = EdgeUpdates.applyAnnotated(edgeState, batch)
           .localCheckpoint(true)
-        val dels = pairs.filter(col("has_del") === 1).select(col("a"), col("b"))
-        def presentDel(st: DataFrame): DataFrame =
-          canon(st).join(broadcast(dels), Seq("a", "b"), "left_semi").distinct()
-        val before = presentDel(edgeState).localCheckpoint(true)
-        edgeState = EdgeUpdates(edgeState, batch).localCheckpoint(true)
-        val after = presentDel(edgeState)
-        val flipped = before.except(after)
+        edgeState = merged.filter(col("weight") > 0L)
+          .select(col("src"), col("dst"), col("weight"))
+        val flippedOff = merged
+          .filter(col("weight_old") > 0L && col("weight") === 0L)
         dirtyVerts = dirtyVerts
-          .union(flipped.select(col("a").as("id")))
-          .union(flipped.select(col("b").as("id")))
+          .union(flippedOff.select(col("src").as("id")))
+          .union(flippedOff.select(col("dst").as("id")))
           .distinct().localCheckpoint(true)
-        // inserts: only pairs that SURVIVED the batch's last-action-wins
-        // resolution may merge (an insert-then-delete within one batch
-        // must not — and no repair would be scheduled for it, since the
-        // edge never flips from present to absent): probe the new edge
-        // state with the broadcast batch pairs — one scan, no shuffle
-        // (checkpointed: consumed by both the new-vertex probe and the
-        // contraction join)
-        val insRaw = pairs.filter(col("has_ins") === 1).select(col("a"), col("b"))
-        val ins = canon(edgeState)
-          .join(broadcast(insRaw), Seq("a", "b"), "left_semi").distinct()
-          .localCheckpoint(true)
+        // pairs that flipped ON — batch-bounded by construction (a flip
+        // needs a batch action on its pair), lazily re-read from the merge
+        // checkpoint; broadcast into the contraction joins below
+        val ins = merged.filter(col("weight_old") === 0L && col("weight") > 0L)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
         val endpoints = ins.select(explode(array(col("a"), col("b"))).as("id"))
           .distinct()
         val newVerts = endpoints.join(labels, Seq("id"), "left_anti")
@@ -641,14 +628,16 @@ object EventStream extends Serializable {
           .select(col("ca").as("src"), col("cb").as("dst"))
           .filter(col("src") =!= col("dst"))
           .collect()
-        labels = labeled.localCheckpoint(true)
         // merge map via driver-side union-find on the CONTRACTED edge list
         // — bounded by batch size (never corpus size) by construction, so
         // collecting it is the scale-right move: a distributed CC loop here
         // costs several barrier jobs per micro-batch for a graph of a few
         // hundred nodes. Union-by-min keeps the min-label invariant
         // (component id = min vertex id), so merged labels stay exact.
-        if (contracted.nonEmpty) {
+        // `labeled` stays lazy until the merge map is known, so the
+        // new-vertex union and the merge join land in ONE checkpoint job.
+        if (contracted.isEmpty) labels = labeled.localCheckpoint(true)
+        else {
           val parent = scala.collection.mutable.Map.empty[Long, Long]
           def find(x: Long): Long = {
             var r = x
@@ -668,7 +657,7 @@ object EventStream extends Serializable {
           val spark = batch.sparkSession
           import spark.implicits._
           val mergeDf = merges.toDF("component", "merged")
-          labels = labels.join(broadcast(mergeDf), Seq("component"), "left")
+          labels = labeled.join(broadcast(mergeDf), Seq("component"), "left")
             .select(col("id"),
               coalesce(col("merged"), col("component")).as("component"))
             .localCheckpoint(true)
