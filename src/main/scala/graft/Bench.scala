@@ -62,8 +62,8 @@ object Bench {
     "corpus_pack", "corpus_curate", "stats_profile",
     "multimodal_meta", "multimodal_frames", "stream_events_hourly",
     "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
-    "stream_dedup_exact", "stream_degrees_incremental",
-    "stream_cc_incremental")
+    "stream_dedup_exact", "stream_events_hopping",
+    "stream_degrees_incremental", "stream_cc_incremental")
 
   /** First-trial seconds above which a query is not re-trialed (it
     * amortizes its own warmup, and re-running it would double suite

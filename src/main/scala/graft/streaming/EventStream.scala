@@ -169,6 +169,42 @@ object EventStream extends Serializable {
       |  count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** X8: hopping (sliding) windowed aggregation as a stream — R15's
+    * trailing-hour windows refreshed every 15 minutes, continuously
+    * maintained. The 4-windows-per-event expansion happens inside the
+    * stateful aggregation, so streaming state is bounded by
+    * #windows × #types, never the event count. (No distinct-user column:
+    * distinct aggregates are unsupported in streaming — the batch twin
+    * R15 carries it.)
+    */
+  def eventsHopping(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = statePartitionSession(spark0, 8)
+    val schema = Tables.load(spark, dir, "events").schema
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), round(col("sv"), 4).as("sum_value"))
+    val name = s"graft_stream_hopping_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  val eventsHoppingSql: String =
+    """SELECT CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900 - j.j * 900 AS win_start,
+      |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events, (SELECT unnest([0, 1, 2, 3]) AS j) j
+      |GROUP BY 1, 2""".stripMargin
+
   /** X2: micro-batched graph maintenance. Splits the action log into
     * `batches` chunks by action_id and folds EdgeUpdates over them,
     * verifying the fold equals the one-shot batch apply (associativity of

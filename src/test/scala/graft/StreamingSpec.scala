@@ -19,6 +19,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(stream).count() == 0)
   }
 
+  test("streaming hopping-window agg equals the batch hopping agg") {
+    val stream = EventStream.eventsHopping(spark, sf)
+      .select("win_start", "event_type", "n", "sum_value")
+    val batch = Relational.eventsHopping(spark, sf)
+      .select("win_start", "event_type", "n", "sum_value")
+    assert(stream.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(stream).count() == 0)
+  }
+
   test("micro-batched graph maintenance equals one-shot batch update") {
     val folded = EventStream.maintainGraph(spark, sf, batches = 3)
     val oneShot = EdgeUpdates.updatedGraph(spark, sf).edges
