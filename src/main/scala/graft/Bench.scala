@@ -39,7 +39,7 @@ object Bench {
     "graph_build_edges", "graph_degrees", "graph_degree_dist",
     "graph_cc", "graph_cc_alt", "graph_cc_sizes", "graph_sssp",
     "graph_sssp_weighted",
-    "graph_pagerank5", "graph_pagerank_conv",
+    "graph_pagerank5", "graph_pagerank_conv", "graph_pagerank_ppr",
     "graph_update_edges", "graph_update_degrees",
     "graph_update_cc", "graph_update_pagerank5", "graph_update_sssp",
     "graph_triangles", "graph_triangles_scale", "graph_kcore", "graph_lpa",

@@ -418,6 +418,83 @@ object PageRank {
     (state.select(col("id"), round(col("pr"), 8).as("pr")), i)
   }
 
+  /** G15: personalized PageRank — random walk with restart to a source set
+    * (Page et al. 1998 §6 "personalized" teleport; Jeh & Widom, "Scaling
+    * Personalized Web Search", WWW 2003). The teleport mass lands only on
+    * the sources, so ranks measure proximity to them — the seed-expansion /
+    * recommendation primitive global PageRank can't express (its ranks are
+    * query-independent). Same per-iteration shape as the global variant:
+    * edges never shuffle, one map-side-combined contribution aggregate plus
+    * one |V|-row state join per iteration; fixed iterations so the DuckDB
+    * oracle unrolls the identical arithmetic.
+    */
+  def personalized(g: Graph, sources: Seq[Long], iterations: Int = 5,
+      broadcastVertices: Boolean = true): DataFrame = {
+    require(sources.nonEmpty, "personalized PageRank needs a non-empty source set")
+    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    val edges = g.cachedUndirected
+    val isSource = col("id").isInCollection(sources)
+    val teleport = 1.0 / sources.size
+    var state = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+      .select(col("id"), col("outdeg"),
+        when(isSource, lit(teleport)).otherwise(lit(0.0)).as("pr"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val contribs = edges
+        .join(bc(state), col("src") === col("id"))
+        .select(col("dst"), (col("pr") / col("outdeg")).as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("msg"))
+      state = state.select(col("id"), col("outdeg"))
+        .join(contribs, col("id") === contribs("dst"), "left")
+        .select(col("id"), col("outdeg"),
+          (when(isSource, lit((1.0 - Damping) * teleport)).otherwise(lit(0.0)) +
+            lit(Damping) * coalesce(col("msg"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    state.select(col("id"), round(col("pr"), 8).as("pr"))
+  }
+
+  /** Personalized PR from the minimum vertex id (the analog of "vertex 0",
+    * as [[ShortestPaths.fromMinVertex]]). Empty graph → empty result.
+    */
+  def personalizedFromMinVertex(g: Graph, iterations: Int = 5,
+      broadcastVertices: Boolean = true): DataFrame = {
+    val row = g.cachedUndirected.agg(min(col("src"))).head()
+    if (row.isNullAt(0)) {
+      val spark = g.edges.sparkSession
+      import spark.implicits._
+      Seq.empty[(Long, Double)].toDF("id", "pr")
+    } else personalized(g, Seq(row.getLong(0)), iterations, broadcastVertices)
+  }
+
+  /** DuckDB oracle for [[personalizedFromMinVertex]]: the teleport lands
+    * only on min(src); otherwise the same unrolled arithmetic as the
+    * global oracle.
+    */
+  def personalizedSql(iterations: Int,
+      edgesCte: String = Graph.undirectedCte): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""pr$k AS (
+         |  SELECT v.id,
+         |    (CASE WHEN v.id = (SELECT s FROM src0) THEN 1 - 0.85 ELSE 0 END)
+         |      + 0.85 * coalesce(s.msg, 0) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pr / d.outdeg) AS msg
+         |    FROM edges e JOIN pr${k - 1} p ON e.src = p.id JOIN deg d ON e.src = d.id
+         |    GROUP BY 1) s ON v.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |verts AS (SELECT DISTINCT src AS id FROM edges),
+       |src0 AS (SELECT min(src) AS s FROM edges),
+       |deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
+       |pr0 AS (SELECT id, CASE WHEN id = (SELECT s FROM src0) THEN 1.0 ELSE 0 END AS pr FROM verts),
+       |$iters
+       |SELECT id, round(pr, 8) AS pr FROM pr$iterations""".stripMargin
+  }
+
   /** DuckDB oracle: the same fixed iterations unrolled as plain SQL CTEs.
     * @param edgesCte CTE chain ending in `edges(src, dst)` — defaults to
     *   the TPC-H graph; pass e.g. the updated-graph chain to oracle the

@@ -111,6 +111,29 @@ class GraphSpec extends AnyFunSuite {
     assert(maxDiff < 1e-6)
   }
 
+  test("personalized pagerank: source-set-uniform equals global pagerank") {
+    // teleport to ALL vertices with uniform mass == the global formula,
+    // including the 1/nv initial state — bit-identical arithmetic
+    val g = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val all = g.cachedUndirected.select("src").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val ppr = PageRank.personalized(g, all, 5).withColumnRenamed("pr", "pra")
+    val global = PageRank.fixedIterations(g, 5).withColumnRenamed("pr", "prb")
+    assert(ppr.join(global, "id").filter(col("pra") =!= col("prb")).count() == 0)
+  }
+
+  test("personalized pagerank: mass conserved, proximity to the source") {
+    // star 1-0, 0-2, 0-3 with source 1: mass sums to 1 (symmetrized graph
+    // has no dangling vertices), equidistant leaves tie, and the source
+    // leaf outranks them (it alone receives teleport mass)
+    val g = mkGraph((1L, 0L), (0L, 2L), (0L, 3L))
+    val pr = PageRank.personalized(g, Seq(1L), 20).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+    assert(math.abs(pr(2L) - pr(3L)) < 1e-9)
+    assert(pr(1L) > pr(2L))
+  }
+
   test("edge updates: insert new, delete existing, delete-then-insert") {
     val base = Seq((1L, 2L, 5L), (3L, 4L, 1L), (5L, 6L, 2L))
       .toDF("src", "dst", "weight")
