@@ -48,7 +48,7 @@ object Bench {
     "q6_forecast", "q18_large_orders",
     "topk_orders_per_cust", "sessionize", "events_hourly", "events_asof",
     "events_json", "events_rollup", "events_moving_avg", "events_funnel",
-    "events_retention", "events_hopping",
+    "events_retention", "events_hopping", "events_interval_join",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic",
     "dedup_semantic_exhaustive", "dedup_substring",

@@ -70,6 +70,7 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => Relational.eventsFunnel(s, d)),
     "events_retention" -> ((s, d) => Relational.eventsRetention(s, d)),
     "events_hopping" -> ((s, d) => Relational.eventsHopping(s, d)),
+    "events_interval_join" -> ((s, d) => Relational.eventsIntervalJoin(s, d)),
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -203,6 +204,7 @@ object SparkEntry {
     "events_funnel" -> Relational.eventsFunnelSql,
     "events_retention" -> Relational.eventsRetentionSql,
     "events_hopping" -> Relational.eventsHoppingSql,
+    "events_interval_join" -> Relational.eventsIntervalJoinSql,
     "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),

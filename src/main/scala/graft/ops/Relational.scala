@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -337,6 +337,61 @@ object Relational {
         col("ts_us_asof").as("click_ts_us"),
         (col("purchase_ts_us") - col("ts_us_asof")).as("gap_us"))
   }
+
+  /** R16: interval (range) join via time bucketing. Catalyst plans a bare
+    * `l.ts BETWEEN r.start AND r.end` as BroadcastNestedLoopJoin — O(|L|·|R|)
+    * work however small the true match set, the classic range-join
+    * scale-killer. Bucketing restores an equi-join: each interval explodes
+    * into the fixed-width time buckets it overlaps (bounded fan-out =
+    * ⌈len/bucket⌉+1 rows), probes join on their single bucket, and the exact
+    * half-open predicate filters the candidates. Work is O(|L| + Σ len_i/w +
+    * matches), the shuffle is an ordinary hash exchange AQE can skew-split
+    * on hot buckets, and the small exploded side stays broadcast-eligible.
+    * (Databricks' range-join optimization and Flink's interval join use the
+    * same binning idea.)
+    *
+    * Join membership uses the exact timestamps — bucketing only routes; a
+    * probe's truncated-seconds bucket always lies within the interval's
+    * [start, end] truncated bucket range, so routing is lossless.
+    */
+  def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
+      startCol: String, endCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive: $bucketSeconds")
+    val reserved = Set("__bucket")
+    val clashes = (left.columns ++ right.columns).filter(reserved)
+    require(clashes.isEmpty,
+      s"intervalJoin inputs must not contain reserved columns: ${clashes.mkString(", ")}")
+    def bucketOf(c: Column) = floor(unix_timestamp(c) / bucketSeconds).cast("long")
+    val r = right.withColumn("__bucket",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    val l = left.withColumn("__bucket", bucketOf(col(leftTs)))
+    l.join(r, Seq("__bucket"))
+      .filter(col(leftTs) >= col(startCol) && col(leftTs) < col(endCol))
+      .drop("__bucket")
+  }
+
+  /** R16 query: error-incident windows — every `error` event opens a
+    * 30-minute window; count the events and distinct users falling inside
+    * each. The alerting/attribution join every event pipeline runs.
+    */
+  def eventsIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val wins = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 1800 SECONDS")).as("win_end"))
+    val probe = ev.select(col("user_id"), col("ts"))
+    intervalJoin(probe, "ts", wins, "win_start", "win_end", bucketSeconds = 1800L)
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
+
+  val eventsIntervalJoinSql: String =
+    """SELECT r.event_id AS win_id, count(*) AS n_events,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') r
+      |JOIN events e ON e.ts >= r.ts AND e.ts < r.ts + INTERVAL 1800 SECOND
+      |GROUP BY 1""".stripMargin
 
   /** R10: semi-structured extraction — parse the `props` JSON column and
     * aggregate over an extracted field. The JSON parse itself can't push to

@@ -319,6 +319,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed interval join equals the naive range join on real events") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val wins = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 1800 SECONDS")).as("win_end"))
+    val probe = ev.select(col("event_id").as("probe_id"), col("ts"))
+    val bucketed = Relational.intervalJoin(
+        probe, "ts", wins, "win_start", "win_end", bucketSeconds = 1800L)
+      .select("probe_id", "win_id")
+    val naive = probe.join(wins,
+        col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .select("probe_id", "win_id")
+    assert(bucketed.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(bucketed).count() == 0)
+    // bucket width narrower than the interval: fan-out > 2, same answer
+    val narrow = Relational.intervalJoin(
+        probe, "ts", wins, "win_start", "win_end", bucketSeconds = 700L)
+      .select("probe_id", "win_id")
+    assert(narrow.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(narrow).count() == 0)
+  }
+
+  test("interval join rejects reserved columns and non-positive buckets") {
+    import spark.implicits._
+    val l = Seq((1L, 2L)).toDF("ts", "__bucket")
+    val r = Seq((1L, 2L)).toDF("s", "e")
+    intercept[IllegalArgumentException] {
+      Relational.intervalJoin(l, "ts", r, "s", "e", 60L)
+    }
+    intercept[IllegalArgumentException] {
+      Relational.intervalJoin(l.select("ts"), "ts", r, "s", "e", 0L)
+    }
+  }
+
   test("dsir weights rank target-like documents above off-target ones") {
     import spark.implicits._
     // target (en) docs draw from one vocabulary, off-target from another;
