@@ -71,6 +71,8 @@ object SparkEntry {
     "events_retention" -> ((s, d) => Relational.eventsRetention(s, d)),
     "events_hopping" -> ((s, d) => Relational.eventsHopping(s, d)),
     "events_interval_join" -> ((s, d) => Relational.eventsIntervalJoin(s, d)),
+    "events_pivot" -> ((s, d) => Relational.eventsPivot(s, d)),
+    "user_spend_deciles" -> ((s, d) => Relational.userSpendDeciles(s, d)),
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -205,6 +207,8 @@ object SparkEntry {
     "events_retention" -> Relational.eventsRetentionSql,
     "events_hopping" -> Relational.eventsHoppingSql,
     "events_interval_join" -> Relational.eventsIntervalJoinSql,
+    "events_pivot" -> Relational.eventsPivotSql,
+    "user_spend_deciles" -> Relational.userSpendDecilesSql,
     "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),

@@ -393,6 +393,77 @@ object Relational {
       |JOIN events e ON e.ts >= r.ts AND e.ts < r.ts + INTERVAL 1800 SECOND
       |GROUP BY 1""".stripMargin
 
+  /** R17: pivot — long-to-wide reshaping (`GROUP BY cohort` × explicit
+    * event-type columns). With the pivot values listed explicitly Spark
+    * skips the extra distinct-values job and plans ONE map-side-combined
+    * aggregate whose projections are codegen'd case-whens — same shuffle
+    * cost as a plain groupBy, however many output columns. (Leaving the
+    * value list implicit adds a full extra scan+distinct at 100 TB.)
+    */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(floor(col("user_id") / 10).as("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 4))
+  }
+
+  val eventsPivotSql: String =
+    """SELECT CAST(FLOOR(user_id / 10) AS BIGINT) AS cohort,
+      |  round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+      |  round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+      |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+      |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+      |  round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** R18: global quantile bucketing WITHOUT a single-partition window.
+    * `ntile(10) OVER (ORDER BY total)` is the textbook spelling and a
+    * scale-killer: an unpartitioned window sorts the whole table in ONE
+    * task. Instead: exact decile cut points from one `percentile` aggregate
+    * (a scalar row), then each user buckets by comparing against the
+    * broadcast cut array — two map-side-combined aggregates and zero
+    * global sorts. Boundary semantics are cut-point comparison (documented,
+    * mirrored exactly in the oracle), not ntile's equal-count split; totals
+    * and cuts round to 4dp first so the FP summation-order ulp can't flip
+    * a boundary user between engines.
+    */
+  def userSpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 4).as("total"))
+    val cuts = totals.agg(
+      percentile(col("total"), lit((1 to 9).map(_ / 10.0).toArray)).as("cuts"))
+    // decile = 1 + #cuts at-or-below total: cross-join the one-row cut
+    // array (broadcast by construction) and count with a codegen'd filter
+    val bucketed = totals.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("total"),
+        (lit(1) + size(filter(col("cuts"),
+          c => round(c, 4) <= col("total")))).cast("long").as("decile"))
+    bucketed.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(col("total")), 4).as("sum_total"),
+        round(min(col("total")), 4).as("min_total"),
+        round(max(col("total")), 4).as("max_total"))
+  }
+
+  val userSpendDecilesSql: String =
+    """WITH totals AS MATERIALIZED (
+      |  SELECT user_id, round(sum(value), 4) AS total FROM events GROUP BY 1),
+      |cutrow AS (
+      |  SELECT [round(quantile_cont(total, 0.1), 4), round(quantile_cont(total, 0.2), 4),
+      |    round(quantile_cont(total, 0.3), 4), round(quantile_cont(total, 0.4), 4),
+      |    round(quantile_cont(total, 0.5), 4), round(quantile_cont(total, 0.6), 4),
+      |    round(quantile_cont(total, 0.7), 4), round(quantile_cont(total, 0.8), 4),
+      |    round(quantile_cont(total, 0.9), 4)] AS cs FROM totals),
+      |cuts AS MATERIALIZED (SELECT unnest(cs) AS cut FROM cutrow),
+      |buck AS (
+      |  SELECT t.user_id, t.total,
+      |    1 + (SELECT count(*) FROM cuts c WHERE c.cut <= t.total) AS decile
+      |  FROM totals t)
+      |SELECT decile, count(*) AS n_users, round(sum(total), 4) AS sum_total,
+      |  round(min(total), 4) AS min_total, round(max(total), 4) AS max_total
+      |FROM buck GROUP BY 1""".stripMargin
+
   /** R10: semi-structured extraction — parse the `props` JSON column and
     * aggregate over an extracted field. The JSON parse itself can't push to
     * the parquet scan, but column pruning does (ReadSchema keeps only the 4

@@ -353,6 +353,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pivot matches the per-type groupBy totals") {
+    val wide = Relational.eventsPivot(spark, sf)
+    val long = graft.core.Tables.events(spark, sf)
+      .groupBy(floor(col("user_id") / 10).as("cohort"), col("event_type"))
+      .agg(round(sum(col("value")), 4).as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    wide.collect().foreach { r =>
+      val c = r.getLong(0)
+      Seq("click", "error", "purchase", "signup", "view").zipWithIndex.foreach {
+        case (t, i) =>
+          val got = if (r.isNullAt(i + 1)) None else Some(r.getDouble(i + 1))
+          assert(got == long.get((c, t)), s"cohort $c type $t")
+      }
+    }
+  }
+
+  test("spend deciles partition all users with monotone ranges") {
+    val d = Relational.userSpendDeciles(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val nUsers = graft.core.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(d.values.map(_._1).sum == nUsers)
+    // every decile populated, counts near-uniform (cut-point semantics)
+    assert(d.keySet == (1 to 10).map(_.toLong).toSet)
+    val sorted = d.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach { case Seq((_, (_, _, hiA)), (_, (_, loB, _))) =>
+      assert(hiA <= loB)
+    }
+  }
+
   test("dsir weights rank target-like documents above off-target ones") {
     import spark.implicits._
     // target (en) docs draw from one vocabulary, off-target from another;
