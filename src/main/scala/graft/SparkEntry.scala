@@ -51,6 +51,8 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
     "graph_triangles_scale" -> ((s, d) =>
       Triangles.orientedCount(Triangles.partCoOrderEdges(s, d))),
+    "graph_clustering_coeff" -> ((s, d) =>
+      Triangles.localClustering(Triangles.partCoOrderEdges(s, d))),
     "rmat_gen" -> ((s, _) => RMat.graph(s, RMat.Params(scale = 10)).edges),
     "rmat_actions" -> ((s, _) =>
       RMat.actions(s, RMat.Params(scale = 10), na = 20000L)),
@@ -189,6 +191,7 @@ object SparkEntry {
     "graph_lpa" -> LabelPropagation.unrolledSql(rounds = 5),
     "graph_triangles" -> Triangles.nationTrianglesSql,
     "graph_triangles_scale" -> Triangles.partTrianglesSql,
+    "graph_clustering_coeff" -> Triangles.partClusteringSql,
     "rmat_gen" -> RMat.unrolledSql(RMat.Params(scale = 10)),
     "rmat_actions" -> RMat.actionsUnrolledSql(RMat.Params(scale = 10), na = 20000L),
     "q1_agg" -> Relational.q1Sql,

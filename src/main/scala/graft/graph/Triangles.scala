@@ -38,8 +38,18 @@ object Triangles {
     * Same count as [[count]] — property-tested against it, and the driver
     * oracle counts the same graph unoriented in DuckDB.
     */
-  def orientedCount(canonicalEdges: DataFrame): DataFrame = {
+  def orientedCount(canonicalEdges: DataFrame): DataFrame =
+    orientedTriangles(canonicalEdges)
+      .groupBy().agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
+
+  /** The oriented pipeline itself: one row (a, x, y) per triangle, counted
+    * exactly once at its orientation-minimal vertex `a`.
+    */
+  def orientedTriangles(canonicalEdges: DataFrame): DataFrame = {
+    // two consumers (the degree agg and the orientation join) — materialize
+    // the canonical edge set once instead of recomputing its upstream twice
     val e = canonicalEdges.select(col("u"), col("v")).distinct()
+      .localCheckpoint(true)
     val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
       .groupBy(col("id"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
@@ -64,7 +74,7 @@ object Triangles {
         col("e1.a") === col("e2.a") &&
           (col("e1.bd") < col("e2.bd") ||
             (col("e1.bd") === col("e2.bd") && col("e1.b") < col("e2.b"))))
-      .select(col("e1.b").as("x"), col("e2.b").as("y"))
+      .select(col("e1.a").as("a"), col("e1.b").as("x"), col("e2.b").as("y"))
     // hash join (not sort-merge) against the edge list: the edge side is
     // the m-bounded build side while the wedge side is the O(m^1.5) probe
     // stream — sorting the wedge stream would dominate the whole count
@@ -72,8 +82,72 @@ object Triangles {
     wedges.join(
         o.select(col("a").as("x"), col("b").as("y")).hint("shuffle_hash"),
         Seq("x", "y"))
-      .groupBy().agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
+      .select(col("a"), col("x"), col("y"))
   }
+
+  /** G16: local clustering coefficient — cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)),
+    * the per-vertex closure density (Watts & Strogatz 1998), 0 where
+    * deg < 2. T(v) comes from the same oriented O(m^1.5) pipeline as the
+    * scalar count: each (a, x, y) triangle row is exploded to its three
+    * corners and aggregated — the only additions over counting are one
+    * bounded 3× expand and a |V|-row join with degrees. The single
+    * division rounds to 6dp; no summation-order sensitivity (integer
+    * counts, one double op).
+    */
+  def localClustering(canonicalEdges: DataFrame): DataFrame = {
+    // e feeds three consumers (degrees here, plus orientedTriangles' two) —
+    // materialize the derived edge set once instead of recomputing its
+    // upstream (e.g. the co-occurrence self-join) per scan; the nested
+    // checkpoint inside orientedTriangles then reads this one, not the raw
+    // derivation
+    val e = canonicalEdges.select(col("u"), col("v")).distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    val tcount = orientedTriangles(e)
+      .select(explode(array(col("a"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("t"))
+    deg.join(tcount, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        round(when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1L))))
+          .otherwise(lit(0.0)), 6).as("coeff"))
+  }
+
+  /** Oracle: unoriented per-corner triangle counts + degrees, identical
+    * closure-density arithmetic.
+    */
+  val partClusteringSql: String =
+    """WITH pe AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |),
+      |tri AS MATERIALIZED (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM pe e1
+      |  JOIN pe e2 ON e1.v = e2.u
+      |  JOIN pe e3 ON e1.u = e3.u AND e2.v = e3.v
+      |),
+      |corners AS (
+      |  SELECT id, count(*) AS t FROM (
+      |    SELECT a AS id FROM tri UNION ALL
+      |    SELECT b AS id FROM tri UNION ALL
+      |    SELECT c AS id FROM tri) GROUP BY 1
+      |),
+      |deg AS (
+      |  SELECT id, count(*) AS deg FROM (
+      |    SELECT u AS id FROM pe UNION ALL SELECT v AS id FROM pe) GROUP BY 1
+      |)
+      |SELECT d.id, d.deg, coalesce(c.t, 0)::BIGINT AS n_tri,
+      |  round(CASE WHEN d.deg >= 2
+      |    THEN 2.0 * coalesce(c.t, 0) / (d.deg * (d.deg - 1))
+      |    ELSE 0 END, 6) AS coeff
+      |FROM deg d LEFT JOIN corners c ON d.id = c.id""".stripMargin
 
   /** Part co-occurrence graph: parts are adjacent iff some order contains
     * both — the market-basket projection of `lineitem`. Unlike the nation

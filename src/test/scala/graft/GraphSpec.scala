@@ -168,6 +168,28 @@ class GraphSpec extends AnyFunSuite {
       s"oriented=$oriented unoriented=$unoriented")
   }
 
+  test("clustering coefficient: cliques are 1.0, per-vertex counts match brute force") {
+    // every nation sits in a 5-clique: deg 4, T = C(4,2) = 6, coeff = 1
+    val cc = Triangles.localClustering(Triangles.nationEdges(spark, TestSpark.sfTiny))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(cc.length == 25)
+    cc.foreach { case (id, (d, t, c)) =>
+      assert(d == 4L && t == 6L && c == 1.0, s"nation $id: deg=$d t=$t coeff=$c")
+    }
+    // SF-scaling part graph: oriented per-vertex counts = unoriented corners
+    val pe = Triangles.partCoOrderEdges(spark, TestSpark.sfTiny)
+      .distinct().localCheckpoint(true)
+    val brute = pe.as("e1")
+      .join(pe.as("e2"), col("e1.v") === col("e2.u"))
+      .join(pe.as("e3"), col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("id"))
+      .groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Triangles.localClustering(pe)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.filter(_._2 > 0) == brute, "per-vertex triangle counts differ")
+  }
+
   test("graph algorithms are total on the empty graph") {
     import spark.implicits._
     val g = Graph(Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight"))
