@@ -38,7 +38,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "graph_build_edges", "graph_degrees", "graph_degree_dist",
     "graph_cc", "graph_cc_alt", "graph_cc_sizes", "graph_sssp",
-    "graph_sssp_weighted",
+    "graph_sssp_weighted", "graph_landmark_dist",
     "graph_pagerank5", "graph_pagerank_conv", "graph_pagerank_ppr",
     "graph_update_edges", "graph_update_degrees",
     "graph_update_cc", "graph_update_pagerank5", "graph_update_sssp",

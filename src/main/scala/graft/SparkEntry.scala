@@ -37,6 +37,8 @@ object SparkEntry {
     "graph_pagerank_conv" -> ((s, d) => PageRank.converged(Graph.fromTpch(s, d))),
     "graph_pagerank_ppr" -> ((s, d) =>
       PageRank.personalizedFromMinVertex(Graph.fromTpch(s, d), 5)),
+    "graph_landmark_dist" -> ((s, d) =>
+      LandmarkDistances(Graph.fromTpch(s, d), k = 4)),
     "graph_update_edges" -> ((s, d) => EdgeUpdates.updatedGraph(s, d).edges),
     "graph_update_degrees" -> ((s, d) => Degrees(EdgeUpdates.updatedGraph(s, d))),
     // maintain-then-analyze: the same algorithms over the updated graph
@@ -181,6 +183,7 @@ object SparkEntry {
          |SELECT id, min(lbl) AS component FROM cc GROUP BY id""".stripMargin,
     "graph_pagerank5" -> PageRank.unrolledSql(5),
     "graph_pagerank_ppr" -> PageRank.personalizedSql(5),
+    "graph_landmark_dist" -> LandmarkDistances.recursiveSql(4),
     "graph_update_edges" -> EdgeUpdates.updatedEdgesSql,
     "graph_update_degrees" -> EdgeUpdates.updatedDegreesSql,
     "graph_update_cc" -> EdgeUpdates.updatedCcSql,

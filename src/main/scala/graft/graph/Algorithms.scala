@@ -329,6 +329,72 @@ object WeightedShortestPaths {
   }
 }
 
+/** G17: multi-source landmark BFS — unweighted distances from the k
+  * smallest vertex ids, all in ONE frontier loop over (landmark, vertex)
+  * state. The distance-sketch / graph-embedding primitive (landmark
+  * distances approximate all-pairs shortest paths, Potamias et al. CIKM
+  * 2009): running k separate BFS loops costs k× the barrier rounds and
+  * re-scans edges per landmark; fusing them multiplies only the frontier
+  * width (state ≤ k·|V| rows, edges still scanned once per round), which
+  * is how a 1000-executor cluster amortizes its per-round scheduling
+  * floor across landmarks.
+  */
+object LandmarkDistances {
+  /** @param broadcastState see [[ShortestPaths.fromMinVertex]] — disable at
+    *   billion-vertex scale (state is ≤ k·|V| rows).
+    */
+  def apply(g: Graph, k: Int = 4, maxIter: Int = 64,
+      broadcastState: Boolean = true): DataFrame = {
+    val edges = g.cachedUndirected
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
+    // k O(1)-sized driver-side rows: the landmark ids
+    val lms = edges.select(col("src")).distinct().orderBy(col("src")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    if (lms.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("landmark", "id", "dist")
+    var dist = lms.map(l => (l, l, 0L)).toDF("landmark", "id", "dist")
+      .localCheckpoint(true)
+    var frontier = dist
+    var d = 0L
+    var done = false
+    while (!done && d < maxIter) {
+      d += 1
+      val next = edges.join(bc(frontier), frontier("id") === edges("src"))
+        .select(col("landmark"), col("dst").as("id")).distinct()
+        .join(bc(dist), Seq("landmark", "id"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.union(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    if (!done)
+      System.err.println(s"[graft] WARN LandmarkDistances: frontier still " +
+        s"non-empty after $maxIter hops — distances beyond the cap missing")
+    dist
+  }
+
+  /** DuckDB oracle: one recursive CTE seeded with all k landmarks. */
+  def recursiveSql(k: Int = 4,
+      edgesCte: String = Graph.undirectedCte): String =
+    s"""WITH RECURSIVE $edgesCte,
+       |lms AS MATERIALIZED (
+       |  SELECT DISTINCT src AS lm FROM edges ORDER BY 1 LIMIT $k),
+       |bfs(landmark, id, d) AS (
+       |  SELECT lm, lm, 0 FROM lms
+       |  UNION
+       |  SELECT bfs.landmark, e.dst, bfs.d + 1
+       |  FROM bfs JOIN edges e ON bfs.id = e.src
+       |  WHERE bfs.d < 64
+       |)
+       |SELECT landmark, id, CAST(min(d) AS BIGINT) AS dist
+       |FROM bfs GROUP BY 1, 2""".stripMargin
+}
+
 /** PageRank, vertex-parallel, the Bagel reference formula
   * (ref: tests/bagel/App.scala:245-259):
   *   pr'(v) = (1-d)/nv + d * Σ_{u→v} pr(u)/outdeg(u),  d = 0.85,

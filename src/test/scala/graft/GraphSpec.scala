@@ -168,6 +168,20 @@ class GraphSpec extends AnyFunSuite {
       s"oriented=$oriented unoriented=$unoriented")
   }
 
+  test("landmark BFS: each landmark's slice equals its single-source BFS") {
+    val g = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val lmd = LandmarkDistances(g, k = 3)
+    val landmarks = lmd.select("landmark").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(landmarks.length == 3)
+    landmarks.foreach { lm =>
+      val slice = lmd.filter(col("landmark") === lm).select("id", "dist")
+      val solo = ShortestPaths(g, lm)
+      assert(slice.exceptAll(solo).count() == 0, s"landmark $lm: extra rows")
+      assert(solo.exceptAll(slice).count() == 0, s"landmark $lm: missing rows")
+    }
+  }
+
   test("clustering coefficient: cliques are 1.0, per-vertex counts match brute force") {
     // every nation sits in a 5-clique: deg 4, T = C(4,2) = 6, coeff = 1
     val cc = Triangles.localClustering(Triangles.nationEdges(spark, TestSpark.sfTiny))
