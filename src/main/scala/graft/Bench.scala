@@ -64,7 +64,7 @@ object Bench {
     "corpus_pack", "corpus_curate", "stats_profile",
     "multimodal_meta", "multimodal_frames", "stream_events_hourly",
     "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
-    "stream_dedup_exact", "stream_events_hopping",
+    "stream_dedup_exact", "stream_events_hopping", "stream_cms_sketch",
     "stream_degrees_incremental", "stream_cc_incremental")
 
   /** First-trial seconds above which a query is not re-trialed (it

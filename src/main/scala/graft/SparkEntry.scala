@@ -130,6 +130,7 @@ object SparkEntry {
       EventStream.eventsHourlyWatermarkedFinal(s, d)),
     "stream_dedup_exact" -> ((s, d) => EventStream.dedupExactStream(s, d)),
     "stream_events_hopping" -> ((s, d) => EventStream.eventsHopping(s, d)),
+    "stream_cms_sketch" -> ((s, d) => EventStream.cmsSketchStream(s, d)),
     "stream_degrees_incremental" -> ((s, d) =>
       EventStream.incrementalDegreesStream(s, d)),
     "stream_cc_incremental" -> ((s, d) =>
@@ -256,6 +257,7 @@ object SparkEntry {
     "stream_hourly_watermarked" -> EventStream.eventsHourlySql,
     "stream_dedup_exact" -> Dedup.exactSql,
     "stream_events_hopping" -> EventStream.eventsHoppingSql,
+    "stream_cms_sketch" -> TextAnalysis.cmsSketchSql,
     "stream_degrees_incremental" -> EdgeUpdates.updatedDegreesSql,
     "stream_cc_incremental" -> EdgeUpdates.updatedCcSql)
 }

@@ -13,7 +13,7 @@ import graft.core.Tables
   */
 object TextAnalysis {
 
-  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+  private[graft] def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** BPE-ish piece pattern: letter runs, single digits, single symbols. */
   val PiecePattern = "[a-z]+|[A-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
@@ -527,7 +527,7 @@ object TextAnalysis {
   val CmsDepth = 4
   val CmsWidth = 4096
 
-  private def cmsBuckets(hx: Column): Column =
+  private[graft] def cmsBuckets(hx: Column): Column =
     array((0 until CmsDepth).map { s =>
       struct(lit(s).as("s"),
         conv(substring(hx, 3 * s + 1, 3), 16, 10).cast("long").as("bucket"))
@@ -562,6 +562,29 @@ object TextAnalysis {
       .groupBy(col("term"), col("n_exact"))
       .agg(min(col("c")).as("n_cms"))
       .select(col("term"), col("n_exact"), col("n_cms"))
+  }
+
+  /** Oracle for the raw sketch cells (X9's continuously-maintained state):
+    * the md5-window hashes are deterministic, so even the *approximate*
+    * sketch is hash-exact between engines — no tolerance band.
+    */
+  val cmsSketchSql: String = {
+    def bucket(off: Int): String = (0 until 3).map { i =>
+      s"(strpos('0123456789abcdef', substr(hx, ${off + i}, 1)) - 1) * ${1 << (4 * (2 - i))}"
+    }.mkString("(", " + ", ")")
+    val incs = (0 until CmsDepth).map { s =>
+      s"SELECT $s AS s, ${bucket(3 * s + 1)} AS bucket FROM h"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents
+       |), h AS MATERIALIZED (SELECT md5(term) AS hx FROM toks),
+       |inc AS (
+       |  $incs
+       |)
+       |SELECT CAST(s AS BIGINT) AS s, CAST(bucket AS BIGINT) AS bucket,
+       |  count(*) AS c
+       |FROM inc GROUP BY 1, 2""".stripMargin
   }
 
   def heavyHittersSql(k: Int = 20): String = {

@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.core.Tables
 import graft.graph.{EdgeUpdates, Graph}
+import graft.ops.TextAnalysis
 
 /** Structured Streaming operators (SURVEY §2 X1–X2).
   *
@@ -190,6 +191,37 @@ object EventStream extends Serializable {
         col("event_type"), col("n"), round(col("sv"), 4).as("sum_value"))
     val name = s"graft_stream_hopping_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** X9: streaming count-min-sketch maintenance — T17's sketch cells
+    * continuously folded over the document stream in complete mode. The
+    * stateful aggregation's state is bounded by depth × width = 16k cells
+    * REGARDLESS of stream length — the streaming-sketch shape (per-batch
+    * token increments combine map-side into partial cells; only cell
+    * deltas reach the state store). The md5-window hashes are
+    * deterministic, so the continuously-maintained approximate sketch is
+    * hash-exact against the batch DuckDB oracle.
+    */
+  def cmsSketchStream(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = statePartitionSession(spark0, 8)
+    val schema = Tables.load(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val cells = stream
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .select(explode(TextAnalysis.cmsBuckets(
+        md5(col("term").cast("binary")))).as("sb"))
+      .groupBy(col("sb.s").cast("long").as("s"), col("sb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val name = s"graft_stream_cms_${nameCounter.incrementAndGet()}"
+    val q = cells.writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(name)

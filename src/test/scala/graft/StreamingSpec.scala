@@ -28,6 +28,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(stream).count() == 0)
   }
 
+  test("streaming CMS sketch cells equal the batch-built sketch") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.cmsSketchStream(spark, sf)
+    val batch = graft.core.Tables.documents(spark, sf)
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("term"))
+      .select(explode(graft.ops.TextAnalysis.cmsBuckets(
+        md5(col("term").cast("binary")))).as("sb"))
+      .groupBy(col("sb.s").cast("long").as("s"), col("sb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("micro-batched graph maintenance equals one-shot batch update") {
     val folded = EventStream.maintainGraph(spark, sf, batches = 3)
     val oneShot = EdgeUpdates.updatedGraph(spark, sf).edges
