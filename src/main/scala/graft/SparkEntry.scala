@@ -131,6 +131,8 @@ object SparkEntry {
     "stream_dedup_exact" -> ((s, d) => EventStream.dedupExactStream(s, d)),
     "stream_events_hopping" -> ((s, d) => EventStream.eventsHopping(s, d)),
     "stream_cms_sketch" -> ((s, d) => EventStream.cmsSketchStream(s, d)),
+    "stream_purchase_click_join" -> ((s, d) =>
+      EventStream.purchaseClickJoinStream(s, d)),
     "stream_degrees_incremental" -> ((s, d) =>
       EventStream.incrementalDegreesStream(s, d)),
     "stream_cc_incremental" -> ((s, d) =>
@@ -258,6 +260,7 @@ object SparkEntry {
     "stream_dedup_exact" -> Dedup.exactSql,
     "stream_events_hopping" -> EventStream.eventsHoppingSql,
     "stream_cms_sketch" -> TextAnalysis.cmsSketchSql,
+    "stream_purchase_click_join" -> EventStream.purchaseClickJoinSql,
     "stream_degrees_incremental" -> EdgeUpdates.updatedDegreesSql,
     "stream_cc_incremental" -> EdgeUpdates.updatedCcSql)
 }

@@ -200,6 +200,58 @@ object EventStream extends Serializable {
     spark.table(name)
   }
 
+  /** X10: stream-stream time-bounded join — purchases matched to the same
+    * user's clicks at most 30 minutes earlier, BOTH sides unbounded
+    * streams. The one Structured Streaming join shape the other X ops
+    * don't cover: each side buffers rows in the state store keyed by
+    * user_id, and the watermark + time-range condition bound how long a
+    * buffered click can still match (≤ 30 min of event time), so state is
+    * evicted continuously instead of growing with the stream — the
+    * stream-stream shape that survives an unbounded feed. Inner join in
+    * append mode emits exactly the batch join result once the
+    * AvailableNow run drains.
+    */
+  def purchaseClickJoinStream(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = statePartitionSession(spark0, 8)
+    val schema = Tables.load(spark, dir, "events").schema
+    def side(tpe: String) = Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .filter(col("event_type") === tpe)
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = side("purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+    val name = s"graft_stream_ssjoin_${nameCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  val purchaseClickJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |    AND p.ts < c.ts + INTERVAL 30 MINUTE""".stripMargin
+
   /** X9: streaming count-min-sketch maintenance — T17's sketch cells
     * continuously folded over the document stream in complete mode. The
     * stateful aggregation's state is bounded by depth × width = 16k cells

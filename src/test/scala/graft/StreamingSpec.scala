@@ -28,6 +28,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(stream).count() == 0)
   }
 
+  test("stream-stream time-bounded join equals the batch range join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.purchaseClickJoinStream(spark, sf)
+    val ev = graft.core.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("cts"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+        col("cts") <= col("pts") &&
+        col("pts") < col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+
   test("streaming CMS sketch cells equal the batch-built sketch") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.cmsSketchStream(spark, sf)
