@@ -54,7 +54,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic",
     "dedup_semantic_exhaustive", "dedup_substring",
-    "ann_topk", "ann_lsh", "ann_ivf",
+    "ann_topk", "ann_lsh", "ann_ivf", "embeddings_kmeans",
     "ann_lsh_exhaustive", "ann_ivf_exhaustive",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",

@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_substring" -> ((s, d) => Dedup.substringContainment(s, d)),
     // --- similarity search (S1..S3) ---
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
+    "embeddings_kmeans" -> ((s, d) => Similarity.kmeansAssign(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     // exhaustive-probe settings make the bucketed paths exactly ≡ annTopK,
@@ -229,6 +230,7 @@ object SparkEntry {
     "dedup_keep_best" -> Dedup.keepBestSql(),
     "dedup_substring" -> Dedup.substringContainmentSql(),
     "ann_topk" -> Similarity.annTopKSql(),
+    "embeddings_kmeans" -> Similarity.kmeansSql(),
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),
     "ann_ivf_exhaustive" -> Similarity.annTopKSql(),
     "text_tokens" -> TextAnalysis.tokenCountsSql,

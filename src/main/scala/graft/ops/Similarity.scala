@@ -201,4 +201,81 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("c"), 6).as("cos"), col("rank"))
   }
+
+  /** S4: k-means clustering as a first-class operator (Lloyd 1982) — the
+    * embedding-space curation primitive (cluster-balanced data selection,
+    * SemDeDup cells, IVF lists) exposed directly instead of buried inside
+    * S3/D8. Deterministic and oracle-exact: init = the k smallest vec_ids'
+    * vectors, fixed `iters` synchronous rounds, squared-L2 assignment via
+    * the codegen ArrayDot expansion |v|² − 2⟨v,c⟩ + |c|² (the same
+    * left-to-right accumulation as DuckDB's list_inner_product), distances
+    * and centroid means rounded to 6dp each round so FP summation order
+    * can't flip an argmin between engines.
+    *
+    * Scale shape: centroids are k×d — broadcast-tiny at any corpus size —
+    * so each round is ONE corpus scan with a codegen'd k-way argmin
+    * projection (no join) plus one map-side-combined (cluster, dim)
+    * average; the per-round driver collect is k·d doubles, never data.
+    */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val e = vectors(spark, dir)
+    def assign(cents: Seq[(Long, Seq[Double])]): DataFrame = {
+      import graft.functions.ArrayDot.dot
+      val scored = cents.map { case (cid, c) =>
+        val cc = array(c.map(lit): _*)
+        struct(
+          round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cc) +
+            lit(c.map(x => x * x).sum), 6).as("d2"),
+          lit(cid).as("cid"))
+      }
+      e.withColumn("cluster", array_min(array(scored: _*)).getField("cid"))
+    }
+    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cm"))
+        .select(col("cluster"), transform(col("cm"), s => s.getField("m")).as("c"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+    }
+    assign(cents).select(col("vec_id"), col("cluster"))
+  }
+
+  /** DuckDB oracle: the same `iters` rounds unrolled as CTEs — correlated
+    * argmin per vector, per-dimension means via element indexing (DuckDB
+    * lists are 1-based; ordering is all that matters). `dim` must match
+    * the embedding width (DuckDB's generate_series takes only constants,
+    * so the dimension series can't be derived from the data in-query).
+    */
+  def kmeansSql(k: Int = 8, iters: Int = 3, dim: Int = 64): String = {
+    val d2 = "round(list_inner_product(a.v, a.v) - 2 * list_inner_product(a.v, c.v)" +
+      " + list_inner_product(c.v, c.v), 6)"
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT a.vec_id, a.v,
+         |    (SELECT c.cid FROM c${i - 1} c ORDER BY $d2, c.cid LIMIT 1) AS cluster
+         |  FROM e a),
+         |c$i AS MATERIALIZED (
+         |  SELECT cluster AS cid, list(m ORDER BY ord) AS v FROM (
+         |    SELECT a.cluster, u.o AS ord, round(avg(a.v[u.o]), 6) AS m
+         |    FROM a$i a, dims u
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, $dim)) AS o),
+       |c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < $k),
+       |$rounds
+       |SELECT a.vec_id,
+       |  (SELECT c.cid FROM c$iters c ORDER BY $d2, c.cid LIMIT 1) AS cluster
+       |FROM e a""".stripMargin
+  }
 }

@@ -384,6 +384,41 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans: total assignment, nearest-centroid invariant") {
+    val out = Similarity.kmeansAssign(spark, sf, k = 8, iters = 3)
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(out.count() == n, "every vector must get a cluster")
+    val sizes = out.groupBy("cluster").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet.subsetOf((0L until 8L).toSet))
+    assert(sizes.size > 1, "degenerate single-cluster result")
+    // self-consistency: re-assigning against the final centroids (computed
+    // from the assignment) must reproduce the nearest-centroid property —
+    // every vector is closer to its own centroid than to any other
+    import org.apache.spark.sql.functions._
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .join(out, "vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    val cents = vecs.groupBy(_._3).map { case (c, vs) =>
+      val d = vs.head._2.length
+      val m = new Array[Double](d)
+      vs.foreach(v => (0 until d).foreach(i => m(i) += v._2(i)))
+      (0 until d).foreach(i => m(i) /= vs.length)
+      c -> m
+    }
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val violations = vecs.count { case (_, v, c) =>
+      val own = d2(v, cents(c))
+      cents.exists { case (oc, m) => oc != c && d2(v, m) < own - 1e-9 }
+    }
+    // Lloyd at a fixed iteration count needn't be fully converged; the
+    // bulk of assignments must already satisfy the invariant
+    assert(violations < vecs.length / 10,
+      s"$violations of ${vecs.length} vectors closer to another centroid")
+  }
+
   test("dsir weights rank target-like documents above off-target ones") {
     import spark.implicits._
     // target (en) docs draw from one vocabulary, off-target from another;
