@@ -50,7 +50,7 @@ object Bench {
     "topk_orders_per_cust", "sessionize", "events_hourly", "events_asof",
     "events_json", "events_rollup", "events_moving_avg", "events_funnel",
     "events_retention", "events_hopping", "events_interval_join",
-    "events_pivot", "user_spend_deciles",
+    "events_pivot", "user_spend_deciles", "part_affinity",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic",
     "dedup_semantic_exhaustive", "dedup_substring",

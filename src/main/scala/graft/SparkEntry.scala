@@ -77,6 +77,7 @@ object SparkEntry {
     "events_interval_join" -> ((s, d) => Relational.eventsIntervalJoin(s, d)),
     "events_pivot" -> ((s, d) => Relational.eventsPivot(s, d)),
     "user_spend_deciles" -> ((s, d) => Relational.userSpendDeciles(s, d)),
+    "part_affinity" -> ((s, d) => Relational.partAffinity(s, d)),
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -219,6 +220,7 @@ object SparkEntry {
     "events_interval_join" -> Relational.eventsIntervalJoinSql,
     "events_pivot" -> Relational.eventsPivotSql,
     "user_spend_deciles" -> Relational.userSpendDecilesSql,
+    "part_affinity" -> Relational.partAffinitySql,
     "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),

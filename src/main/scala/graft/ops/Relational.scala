@@ -464,6 +464,73 @@ object Relational {
       |  round(min(total), 4) AS min_total, round(max(total), 4) AS max_total
       |FROM buck GROUP BY 1""".stripMargin
 
+  /** R19: item-affinity (market-basket lift) — for each part, the top-3
+    * co-purchased partners by lift = P(a,b)/(P(a)·P(b)) over orders,
+    * minimum support 2 co-orders. The association-mining staple
+    * (Agrawal & Srikant 1994's support/lift vocabulary) and the
+    * "customers also bought" primitive.
+    *
+    * Scale shape: the pair generation is a per-order self-join whose
+    * fan-out is quadratic in ORDER SIZE, not corpus size — TPC-H orders
+    * hold ≤ 7 parts (real pipelines cap basket width first); the pair
+    * aggregate shuffles on the canonical (a < b) pair key with map-side
+    * combine, per-part order counts ride in via an AQE-decided join, and
+    * the scalar order total is one broadcast literal. Lift is a single
+    * integer-ratio division rounded to 6dp — no summation-order
+    * sensitivity — and the per-part top-3 is one window on the (already
+    * small) supported-pair set.
+    */
+  def partAffinity(spark: SparkSession, dir: String, minSupport: Long = 2L,
+      topK: Int = 3): DataFrame = {
+    // four consumers (order count, part counts, both pair-join sides) —
+    // materialize the distinct (order, part) set once
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    val nOrders = op.select(col("o")).distinct().count()
+    val partCounts = op.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    // both directions so every part ranks its partners
+    val sym = pairs.unionByName(pairs.select(col("pb").as("pa"),
+      col("pa").as("pb"), col("n_both")))
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("lift").desc, col("partner").asc)
+    sym.join(partCounts.select(col("p").as("pa"), col("n_p").as("na")), "pa")
+      .join(partCounts.select(col("p").as("pb"), col("n_p").as("nb")), "pb")
+      .select(col("pa").as("part"), col("pb").as("partner"), col("n_both"),
+        round(col("n_both") * lit(nOrders) /
+          (col("na") * col("nb")), 6).as("lift"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  val partAffinitySql: String =
+    """WITH op AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey::BIGINT AS p FROM lineitem),
+      |n_orders AS (SELECT count(DISTINCT o) AS n FROM op),
+      |pc AS MATERIALIZED (SELECT p, count(*) AS n_p FROM op GROUP BY 1),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.p AS pa, b.p AS pb, count(*) AS n_both
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (
+      |  SELECT pa, pb, n_both FROM pairs
+      |  UNION ALL SELECT pb, pa, n_both FROM pairs),
+      |scored AS (
+      |  SELECT s.pa AS part, s.pb AS partner, s.n_both,
+      |    round(s.n_both * (SELECT n FROM n_orders) * 1.0
+      |      / (x.n_p * y.n_p), 6) AS lift
+      |  FROM sym s JOIN pc x ON s.pa = x.p JOIN pc y ON s.pb = y.p)
+      |SELECT part, partner, n_both, lift, rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY part
+      |    ORDER BY lift DESC, partner ASC) AS BIGINT) AS rank
+      |  FROM scored) WHERE rank <= 3""".stripMargin
+
   /** R10: semi-structured extraction — parse the `props` JSON column and
     * aggregate over an extracted field. The JSON parse itself can't push to
     * the parquet scan, but column pruning does (ReadSchema keeps only the 4

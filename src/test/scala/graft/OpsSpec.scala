@@ -384,6 +384,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("part affinity: symmetric, supported, correctly ranked") {
+    val out = Relational.partAffinity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val byPair = out.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    out.foreach { case (part, partner, n, lift, rank) =>
+      assert(n >= 2, "support threshold violated")
+      assert(rank >= 1 && rank <= 3)
+      // lift is symmetric: if the mirror pair also ranked, values agree
+      byPair.get((partner, part)).foreach { case (n2, l2) =>
+        assert(n2 == n && math.abs(l2 - lift) < 1e-9)
+      }
+    }
+    // ranks are dense and ordered per part
+    out.groupBy(_._1).foreach { case (p, rows) =>
+      val sorted = rows.sortBy(_._5).toSeq
+      assert(sorted.map(_._5) == (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._2 < b._2),
+            s"part $p rank order violated")
+        case _ =>
+      }
+    }
+  }
+
   test("kmeans: total assignment, nearest-centroid invariant") {
     val out = Similarity.kmeansAssign(spark, sf, k = 8, iters = 3)
     val n = graft.core.Tables.embeddings(spark, sf).count()
