@@ -65,7 +65,7 @@ object Bench {
     "multimodal_meta", "multimodal_frames", "stream_events_hourly",
     "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
     "stream_dedup_exact", "stream_events_hopping", "stream_cms_sketch",
-    "stream_purchase_click_join",
+    "stream_purchase_click_join", "stream_hll_registers",
     "stream_degrees_incremental", "stream_cc_incremental")
 
   /** First-trial seconds above which a query is not re-trialed (it

@@ -135,6 +135,7 @@ object SparkEntry {
     "stream_cms_sketch" -> ((s, d) => EventStream.cmsSketchStream(s, d)),
     "stream_purchase_click_join" -> ((s, d) =>
       EventStream.purchaseClickJoinStream(s, d)),
+    "stream_hll_registers" -> ((s, d) => EventStream.hllRegisterStream(s, d)),
     "stream_degrees_incremental" -> ((s, d) =>
       EventStream.incrementalDegreesStream(s, d)),
     "stream_cc_incremental" -> ((s, d) =>
@@ -265,6 +266,7 @@ object SparkEntry {
     "stream_events_hopping" -> EventStream.eventsHoppingSql,
     "stream_cms_sketch" -> TextAnalysis.cmsSketchSql,
     "stream_purchase_click_join" -> EventStream.purchaseClickJoinSql,
+    "stream_hll_registers" -> TextAnalysis.hllRegistersSql,
     "stream_degrees_incremental" -> EdgeUpdates.updatedDegreesSql,
     "stream_cc_incremental" -> EdgeUpdates.updatedCcSql)
 }

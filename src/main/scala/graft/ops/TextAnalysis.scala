@@ -644,7 +644,10 @@ object TextAnalysis {
     * Spark's vs DuckDB's summation order). Small-range correction (linear
     * counting when E ≤ 2.5m with empty registers) matches the paper.
     */
-  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+  /** The (register, max-rank) table for a `term` column — shared by T20's
+    * estimator and X11's streaming maintenance.
+    */
+  private[graft] def hllRegistersOf(terms: DataFrame): DataFrame = {
     val hx = md5(col("term").cast("binary"))
     val rest = substring(hx, 4, 15) // 60 bits after the 12 register bits
     val z = length(regexp_extract(rest, "^0*", 0)) // leading zero hex digits
@@ -652,11 +655,15 @@ object TextAnalysis {
     val dlz = when(d === "1", 3).when(d.isin("2", "3"), 2)
       .when(d.isin("4", "5", "6", "7"), 1).otherwise(0)
     val rho = when(z === 15, lit(61)).otherwise(lit(4) * z + dlz + lit(1))
-    val regs = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("term"))
+    terms
       .select(conv(substring(hx, 1, 3), 16, 10).cast("long").as("register"),
         rho.as("rho"))
       .groupBy(col("register")).agg(max(col("rho")).as("m_j"))
+  }
+
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val regs = hllRegistersOf(Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term")))
     val twoPow61 = 2305843009213693952L // 2^61, exact in a double
     regs.agg(
         count(lit(1)).as("filled"),
@@ -675,6 +682,34 @@ object TextAnalysis {
             lit(HllM.toDouble) * log(lit(HllM.toDouble) /
               (lit(HllM.toLong) - col("filled")).cast("double")))
           .otherwise(col("raw")), 3).as("est_distinct"))
+  }
+
+  /** Oracle for the raw register table (X11's continuously-maintained
+    * state) — shares the exact hash/rank arithmetic with T20's oracle.
+    */
+  val hllRegistersSql: String = {
+    val reg = (0 until 3).map { i =>
+      s"(strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) * ${1 << (4 * (2 - i))}"
+    }.mkString("(", " + ", ")")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents
+       |), h AS (SELECT md5(term) AS hx FROM toks),
+       |br AS (
+       |  SELECT $reg AS register, substr(hx, 4, 15) AS rest FROM h
+       |), rk AS (
+       |  SELECT register,
+       |    CASE WHEN length(regexp_extract(rest, '^0*')) = 15 THEN 61
+       |         ELSE 4 * length(regexp_extract(rest, '^0*'))
+       |           + CASE substr(rest, length(regexp_extract(rest, '^0*')) + 1, 1)
+       |               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+       |               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+       |               WHEN '7' THEN 1 ELSE 0 END + 1
+       |    END AS rho
+       |  FROM br
+       |)
+       |SELECT register, CAST(max(rho) AS BIGINT) AS m_j
+       |FROM rk GROUP BY 1""".stripMargin
   }
 
   val hllDistinctSql: String = {

@@ -200,6 +200,33 @@ object EventStream extends Serializable {
     spark.table(name)
   }
 
+  /** X11: streaming HyperLogLog maintenance — T20's (register, max-rank)
+    * table continuously folded over the document stream in complete mode.
+    * State ≤ 4096 registers regardless of stream length; per-batch token
+    * ranks fold map-side into partial register maxima, so only register
+    * deltas reach the state store. Like X9, the md5-window hashes make the
+    * continuously-maintained sketch hash-exact against the batch oracle —
+    * the cardinality twin of the count-min frequency sketch.
+    */
+  def hllRegisterStream(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = statePartitionSession(spark0, 8)
+    val schema = Tables.load(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val regs = TextAnalysis.hllRegistersOf(
+        stream.select(explode(TextAnalysis.tokens(col("text"))).as("term")))
+      .select(col("register"), col("m_j").cast("long").as("m_j"))
+    val name = s"graft_stream_hll_${nameCounter.incrementAndGet()}"
+    val q = regs.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** X10: stream-stream time-bounded join — purchases matched to the same
     * user's clicks at most 30 minutes earlier, BOTH sides unbounded
     * streams. The one Structured Streaming join shape the other X ops

@@ -48,6 +48,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("streaming HLL registers equal the batch-built registers") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.hllRegisterStream(spark, sf)
+    val batch = graft.ops.TextAnalysis.hllRegistersOf(
+        graft.core.Tables.documents(spark, sf)
+          .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("term")))
+      .select(col("register"), col("m_j").cast("long").as("m_j"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming CMS sketch cells equal the batch-built sketch") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.cmsSketchStream(spark, sf)
