@@ -50,7 +50,7 @@ object Bench {
     "topk_orders_per_cust", "sessionize", "events_hourly", "events_asof",
     "events_json", "events_rollup", "events_moving_avg", "events_funnel",
     "events_retention", "events_hopping", "events_interval_join",
-    "events_pivot", "user_spend_deciles", "part_affinity",
+    "events_pivot", "user_spend_deciles", "part_affinity", "q22_no_orders",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic",
     "dedup_semantic_exhaustive", "dedup_substring",
@@ -66,6 +66,7 @@ object Bench {
     "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
     "stream_dedup_exact", "stream_events_hopping", "stream_cms_sketch",
     "stream_purchase_click_join", "stream_hll_registers",
+    "stream_enriched_revenue",
     "stream_degrees_incremental", "stream_cc_incremental")
 
   /** First-trial seconds above which a query is not re-trialed (it

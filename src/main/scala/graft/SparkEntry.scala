@@ -78,6 +78,7 @@ object SparkEntry {
     "events_pivot" -> ((s, d) => Relational.eventsPivot(s, d)),
     "user_spend_deciles" -> ((s, d) => Relational.userSpendDeciles(s, d)),
     "part_affinity" -> ((s, d) => Relational.partAffinity(s, d)),
+    "q22_no_orders" -> ((s, d) => Relational.q22NoOrders(s, d)),
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -136,6 +137,8 @@ object SparkEntry {
     "stream_purchase_click_join" -> ((s, d) =>
       EventStream.purchaseClickJoinStream(s, d)),
     "stream_hll_registers" -> ((s, d) => EventStream.hllRegisterStream(s, d)),
+    "stream_enriched_revenue" -> ((s, d) =>
+      EventStream.enrichedRevenueStream(s, d)),
     "stream_degrees_incremental" -> ((s, d) =>
       EventStream.incrementalDegreesStream(s, d)),
     "stream_cc_incremental" -> ((s, d) =>
@@ -222,6 +225,7 @@ object SparkEntry {
     "events_pivot" -> Relational.eventsPivotSql,
     "user_spend_deciles" -> Relational.userSpendDecilesSql,
     "part_affinity" -> Relational.partAffinitySql,
+    "q22_no_orders" -> Relational.q22Sql,
     "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
@@ -267,6 +271,7 @@ object SparkEntry {
     "stream_cms_sketch" -> TextAnalysis.cmsSketchSql,
     "stream_purchase_click_join" -> EventStream.purchaseClickJoinSql,
     "stream_hll_registers" -> TextAnalysis.hllRegistersSql,
+    "stream_enriched_revenue" -> EventStream.enrichedRevenueSql,
     "stream_degrees_incremental" -> EdgeUpdates.updatedDegreesSql,
     "stream_cc_incremental" -> EdgeUpdates.updatedCcSql)
 }

@@ -753,4 +753,49 @@ object Relational {
       |SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
       |  click_id, click_ts_us, ts_us - click_ts_us AS gap_us
       |FROM w WHERE side = 1""".stripMargin
+
+  /** R20, TPC-H Q22 style: per-nation count and balance of above-average
+    * customers who have never placed an URGENT-priority order — the
+    * anti-join + scalar subquery shape (NOT EXISTS) none of the other
+    * relational ops cover. (The synthetic generator gives every customer
+    * at least one order, so Q22's literal no-orders-at-all predicate is
+    * empty at every SF; the priority restriction keeps the plan shape
+    * identical and the result non-trivial.)
+    *
+    * The scalar threshold is ONE map-side-combined aggregate joined back
+    * as a broadcast literal (a 1-row cross join — never a driver-side
+    * collect), and the no-orders test is a left ANTI join on o_custkey:
+    * the orders side is projected to its single join column before the
+    * exchange, AQE picks hash-vs-broadcast by the filtered customer side's
+    * runtime size. At 100 TB both sides shuffle on custkey — the same
+    * co-partitioned exchange Q18's join already pays, with anti semantics
+    * instead of inner. Threshold rounded to 4dp on both engines so
+    * summation-order ulp can't flip a boundary customer.
+    */
+  def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg(round(avg(col("c_acctbal")), 4).as("thr"))
+    cust.join(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 4).as("total_bal"))
+  }
+
+  val q22Sql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |  count(*) AS n_cust,
+      |  round(sum(c_acctbal), 4) AS total_bal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY 1""".stripMargin
 }

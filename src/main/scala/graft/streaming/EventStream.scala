@@ -227,6 +227,47 @@ object EventStream extends Serializable {
     spark.table(name)
   }
 
+  /** X12: stream-static enrichment join — the arriving event stream joined
+    * per micro-batch against the static customer dimension (user_id →
+    * c_custkey), then aggregated by market segment in complete mode. The
+    * one Structured Streaming join shape X10 doesn't cover: the static
+    * side is a plain batch DataFrame re-planned into every micro-batch
+    * (broadcast while it fits, key-shuffled beyond), and it requires NO
+    * watermark or join-state store — only the downstream aggregate holds
+    * state, bounded by #segments × #types. This is the standard streaming
+    * ingest-enrichment topology (stream ⋈ dimension table → rollup).
+    */
+  def enrichedRevenueStream(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = statePartitionSession(spark0, 8)
+    val schema = Tables.load(spark, dir, "events").schema
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = stream
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("c_mktsegment"), col("event_type"), col("n"),
+        round(col("sv"), 4).as("sum_value"))
+    val name = s"graft_stream_enriched_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  val enrichedRevenueSql: String =
+    """SELECT c_mktsegment, event_type, count(*) AS n,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   /** X10: stream-stream time-bounded join — purchases matched to the same
     * user's clicks at most 30 minutes earlier, BOTH sides unbounded
     * streams. The one Structured Streaming join shape the other X ops

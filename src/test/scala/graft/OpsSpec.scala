@@ -384,6 +384,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q22: anti-join keeps only no-order customers above the threshold") {
+    import org.apache.spark.sql.functions._
+    val cust = graft.core.Tables.customer(spark, sf)
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg(round(avg(col("c_acctbal")), 4)).head().getDouble(0)
+    val withOrders = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val expected = cust.select("c_custkey", "c_nationkey", "c_acctbal")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+      .filter { case (ck, _, bal) => bal > thr && !withOrders.contains(ck) }
+    val byNation = expected.groupBy(_._2)
+    val out = Relational.q22NoOrders(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.nonEmpty)
+    assert(out.keySet == byNation.keySet)
+    byNation.foreach { case (nk, rows) =>
+      val (n, bal) = out(nk)
+      assert(n == rows.length)
+      assert(math.abs(bal - rows.map(_._3).sum) < 1e-3)
+    }
+  }
+
   test("part affinity: symmetric, supported, correctly ranked") {
     val out = Relational.partAffinity(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))

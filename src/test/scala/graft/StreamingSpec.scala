@@ -48,6 +48,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("stream-static enrichment join equals the batch join + rollup") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.enrichedRevenueStream(spark, sf)
+    val batch = graft.core.Tables.events(spark, sf)
+      .join(graft.core.Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+
   test("streaming HLL registers equal the batch-built registers") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.hllRegisterStream(spark, sf)
