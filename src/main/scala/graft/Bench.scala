@@ -61,12 +61,13 @@ object Bench {
     "text_pii", "text_inverted_index", "text_heavy_hitters",
     "text_unigram_xent", "text_hll_distinct",
     "corpus_decontaminate", "corpus_sample", "corpus_mix", "corpus_dsir",
+    "corpus_bloom_probe",
     "corpus_pack", "corpus_curate", "stats_profile",
     "multimodal_meta", "multimodal_frames", "stream_events_hourly",
     "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
     "stream_dedup_exact", "stream_events_hopping", "stream_cms_sketch",
     "stream_purchase_click_join", "stream_hll_registers",
-    "stream_enriched_revenue",
+    "stream_enriched_revenue", "stream_bloom_bits",
     "stream_degrees_incremental", "stream_cc_incremental")
 
   /** First-trial seconds above which a query is not re-trialed (it

@@ -119,6 +119,7 @@ object SparkEntry {
     "corpus_decontaminate" -> ((s, d) => Corpus.decontaminateQuery(s, d)),
     "corpus_sample" -> ((s, d) => Corpus.sampleStratified(s, d)),
     "corpus_mix" -> ((s, d) => Corpus.mixWeights(s, d)),
+    "corpus_bloom_probe" -> ((s, d) => Corpus.bloomProbe(s, d)),
     "corpus_pack" -> ((s, d) => Pack.chunks(s, d)),
     "corpus_curate" -> ((s, d) => Pack.curate(s, d)),
     "stats_profile" -> ((s, d) => Corpus.numericProfile(s, d)),
@@ -139,6 +140,7 @@ object SparkEntry {
     "stream_hll_registers" -> ((s, d) => EventStream.hllRegisterStream(s, d)),
     "stream_enriched_revenue" -> ((s, d) =>
       EventStream.enrichedRevenueStream(s, d)),
+    "stream_bloom_bits" -> ((s, d) => EventStream.bloomBitsStream(s, d)),
     "stream_degrees_incremental" -> ((s, d) =>
       EventStream.incrementalDegreesStream(s, d)),
     "stream_cc_incremental" -> ((s, d) =>
@@ -257,6 +259,7 @@ object SparkEntry {
     "corpus_decontaminate" -> Corpus.decontaminateSql(),
     "corpus_sample" -> Corpus.sampleStratifiedSql,
     "corpus_mix" -> Corpus.mixWeightsSql(),
+    "corpus_bloom_probe" -> Corpus.bloomProbeSql,
     "corpus_pack" -> Pack.chunksSql(),
     "corpus_curate" -> Pack.curateSql(),
     "stats_profile" -> Corpus.numericProfileSql,
@@ -272,6 +275,7 @@ object SparkEntry {
     "stream_purchase_click_join" -> EventStream.purchaseClickJoinSql,
     "stream_hll_registers" -> TextAnalysis.hllRegistersSql,
     "stream_enriched_revenue" -> EventStream.enrichedRevenueSql,
+    "stream_bloom_bits" -> EventStream.bloomBitsSql,
     "stream_degrees_incremental" -> EdgeUpdates.updatedDegreesSql,
     "stream_cc_incremental" -> EdgeUpdates.updatedCcSql)
 }

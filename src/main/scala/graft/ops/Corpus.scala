@@ -337,4 +337,87 @@ object Corpus {
        |  CAST(floor(n_docs * least(1.0, weight * budget / n_docs)) AS BIGINT)
        |    AS expected_docs
        |FROM w""".stripMargin
+
+  /** Bloom geometry: k = 4 hash functions over m = 2^16 bits. Like the CMS
+    * (T17) and HLL (T20) sketches, the hashes are disjoint 4-hex-digit
+    * windows of ONE md5 of the document text — 16 bits each, so the bit
+    * array needs no modulo and the SAME positions are computable in
+    * DuckDB: the approximate filter is hash-oracle-checkable, not
+    * tolerance-banded. (Bloom 1970; k=4, m/n≈13 at the sf0.01 corpus
+    * ⇒ theoretical FP rate ≈ (1−e^{−kn/m})^k ≈ 5e-3.)
+    */
+  val BloomK = 4
+
+  private[graft] def bloomPositions(hx: Column): Column =
+    array((0 until BloomK).map { i =>
+      conv(substring(hx, 4 * i + 1, 4), 16, 10).cast("long")
+    }: _*)
+
+  /** T21: Bloom-filter dedup membership probe — the ingest-time "probably
+    * already in the corpus?" gate (the cheap pre-filter in front of exact
+    * dedup D1 when the corpus index can't be joined per arriving batch).
+    *
+    * Docs with doc_id ≡ 0 (mod 10) play the arriving batch; the rest are
+    * the standing corpus. The corpus folds into its ≤ m distinct set bit
+    * positions with map-side combine — the shuffle is O(m), not O(corpus),
+    * exactly the CMS/HLL cell-fold shape — and the bounded bit table
+    * broadcasts to the probe side, so probing never shuffles the corpus.
+    * The exact-membership column (one hash-key join, co-partitioned at
+    * scale, deliberately unhinted) sits next to the Bloom verdict so the
+    * one-sided error contract is visible in the output: bloom_hit ≥
+    * exact_dup row-wise (no false negatives, property-tested), false
+    * positives measurable as bloom_hit=1 ∧ exact_dup=0.
+    */
+  def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("hx"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val probe = docs.filter(col("doc_id") % 10 === 0)
+    val bits = corpus
+      .select(explode(bloomPositions(col("hx"))).as("pos"))
+      .distinct() // ≤ m = 65536 rows, map-side combined
+      .withColumn("hit", lit(1L))
+    val member = probe
+      .select(col("doc_id"), col("hx"),
+        explode(bloomPositions(col("hx"))).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col("doc_id"), col("hx"))
+      .agg(min(coalesce(col("hit"), lit(0L))).as("bloom_hit"))
+    val corpusSet = corpus.select(col("hx")).distinct()
+      .withColumn("ex", lit(1L))
+    member.join(corpusSet, Seq("hx"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        coalesce(col("ex"), lit(0L)).as("exact_dup"))
+  }
+
+  val bloomProbeSql: String = {
+    def pos(tbl: String, i: Int): String = (0 until 4).map { j =>
+      s"(strpos('0123456789abcdef', substr($tbl.hx, ${4 * i + j + 1}, 1)) - 1) * ${1 << (4 * (3 - j))}"
+    }.mkString("(", " + ", ")")
+    val corpusPos = (0 until BloomK)
+      .map(i => s"SELECT ${pos("c", i)} AS pos FROM corpus c")
+      .mkString("\n  UNION\n  ")
+    val probePos = (0 until BloomK)
+      .map(i => s"SELECT p.doc_id, p.hx, ${pos("p", i)} AS pos FROM probe p")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |  SELECT md5(text) AS hx FROM documents WHERE doc_id % 10 <> 0
+       |), probe AS (
+       |  SELECT doc_id, md5(text) AS hx FROM documents WHERE doc_id % 10 = 0
+       |), bits AS (
+       |  $corpusPos
+       |), pp AS (
+       |  $probePos
+       |), mem AS (
+       |  SELECT pp.doc_id, pp.hx,
+       |    CAST(min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS bloom_hit
+       |  FROM pp LEFT JOIN bits b ON pp.pos = b.pos
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id, bloom_hit,
+       |  CAST(CASE WHEN hx IN (SELECT hx FROM corpus) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS exact_dup
+       |FROM mem""".stripMargin
+  }
 }

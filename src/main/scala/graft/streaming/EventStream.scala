@@ -227,6 +227,52 @@ object EventStream extends Serializable {
     spark.table(name)
   }
 
+  /** X13: streaming counting-Bloom maintenance — T21's bit positions
+    * continuously folded over the document stream in complete mode, with
+    * per-position counts instead of plain bits (a counting Bloom filter —
+    * the variant that also supports deletion by decrement). State is
+    * bounded by m = 2^16 cells regardless of stream length; per-batch
+    * position increments combine map-side, so only cell deltas reach the
+    * state store. Deterministic md5-window positions make the
+    * continuously-maintained filter hash-exact against the batch oracle —
+    * the membership twin of X9 (frequency) and X11 (cardinality).
+    */
+  def bloomBitsStream(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = statePartitionSession(spark0, 8)
+    val schema = Tables.load(spark, dir, "documents").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val bits = stream
+      .select(explode(graft.ops.Corpus.bloomPositions(
+        md5(col("text")))).as("pos"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"graft_stream_bloom_${nameCounter.incrementAndGet()}"
+    val q = bits.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  val bloomBitsSql: String = {
+    def pos(i: Int): String = (0 until 4).map { j =>
+      s"(strpos('0123456789abcdef', substr(h.hx, ${4 * i + j + 1}, 1)) - 1) * ${1 << (4 * (3 - j))}"
+    }.mkString("(", " + ", ")")
+    val allPos = (0 until graft.ops.Corpus.BloomK)
+      .map(i => s"SELECT ${pos(i)} AS pos FROM h")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH h AS (
+       |  SELECT md5(text) AS hx FROM documents
+       |), pp AS (
+       |  $allPos
+       |)
+       |SELECT pos, count(*) AS n FROM pp GROUP BY 1""".stripMargin
+  }
+
   /** X12: stream-static enrichment join — the arriving event stream joined
     * per micro-batch against the static customer dimension (user_id →
     * c_custkey), then aggregated by market segment in complete mode. The

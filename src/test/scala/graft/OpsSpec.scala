@@ -384,6 +384,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom probe: no false negatives, exact membership correct") {
+    import org.apache.spark.sql.functions._
+    val out = Corpus.bloomProbe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // one-sided error: an exact dup can NEVER be missed by the filter
+    out.foreach { case (id, bloom, exact) =>
+      if (exact == 1L) assert(bloom == 1L, s"false negative on doc $id")
+    }
+    // exact_dup ground truth recomputed independently
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("hx")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpusHx = docs.filter(_._1 % 10 != 0).map(_._2).toSet
+    val expected = docs.filter(_._1 % 10 == 0)
+      .map { case (id, hx) => id -> (if (corpusHx(hx)) 1L else 0L) }.toMap
+    assert(out.map(r => r._1 -> r._3).toMap == expected)
+    assert(out.length == expected.size)
+  }
+
   test("q22: anti-join keeps only no-order customers above the threshold") {
     import org.apache.spark.sql.functions._
     val cust = graft.core.Tables.customer(spark, sf)

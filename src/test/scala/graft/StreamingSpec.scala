@@ -61,6 +61,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("streaming counting-Bloom cells equal the batch-built positions") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.bloomBitsStream(spark, sf)
+    val batch = graft.core.Tables.documents(spark, sf)
+      .select(explode(graft.ops.Corpus.bloomPositions(
+        md5(col("text")))).as("pos"))
+      .groupBy(col("pos")).agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(batch.count() > 0)
+  }
+
   test("streaming HLL registers equal the batch-built registers") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.hllRegisterStream(spark, sf)
