@@ -51,10 +51,12 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => KCore(Graph.fromTpch(s, d), k = 32)),
     "graph_lpa" -> ((s, d) => LabelPropagation(Graph.fromTpch(s, d), rounds = 5)),
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
-    "graph_triangles_scale" -> ((s, d) =>
-      Triangles.orientedCount(Triangles.partCoOrderEdges(s, d))),
-    "graph_clustering_coeff" -> ((s, d) =>
-      Triangles.localClustering(Triangles.partCoOrderEdges(s, d))),
+    // the three part-co-occurrence queries share one memoized enumeration
+    // per session (the first consumer pays it; trial-2 fresh sessions
+    // re-earn it — see Triangles.partTriCached)
+    "graph_triangles_scale" -> ((s, d) => Triangles.partTrianglesScale(s, d)),
+    "graph_clustering_coeff" -> ((s, d) => Triangles.partClustering(s, d)),
+    "graph_ktruss" -> ((s, d) => Triangles.partKTruss(s, d)),
     "rmat_gen" -> ((s, _) => RMat.graph(s, RMat.Params(scale = 10)).edges),
     "rmat_actions" -> ((s, _) =>
       RMat.actions(s, RMat.Params(scale = 10), na = 20000L)),
@@ -206,6 +208,7 @@ object SparkEntry {
     "graph_triangles" -> Triangles.nationTrianglesSql,
     "graph_triangles_scale" -> Triangles.partTrianglesSql,
     "graph_clustering_coeff" -> Triangles.partClusteringSql,
+    "graph_ktruss" -> Triangles.kTrussSql(),
     "rmat_gen" -> RMat.unrolledSql(RMat.Params(scale = 10)),
     "rmat_actions" -> RMat.actionsUnrolledSql(RMat.Params(scale = 10), na = 20000L),
     "q1_agg" -> Relational.q1Sql,

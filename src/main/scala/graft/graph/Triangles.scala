@@ -102,11 +102,20 @@ object Triangles {
     // derivation
     val e = canonicalEdges.select(col("u"), col("v")).distinct()
       .localCheckpoint(true)
+    localClusteringFrom(e, canonicalTriangleList(e))
+  }
+
+  /** Clustering coefficients from an already-enumerated triangle list
+    * (each triangle's 6 canonical-pair columns name its 3 vertices, each
+    * twice — `array_distinct` recovers the corner set per row).
+    */
+  def localClusteringFrom(e: DataFrame, triangleList: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
       .groupBy(col("id"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
-    val tcount = orientedTriangles(e)
-      .select(explode(array(col("a"), col("x"), col("y"))).as("id"))
+    val tcount = triangleList
+      .select(explode(array_distinct(array(col("u1"), col("v1"), col("u2"),
+        col("v2"), col("u3"), col("v3")))).as("id"))
       .groupBy(col("id"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("t"))
     deg.join(tcount, Seq("id"), "left")
@@ -172,45 +181,139 @@ object Triangles {
     * final list, identical on the oracle side.
     */
   def kTruss(canonicalEdges: DataFrame, k: Int = 5,
+      maxIter: Int = 30): DataFrame =
+    kTrussFrom(canonicalTriangleList(canonicalEdges), k, maxIter)
+
+  /** The oriented triangle list with each triangle's three CANONICAL
+    * (u < v) edges as columns — the shape the truss peel consumes.
+    */
+  def canonicalTriangleList(canonicalEdges: DataFrame): DataFrame =
+    orientedTriangles(canonicalEdges).select(
+      least(col("a"), col("x")).as("u1"), greatest(col("a"), col("x")).as("v1"),
+      least(col("a"), col("y")).as("u2"), greatest(col("a"), col("y")).as("v2"),
+      least(col("x"), col("y")).as("u3"), greatest(col("x"), col("y")).as("v3"))
+
+  /** Truss peel over an already-enumerated triangle list (see [[kTruss]]
+    * for the operator contract — this entry point lets the memoized part
+    * graph list be shared with the count/clustering consumers).
+    */
+  def kTrussFrom(triangleList: DataFrame, k: Int = 5,
       maxIter: Int = 30): DataFrame = {
     def pairs(t: DataFrame): DataFrame = t.select(explode(array(
         struct(col("u1").as("u"), col("v1").as("v")),
         struct(col("u2").as("u"), col("v2").as("v")),
         struct(col("u3").as("u"), col("v3").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-    def support(t: DataFrame): DataFrame = pairs(t)
+    val prof = sys.env.contains("GRAFT_KTRUSS_PROF")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (prof) System.err.println(
+        f"[ktruss] $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+    var tri = timed("triangle list")(
+      triangleList.localCheckpoint(true))
+    // full support computed ONCE; every later round maintains it by
+    // DECREMENT — per-round work scales with the triangles removed that
+    // round, not the surviving list (re-aggregating the full list per
+    // round tripled the suite cost of this query at sf0.1)
+    var sup = timed("initial support")(pairs(tri)
       .groupBy(col("u"), col("v"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("support"))
-      .filter(col("support") >= k - 2)
-    var tri = orientedTriangles(canonicalEdges).select(
-        least(col("a"), col("x")).as("u1"), greatest(col("a"), col("x")).as("v1"),
-        least(col("a"), col("y")).as("u2"), greatest(col("a"), col("y")).as("v2"),
-        least(col("x"), col("y")).as("u3"), greatest(col("x"), col("y")).as("v3"))
-      .localCheckpoint(true)
-    var prev = -1L
+      .localCheckpoint(true))
     var converged = false
+    var wedgeMode = false
     var i = 0
     while (!converged && i < maxIter) {
-      val kept = support(tri).select(col("u"), col("v")).localCheckpoint(true)
-      val n = kept.count()
-      converged = n == prev
-      prev = n
-      if (!converged && n > 0) {
-        tri = tri
-          .join(kept.select(col("u").as("u1"), col("v").as("v1")),
-            Seq("u1", "v1"), "left_semi")
-          .join(kept.select(col("u").as("u2"), col("v").as("v2")),
-            Seq("u2", "v2"), "left_semi")
-          .join(kept.select(col("u").as("u3"), col("v").as("v3")),
-            Seq("u3", "v3"), "left_semi")
+      // lazy: a map-only filter over the in-memory sup checkpoint — its
+      // three consumers re-run the filter rather than paying one more
+      // materialization per round (the count below is the only action)
+      val dropped = sup.filter(col("support") < k - 2)
+        .select(col("u"), col("v"))
+      val nDropped = dropped.count()
+      if (prof) System.err.println(s"[ktruss] round $i dropped $nDropped")
+      if (nDropped == 0) converged = true
+      else timed(s"round $i") {
+        // thin-tail rounds switch to WEDGE PROBING: the removed triangles
+        // of a small dropped set are recovered from the dropped endpoints'
+        // neighborhoods (N(u) ∩ N(v) over round-start edges = sup's keys)
+        // instead of a full pass over the triangle list — per-round work
+        // becomes O(|dropped| · deg), and the list needn't be maintained
+        // once every later round is also below the threshold (cascades
+        // only shrink). The switch is one-way: tri is stale afterwards.
+        if (!wedgeMode && nDropped <= 5000L) wedgeMode = true
+        val dec =
+          if (!wedgeMode) {
+            // dropped can be corpus-sized in the first rounds — size-gate
+            // the broadcast on the free checkpoint count (checkpointed
+            // frames carry no Catalyst stats; the static planner would
+            // SMJ them)
+            val d = if (nDropped <= 2000000L) broadcast(dropped) else dropped
+            // one pass over the list marks triangles losing any edge; the
+            // marked rows drive the decrements, the rest are the next list
+            val marked = tri
+              .join(d.select(col("u").as("u1"), col("v").as("v1"),
+                lit(1).as("m1")), Seq("u1", "v1"), "left")
+              .join(d.select(col("u").as("u2"), col("v").as("v2"),
+                lit(2).as("m2")), Seq("u2", "v2"), "left")
+              .join(d.select(col("u").as("u3"), col("v").as("v3"),
+                lit(3).as("m3")), Seq("u3", "v3"), "left")
+              .withColumn("m",
+                coalesce(col("m1"), col("m2"), col("m3")).isNotNull)
+              .select(col("u1"), col("v1"), col("u2"), col("v2"),
+                col("u3"), col("v3"), col("m"))
+              .localCheckpoint(true)
+            val out = pairs(marked.filter(col("m")))
+              .groupBy(col("u"), col("v"))
+              .agg(org.apache.spark.sql.functions.count(lit(1)).as("dec"))
+            tri = marked.filter(!col("m"))
+              .select(col("u1"), col("v1"), col("u2"), col("v2"),
+                col("u3"), col("v3"))
+              .localCheckpoint(true)
+            out
+          } else {
+            val edges0 = sup.select(col("u"), col("v"))
+            val adjSym = edges0
+              .select(col("u").as("p"), col("v").as("q"))
+              .unionAll(edges0.select(col("v").as("p"), col("u").as("q")))
+            val ends = dropped.select(col("u").as("p"))
+              .unionAll(dropped.select(col("v").as("p"))).distinct()
+            // one map-only pass over the in-memory sup checkpoint: only
+            // the dropped endpoints' adjacency rows survive the semi-join
+            val nbrs = adjSym.join(broadcast(ends), Seq("p"), "left_semi")
+              .localCheckpoint(true)
+            val na = broadcast(dropped).join(nbrs, col("u") === col("p"))
+              .select(col("u"), col("v"), col("q").as("w"))
+            val nb = broadcast(dropped).join(nbrs, col("v") === col("p"))
+              .select(col("u").as("u2"), col("v").as("v2"),
+                col("q").as("w2"))
+            // a triangle holding TWO dropped edges is found through both —
+            // canonicalize and dedup so its third edge decrements once
+            val removedTri = na.join(nb, col("u") === col("u2") &&
+                col("v") === col("v2") && col("w") === col("w2"))
+              .select(sort_array(array(col("u"), col("v"), col("w"))).as("t"))
+              .distinct()
+            removedTri.select(explode(array(
+                struct(col("t")(0).as("u"), col("t")(1).as("v")),
+                struct(col("t")(0).as("u"), col("t")(2).as("v")),
+                struct(col("t")(1).as("u"), col("t")(2).as("v")))).as("e"))
+              .select(col("e.u").as("u"), col("e.v").as("v"))
+              .groupBy(col("u"), col("v"))
+              .agg(org.apache.spark.sql.functions.count(lit(1)).as("dec"))
+          }
+        sup = sup.filter(col("support") >= k - 2)
+          .join(dec, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
           .localCheckpoint(true)
-      } else if (n == 0) converged = true
+      }
       i += 1
     }
     if (!converged)
       System.err.println(s"[graft] WARN KTruss: fixpoint not reached after " +
         s"$maxIter rounds — result may contain sub-$k edges")
-    support(tri)
+    sup.filter(col("support") >= k - 2)
   }
 
   /** Oracle: `rounds` unrolled peel steps over the unoriented triangle
@@ -248,6 +351,44 @@ object Triangles {
        |FROM (${pairs(s"tri$rounds")})
        |GROUP BY 1, 2 HAVING count(*) >= ${k - 2}""".stripMargin
   }
+
+  /** Memoized per (session, dir): the part co-occurrence canonical edge
+    * set and its oriented triangle list, shared by the three driver
+    * queries over this graph (`graph_triangles_scale`,
+    * `graph_clustering_coeff`, `graph_ktruss`) — the O(m^1.5) enumeration
+    * runs once per session and the FIRST consumer pays it inside its
+    * timed region (Bench's headline order makes that the count; trial 2's
+    * fresh session re-earns it, so a memo hit can never report as the
+    * pipeline's runtime). Staleness contract as `Dedup.minhashLshCached`:
+    * the first call snapshots the files under `dir`; dead-session entries
+    * are swept on access.
+    */
+  private val partTriCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  def partTriCached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.core.SessionCaches.sweep(partTriCache)(_._1)
+    partTriCache.getOrElseUpdate((spark, dir), {
+      val e = partCoOrderEdges(spark, dir)
+        .select(col("u"), col("v")).distinct().localCheckpoint(true)
+      (e, canonicalTriangleList(e).localCheckpoint(true))
+    })
+  }
+
+  /** `graph_triangles_scale`: count over the memoized list. */
+  def partTrianglesScale(spark: SparkSession, dir: String): DataFrame =
+    partTriCached(spark, dir)._2.groupBy()
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_triangles"))
+
+  /** `graph_clustering_coeff` over the memoized edges + list. */
+  def partClustering(spark: SparkSession, dir: String): DataFrame = {
+    val (e, tri) = partTriCached(spark, dir)
+    localClusteringFrom(e, tri)
+  }
+
+  /** `graph_ktruss` over the memoized list. */
+  def partKTruss(spark: SparkSession, dir: String): DataFrame =
+    kTrussFrom(partTriCached(spark, dir)._2)
 
   /** Part co-occurrence graph: parts are adjacent iff some order contains
     * both — the market-basket projection of `lineitem`. Unlike the nation

@@ -168,6 +168,32 @@ class GraphSpec extends AnyFunSuite {
       s"oriented=$oriented unoriented=$unoriented")
   }
 
+  test("k-truss: clique fixture exact; part graph is a self-consistent fixpoint") {
+    // five 5-cliques: every edge closes exactly 3 triangles ⇒ the k=5
+    // truss is the whole graph with support 3 everywhere, and the k=6
+    // truss is empty
+    val ne = Triangles.nationEdges(spark, TestSpark.sfTiny)
+    val t5 = Triangles.kTruss(ne, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t5.length == 50 && t5.forall(_._3 == 3L))
+    assert(Triangles.kTruss(ne, k = 6).count() == 0L)
+    // SF-scaling part graph: every reported support must equal the edge's
+    // recomputed triangle count WITHIN the truss subgraph and pass the
+    // k−2 bar (the fixpoint definition, checked independently in memory)
+    val out = Triangles.kTruss(Triangles.partCoOrderEdges(spark, TestSpark.sfTiny))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val edgeSet = out.map(r => (r._1, r._2)).toSet
+    val adj = out.flatMap(r => Seq(r._1 -> r._2, r._2 -> r._1))
+      .groupBy(_._1).map { case (k2, vs) => k2 -> vs.map(_._2).toSet }
+    out.foreach { case (u, v, s) =>
+      val common = (adj(u) & adj(v)).size
+      assert(s == common.toLong, s"edge ($u,$v): support $s != $common")
+      assert(s >= 3L)
+    }
+    assert(edgeSet.forall { case (u, v) => u < v })
+  }
+
   test("landmark BFS: each landmark's slice equals its single-source BFS") {
     val g = Graph.fromTpch(spark, TestSpark.sfTiny)
     val lmd = LandmarkDistances(g, k = 3)
