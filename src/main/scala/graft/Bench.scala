@@ -63,7 +63,8 @@ object Bench {
     "corpus_decontaminate", "corpus_sample", "corpus_mix", "corpus_dsir",
     "corpus_bloom_probe",
     "corpus_pack", "corpus_curate", "stats_profile",
-    "multimodal_meta", "multimodal_frames", "stream_events_hourly",
+    "multimodal_meta", "multimodal_frames", "multimodal_phash",
+    "stream_events_hourly",
     "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
     "stream_dedup_exact", "stream_events_hopping", "stream_cms_sketch",
     "stream_purchase_click_join", "stream_hll_registers",

@@ -128,6 +128,7 @@ object SparkEntry {
     // --- multimodal (M1) ---
     "multimodal_meta" -> ((s, d) => Multimodal.extractMeta(s, d)),
     "multimodal_frames" -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    "multimodal_phash" -> ((s, d) => Multimodal.perceptualHashQuery(s, d)),
     // --- streaming (X1..X4) ---
     "stream_events_hourly" -> ((s, d) => EventStream.eventsHourly(s, d)),
     "stream_graph_updates" -> ((s, d) => EventStream.maintainGraphStream(s, d)),
@@ -268,6 +269,7 @@ object SparkEntry {
     "stats_profile" -> Corpus.numericProfileSql,
     "multimodal_meta" -> Multimodal.extractMetaSql,
     "multimodal_frames" -> Multimodal.sampleFramesSql,
+    "multimodal_phash" -> Multimodal.perceptualHashSql,
     "stream_events_hourly" -> EventStream.eventsHourlySql,
     "stream_graph_updates" -> EdgeUpdates.updatedEdgesSql,
     "stream_sessionize" -> Relational.sessionizeSql,

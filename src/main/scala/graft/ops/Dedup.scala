@@ -330,8 +330,11 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("tk.band"), col("tk.key"))
   }
 
-  /** Bucket self-join → verified distinct pairs at Hamming ≤ maxHamming. */
-  private def pairsFromBuckets(buckets: DataFrame, maxHamming: Int): DataFrame =
+  /** Bucket self-join → verified distinct pairs at Hamming ≤ maxHamming.
+    * (Shared with the perceptual-hash image dedup in [[Multimodal]] — any
+    * 64-bit fingerprint family blocks the same way.)
+    */
+  private[graft] def pairsFromBuckets(buckets: DataFrame, maxHamming: Int): DataFrame =
     buckets.as("a").join(buckets.as("b"),
       col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -153,6 +153,138 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class PHashRow(doc_id: Long, phash: Long, is_image: Boolean)
+
+  /** 64-bit perceptual difference-hash (dHash: resize to 9×8 grayscale,
+    * bit y·8+x set iff lum(x,y) > lum(x+1,y) — Krawetz 2013): robust to
+    * rescaling/recompression, the standard cheap image near-dup signal.
+    * None when the payload is not a decodable image.
+    */
+  def dHash64(payload: Array[Byte]): Option[Long] =
+    if (!looksLikeImage(payload)) None
+    else Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { im =>
+      val thumb = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = thumb.createGraphics()
+      try {
+        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g2.drawImage(im, 0, 0, 9, 8, null)
+      } finally g2.dispose()
+      def lum(rgb: Int): Float =
+        0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) +
+          0.114f * (rgb & 0xff)
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (lum(thumb.getRGB(x, y)) > lum(thumb.getRGB(x + 1, y)))
+            bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+  /** Deterministic non-image fallback: the first 64 bits of md5(payload)
+    * (big-endian — identical to parsing the first 16 hex digits), so the
+    * mixed-column pipeline stays total AND the driver's text-payload
+    * corpus is exactly reproducible in DuckDB SQL.
+    */
+  def fallbackHash64(payload: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    java.nio.ByteBuffer.wrap(d).getLong
+  }
+
+  /** Per-payload 64-bit perceptual fingerprints — real dHash for images,
+    * md5-derived fallback otherwise; same zero-shuffle mapPartitions shape
+    * as the other decode steps.
+    */
+  def perceptualHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          dHash64(r.payload) match {
+            case Some(h) => PHashRow(r.doc_id, h, is_image = true)
+            case None => PHashRow(r.doc_id, fallbackHash64(r.payload),
+              is_image = false)
+          }
+        }
+      }.toDF()
+  }
+
+  /** M3 (driver query): the per-payload fingerprint table itself —
+    * (doc_id, phash, is_image) — hash-checked value-exactly against the
+    * DuckDB oracle's 64-bit reconstruction, so the fingerprint arithmetic
+    * (not just a row count) is gated. The PAIR pipeline over these
+    * fingerprints is [[phashDupsFrom]], exercised on real images in tests
+    * (the driver's text corpus has no near-dup payloads at Hamming ≤ 3 —
+    * md5 fallbacks of distinct texts are uniform random, so its pair set
+    * is empty by construction).
+    */
+  def perceptualHashQuery(spark: SparkSession, dir: String): DataFrame =
+    perceptualHashes(spark, dir)
+      .select(col("doc_id"), col("phash"),
+        col("is_image").cast("long").as("is_image"))
+
+  /** Oracle: rebuild the signed 64-bit fallback hash from md5 hex via two
+    * 32-bit positional-digit halves in HUGEINT, wrapped to signed BIGINT
+    * (the same emulation the R-MAT XXH64 oracle uses).
+    */
+  val perceptualHashSql: String = {
+    def half(start: Int): String = (0 until 8).map { j =>
+      s"(strpos('0123456789abcdef', substr(hx, ${start + j}, 1)) - 1) * ${1L << (4 * (7 - j))}"
+    }.mkString("(", " + ", ")")
+    s"""WITH h AS (
+       |  SELECT doc_id, md5(text) AS hx FROM documents
+       |), parts AS (
+       |  SELECT doc_id, CAST(${half(1)} AS HUGEINT) AS hi,
+       |    CAST(${half(9)} AS HUGEINT) AS lo
+       |  FROM h
+       |)
+       |SELECT doc_id,
+       |  CAST(hi * 4294967296 + lo
+       |    - CASE WHEN hi >= 2147483648 THEN CAST('18446744073709551616' AS HUGEINT)
+       |           ELSE 0 END AS BIGINT) AS phash,
+       |  CAST(0 AS BIGINT) AS is_image
+       |FROM parts""".stripMargin
+  }
+
+  /** M3 (pair pipeline): perceptual near-dup pairs at Hamming ≤ maxHamming
+    * over 64-bit fingerprints, blocked with the SAME lossless
+    * permuted-table machinery as SimHash text dedup (D4) — the fingerprint
+    * family changes, the scale path doesn't.
+    */
+  def phashDupsFrom(bin: org.apache.spark.sql.Dataset[MediaRow],
+      maxHamming: Int = 3, blocks: Int = 6,
+      prefixBlocks: Int = 3): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    val fps = bin.mapPartitions { rows =>
+      rows.map { r =>
+        val h = dHash64(r.payload).getOrElse(fallbackHash64(r.payload))
+        (r.doc_id, h)
+      }
+    }.toDF("doc_id", "simhash")
+    Dedup.pairsFromBuckets(
+      Dedup.permutedTables(fps, blocks, prefixBlocks), maxHamming)
+  }
+
+  /** The documents-table instantiation of the pair pipeline. */
+  def phashDups(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    phashDupsFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow], maxHamming)
+  }
+
   val DefaultFrames = 4
   val DefaultFrameBytes = 64
 

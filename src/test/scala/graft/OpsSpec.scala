@@ -598,6 +598,79 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L).getSeq[Float](3).isEmpty)
   }
 
+  /** Deterministic pseudo-random grayscale test image; `tweak` whitens an
+    * 8×8 corner (a small edit), `flip` mirrors horizontally (a different
+    * image).
+    */
+  private def patternBytes(tweak: Boolean = false,
+      flip: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 64).foreach { y =>
+      (0 until 64).foreach { x =>
+        val xx = if (flip) 63 - x else x
+        val v = ((xx * 37) ^ (y * 91)) & 0xff
+        img.setRGB(x, y, v << 16 | v << 8 | v)
+      }
+    }
+    if (tweak) (0 until 8).foreach { y =>
+      (0 until 8).foreach(x => img.setRGB(x, y, 0xffffff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  test("perceptual dHash: stable, edit-tolerant, discriminative; fallback md5-exact") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.dHash64(patternBytes()).get
+    assert(Multimodal.dHash64(patternBytes()).get == base)
+    val edited = Multimodal.dHash64(patternBytes(tweak = true)).get
+    val other = Multimodal.dHash64(patternBytes(flip = true)).get
+    assert(ham(base, edited) < ham(base, other),
+      s"edit ${ham(base, edited)} !< flip ${ham(base, other)}")
+    assert(ham(base, edited) <= 12)
+    assert(ham(base, other) >= 10)
+    assert(Multimodal.dHash64("plain text".getBytes("UTF-8")).isEmpty)
+    // fallback bit mapping must equal the oracle's hex-digit arithmetic
+    val payload = "some text payload".getBytes("UTF-8")
+    val h = Multimodal.fallbackHash64(payload)
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      .map("%02x".format(_)).mkString
+    (0 until 64).foreach { k =>
+      val bit = (Character.digit(hex.charAt(15 - k / 4), 16) >> (k % 4)) & 1
+      assert(((h >> k) & 1L) == bit.toLong, s"bit $k mismatch")
+    }
+  }
+
+  test("phash dup pairs: real image near-dups found, blocking lossless") {
+    import spark.implicits._
+    val dupPng = patternBytes()
+    val rows = Seq(
+      Multimodal.MediaRow(1L, dupPng),
+      Multimodal.MediaRow(2L, dupPng), // identical image: Hamming 0
+      Multimodal.MediaRow(3L, patternBytes(flip = true)), // different image
+      Multimodal.MediaRow(4L, "text a".getBytes("UTF-8")),
+      Multimodal.MediaRow(5L, "text a".getBytes("UTF-8")), // identical bytes
+      Multimodal.MediaRow(6L, "text b".getBytes("UTF-8")))
+    val pairs = Multimodal.phashDupsFrom(rows.toDS())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L, 0L)), s"image dup missing: $pairs")
+    assert(pairs.contains((4L, 5L, 0L)), s"payload dup missing: $pairs")
+    // the flipped image and distinct texts are far in Hamming space
+    assert(!pairs.exists(p => Set(p._1, p._2).contains(3L)))
+    assert(!pairs.exists(p => Set(p._1, p._2).contains(6L)))
+    // driver-corpus instantiation: pair set consistent with fingerprints
+    val hashes = Multimodal.perceptualHashes(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Multimodal.phashDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .foreach { case (a, b, h) =>
+        assert(a < b && h <= 3)
+        assert(h == java.lang.Long.bitCount(hashes(a) ^ hashes(b)).toLong)
+      }
+  }
+
   test("packIndex matches a sequential prefix-sum and is groupWidth-invariant") {
     import spark.implicits._
     val docs = graft.core.Tables.documents(spark, sf)
