@@ -54,6 +54,17 @@ object EdgeUpdates {
     * (weight_old > 0 ≠ weight > 0) come free from the same single
     * edge-table pass — the incremental streaming maintainers read them
     * instead of probing the edge state before AND after.
+    *
+    * CONTRACT — one directed row per undirected pair: `base` and `actions`
+    * must never contain both (u,v) and (v,u) for the same pair, or the
+    * downstream flip-delta consumers (incrementalDegreesStream /
+    * incrementalCcStream canonicalize with least/greatest AFTER this
+    * merge) would count one undirected presence flip twice. Both in-repo
+    * edge sources satisfy it structurally: the TPC-H build keeps src
+    * (custkey) and dst (SupplierOffset+suppkey) in disjoint id spaces, and
+    * the R-MAT action stream canonicalizes src<=dst at generation. A new
+    * edge source must either canonicalize (src<dst) or keep its endpoint
+    * domains disjoint before feeding this merge.
     */
   def applyAnnotated(base: DataFrame, actions: DataFrame): DataFrame = {
     val byEdge = Window.partitionBy(col("src"), col("dst"))
@@ -80,15 +91,16 @@ object EdgeUpdates {
   }
 
   private val instances =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), Graph]()
+    scala.collection.concurrent.TrieMap[((SparkSession, String), Long), Graph]()
 
   /** End-to-end: TPC-H graph + events action log → final edge table.
-    * Memoized per (session, dir) like Graph.fromTpch, so the update-edges
-    * and update-degrees workloads share one pipeline and one edge cache.
+    * Memoized per (session, dir) like Graph.fromTpch (same file-listing
+    * staleness fingerprint), so the update-edges and update-degrees
+    * workloads share one pipeline and one edge cache.
     */
   def updatedGraph(spark: SparkSession, dir: String): Graph = {
-    graft.core.SessionCaches.sweep(instances)(_._1)
-    instances.getOrElseUpdate((spark, dir),
+    graft.core.SessionCaches.sweep(instances)(_._1._1)
+    graft.core.SessionCaches.freshOrUpdate(instances, (spark, dir), dir)(
       Graph(apply(Graph.fromTpch(spark, dir).edges, actionsFromEvents(spark, dir)),
         memoizeAnalytics = true))
   }

@@ -68,11 +68,12 @@ object Graph {
     * map-side combine.
     */
   private val instances =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), Graph]()
+    scala.collection.concurrent.TrieMap[((SparkSession, String), Long), Graph]()
 
   def fromTpch(spark: SparkSession, dir: String): Graph = {
-    graft.core.SessionCaches.sweep(instances)(_._1)
-    instances.getOrElseUpdate((spark, dir), build(spark, dir))
+    graft.core.SessionCaches.sweep(instances)(_._1._1)
+    graft.core.SessionCaches.freshOrUpdate(instances, (spark, dir), dir)(
+      build(spark, dir))
   }
 
   private def build(spark: SparkSession, dir: String): Graph = {

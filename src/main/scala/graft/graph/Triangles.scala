@@ -360,19 +360,21 @@ object Triangles {
     * timed region (Bench's headline order makes that the count; trial 2's
     * fresh session re-earns it, so a memo hit can never report as the
     * pipeline's runtime). Staleness contract as `Dedup.minhashLshCached`:
-    * the first call snapshots the files under `dir`; dead-session entries
-    * are swept on access.
+    * the cache key carries a fingerprint of the file listing under `dir`
+    * (path+size+mtime), so a rewrite of the data invalidates the entry
+    * instead of serving a stale snapshot; dead-session entries are swept
+    * on access.
     */
   private val partTriCache = scala.collection.concurrent.TrieMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+    ((SparkSession, String), Long), (DataFrame, DataFrame)]()
 
   def partTriCached(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    graft.core.SessionCaches.sweep(partTriCache)(_._1)
-    partTriCache.getOrElseUpdate((spark, dir), {
+    graft.core.SessionCaches.sweep(partTriCache)(_._1._1)
+    graft.core.SessionCaches.freshOrUpdate(partTriCache, (spark, dir), dir) {
       val e = partCoOrderEdges(spark, dir)
         .select(col("u"), col("v")).distinct().localCheckpoint(true)
       (e, canonicalTriangleList(e).localCheckpoint(true))
-    })
+    }
   }
 
   /** `graph_triangles_scale`: count over the memoized list. */

@@ -391,19 +391,20 @@ object Dedup {
     * those pairs) share one pipeline run per session, like
     * `Graph.fromTpch` memoizes the graph build.
     *
-    * Staleness contract: the first call in a session snapshots the data
-    * under `dir`; later calls return that snapshot even if the files
-    * change. Callers that need fresh results (or want to *time* the
-    * pipeline rather than a checkpoint scan) must use [[minhashLsh]].
-    * Dead-session entries are swept on access.
+    * Staleness contract: the cache key carries a fingerprint of the file
+    * listing under `dir` (path+size+mtime), so a rewrite of the data
+    * invalidates the entry instead of serving a stale snapshot. Callers
+    * that want to *time* the pipeline rather than a checkpoint scan must
+    * use [[minhashLsh]]. Dead-session entries are swept on access.
     */
   private val pairCache = scala.collection.concurrent.TrieMap[
-    (SparkSession, String, Double), DataFrame]()
+    ((SparkSession, String, Double), Long), DataFrame]()
 
   def minhashLshCached(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
-    graft.core.SessionCaches.sweep(pairCache)(_._1)
-    pairCache.getOrElseUpdate((spark, dir, threshold),
+    graft.core.SessionCaches.sweep(pairCache)(_._1._1)
+    graft.core.SessionCaches.freshOrUpdate(
+      pairCache, (spark, dir, threshold), dir)(
       minhashLsh(spark, dir, threshold).localCheckpoint(true))
   }
 

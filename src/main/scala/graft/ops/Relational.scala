@@ -503,8 +503,11 @@ object Relational {
     sym.join(partCounts.select(col("p").as("pa"), col("n_p").as("na")), "pa")
       .join(partCounts.select(col("p").as("pb"), col("n_p").as("nb")), "pb")
       .select(col("pa").as("part"), col("pb").as("partner"), col("n_both"),
-        round(col("n_both") * lit(nOrders) /
-          (col("na") * col("nb")), 6).as("lift"))
+        // n_both enters the multiply as double (the oracle's `* 1.0`
+        // promotion): long n_both * nOrders can overflow Int64 at very
+        // large SF before Divide's implicit cast would have saved it
+        round(col("n_both").cast("double") * lit(nOrders.toDouble) /
+          (col("na").cast("double") * col("nb")), 6).as("lift"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
   }
