@@ -167,6 +167,18 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"trials":$trials$rjson,"queries":$qjson,"sf":"$sfDir"}"""
   }
 
+  /** Compact one-line total WITHOUT the per-query map, printed AFTER the
+    * full summary line: the full line grows with the query count (BENCH_r04
+    * was cut mid-line by the consumer's tail capture, losing the total), so
+    * the headline numbers also ship on a short trailing line that survives
+    * any tail-size capture.
+    */
+  def compactLine(results: Seq[(String, Double)], sfDir: String): String = {
+    val failed = results.count(_._2 < 0)
+    val total = if (failed > 0) -1.0 else results.map(_._2).sum
+    s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","failed":$failed,"queries_n":${results.size},"sf":"$sfDir"}"""
+  }
+
   /** recall@5 of the benched ANN operating points vs the exact baseline,
     * computed once per run (outside the timers) and reported in stderr and
     * the summary JSON.
@@ -220,6 +232,8 @@ object Bench {
         Map.empty[String, Double]
     }
     println(summaryLine(merged, sfDir, trials = 2, recall = recall))
+    // trailing compact total: survives tail-truncation of the line above
+    println(compactLine(merged, sfDir))
     spark.stop()
   }
 
@@ -227,9 +241,9 @@ object Bench {
     * graph sizes from the memoized session graph, `update` as actions/sec
     * over the update-apply step alone (inputs pre-materialized, like the
     * reference engines that time updates against a loaded graph), `mem` as
-    * the JVM's used heap in KB (the single-process analog of the
-    * reference's resident memory figure — instantaneous, no forced GC; the
-    * caveat ships in the JSON's `notes`).
+    * this JVM's peak RSS in KB ([[graft.core.Mem.reportKb]] — the same
+    * OS-level high-water mark the reference engines report; method named
+    * in the JSON's `notes`).
     */
   private def writeRefRunJson(spark: SparkSession, sfDir: String,
       secs: Map[String, Double], runJson: Option[String]): Unit = {
@@ -251,8 +265,7 @@ object Bench {
     val updSec = (System.nanoTime() - t0) / 1e9
     val updateRate = na / updSec
     System.err.println(f"[bench] update-apply isolated: $na actions / $updSec%.2f s = $updateRate%.0f act/s")
-    val rt = Runtime.getRuntime
-    val memKb = (rt.totalMemory() - rt.freeMemory()) / 1024
+    val (memKb, memHow) = graft.core.Mem.reportKb()
     val pkg = "graft-spark"
     val metrics = refMetricOf.map { case (q, m) =>
       s""""$m": {"name": "$pkg", "time": ${secs(q)}}"""
@@ -266,7 +279,7 @@ object Bench {
          |  "type": "$pkg",
          |  "notes": {
          |    "update": "actions/sec over the isolated update-apply step (inputs pre-materialized)",
-         |    "mem": "instantaneous JVM used heap at report time, no forced GC",
+         |    "mem": "$memHow at report time, whole JVM (driver+executors: local mode is one process, like the single-node reference engines)",
          |    "build": "includes materializing the undirected edge cache the algorithms read"
          |  },
          |  "results": {

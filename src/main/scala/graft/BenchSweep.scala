@@ -47,7 +47,7 @@ object BenchSweep {
           RmatTier.run(spark, tier, "target/graft-data",
             Some(outDir.resolve(s"run.graft.$tier").toString))
         else Bench.runSuite(spark, dir, Bench.headline, runJson = None)
-      Bench.summaryLine(results, dir)
+      Bench.summaryLine(results, dir) + "\n" + Bench.compactLine(results, dir)
     }
     lines.foreach(println)
     chartArgs.headOption.map(_.stripPrefix("charts=")).foreach { out =>

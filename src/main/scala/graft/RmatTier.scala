@@ -120,8 +120,7 @@ object RmatTier {
 
     val ne = g.cachedUndirected.count()
     runJson.foreach { path =>
-      val rt = Runtime.getRuntime
-      val memKb = (rt.totalMemory() - rt.freeMemory()) / 1024
+      val (memKb, memHow) = graft.core.Mem.reportKb()
       val pkg = "graft-spark"
       val metrics = Seq("build" -> buildSec, "sv" -> svSec, "pr" -> prSec,
         "sssp" -> ssspSec, "update" -> rate).map { case (m, v) =>
@@ -137,7 +136,7 @@ object RmatTier {
            |  "notes": {
            |    "graph": "self-generated R-MAT SCALE=$scale EF=8 (ref README tier '$tier'), ne = distinct symmetrized edges",
            |    "update": "actions/sec over the isolated update-apply step (inputs pre-materialized)",
-           |    "mem": "instantaneous JVM used heap at report time, no forced GC",
+           |    "mem": "$memHow at end of tier run, whole JVM (driver+executors: local mode is one process, like the single-node reference engines)",
            |    "build": "raw edge list from parquet to the weighted symmetrized adjacency cache"
            |  },
            |  "results": {

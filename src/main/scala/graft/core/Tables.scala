@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables.
   *
@@ -29,15 +29,25 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's reader only
-    * accepts as a long (`spark.sql.legacy.parquet.nanosAsLong=true` — set in
-    * every session builder here). Normalize to a microsecond TimestampType
-    * column; the driver data is whole-microsecond so this is lossless.
+  /** Normalize the generated `ts` column to a plain microsecond
+    * TimestampType whatever physical form the driver wrote it in:
+    *
+    *  - TIMESTAMP(NANOS), which Spark's reader only accepts as a long
+    *    (`spark.sql.legacy.parquet.nanosAsLong=true` — set in every session
+    *    builder here); whole-microsecond data, so `div 1000` is lossless.
+    *  - TIMESTAMP(MICROS) without timezone (isAdjustedToUTC=false →
+    *    TimestampNTZType): cast through the session timezone, pinned UTC in
+    *    every builder — the same instant DuckDB reads, and the TIMESTAMP
+    *    type watermarks/`unix_micros` require.
     */
   def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   def events(spark: SparkSession, dir: String): DataFrame =
     normalizeTs(load(spark, dir, "events"))
