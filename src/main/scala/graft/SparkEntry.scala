@@ -48,7 +48,8 @@ object SparkEntry {
       PageRank.fixedIterations(EdgeUpdates.updatedGraph(s, d), 5)),
     "graph_update_sssp" -> ((s, d) =>
       ShortestPaths.fromMinVertex(EdgeUpdates.updatedGraph(s, d))),
-    "graph_kcore" -> ((s, d) => KCore(Graph.fromTpch(s, d), k = 32)),
+    "graph_kcore" -> ((s, d) =>
+      KCore(Graph.fromTpch(s, d), k = 32, oracleRounds = Some(8))),
     "graph_lpa" -> ((s, d) => LabelPropagation(Graph.fromTpch(s, d), rounds = 5)),
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
     // the three part-co-occurrence queries share one memoized enumeration

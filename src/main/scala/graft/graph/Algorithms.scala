@@ -20,21 +20,40 @@ object Degrees {
     apply(g).groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
 }
 
-/** Connected components via Shiloach-Vishkin-style min-label propagation
-  * (ref: tests/bagel/App.scala:211-223 — each vertex repeatedly adopts the
-  * min component id heard from neighbors, halting when stable).
+/** Connected components via min-label propagation (ref:
+  * tests/bagel/App.scala:211-223 — each vertex repeatedly adopts the min
+  * component id heard from neighbors, halting when stable), frontier-ized
+  * and pointer-jumped.
   *
-  * Spark-first shape: labels is a (id, component) DataFrame; each round is
-  * one shuffle-join (edges ⋈ labels on src) + one shuffle-agg (min per dst).
-  * Converges in O(diameter) rounds (small-world graphs: ~10). Lineage is
-  * truncated every round with an eager localCheckpoint, else the plan grows
-  * exponentially. Convergence check: Σ labels is strictly decreasing until
-  * fixpoint (labels only ever decrease), so one extra scalar agg per round
-  * — no second join.
+  * Only the *changed-label frontier* re-joins the edge cache each round —
+  * correct because labels only decrease and a vertex re-sends whenever its
+  * label decreases, so at frontier-drain every edge is label-consistent
+  * (label(v) = label(u) across each edge ⇒ exact min fixpoint). Three
+  * cost regimes:
+  *
+  *  - **Seed**: round 1 is a pure map-side-combined aggregate over the
+  *    downhill (src < dst) half of the edge cache — min smaller-neighbor
+  *    per vertex, no join at all on the most expensive round.
+  *  - **Heavy rounds** (frontier > |V|/16): one fused |V|-row update join
+  *    (least + changed flag) plus one hash-to-min pointer jump
+  *    (component ← label(component), a |V| self-join) that spreads mins
+  *    exponentially — O(log diameter) heavy rounds instead of
+  *    O(diameter). Jump-improved vertices join the send set, which the
+  *    termination argument requires.
+  *  - **Tail rounds** (frontier ≤ |V|/16, broadcastable): the frontier
+  *    and its candidate set BROADCAST into map-side probes of the edge
+  *    cache and label table; improvements accumulate in a frontier-sized
+  *    overlay folded into the labels once at drain. No |V|-row rewrite,
+  *    which at SCALE 24 is the difference between ~1 s and ~25 s per tail
+  *    round.
+  *
+  * Lineage is truncated every round with an eager localCheckpoint, else
+  * the plan grows exponentially; convergence = the frontier drains to
+  * empty, a free scalar on the just-checkpointed delta.
   *
   * 100 TB note: for pathological diameters the upgrade is alternating
   * large-star/small-star (Kiveris et al., MapReduce CC), same DataFrame
-  * skeleton; hub skew in edges⋈labels is handled by AQE skew-join.
+  * skeleton; hub skew in edges⋈frontier is handled by AQE skew-join.
   */
 object ConnectedComponents {
   /** Converged label tables, memoized per (graph, params): `sizes` (and any
@@ -64,8 +83,149 @@ object ConnectedComponents {
         run(g, maxIter, broadcastVertices))
     } else run(g, maxIter, broadcastVertices)
 
+  /** Tail-regime ceiling: below this many changed labels the round runs
+    * broadcast-side (the frontier and its candidate set move; the |V|-row
+    * label table is only probed, never rewritten). 4M rows ≈ 64 MB — the
+    * same order as the other broadcast gates here.
+    */
+  val TailFrontier = 4000000L
+
   private def run(g: Graph, maxIter: Int,
       broadcastVertices: Boolean): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    val prof = sys.env.contains("GRAFT_CC_PROF")
+    def t[A](tag: => String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (prof) System.err.println(
+        f"[cc] $tag ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+    val edges = g.cachedUndirected
+    // round 1 without an edge join: initial labels are the ids themselves,
+    // so the first heard-min per vertex is min(src) over its SMALLER
+    // neighbors (an uphill label can never improve a vertex whose label
+    // starts at its own id — the prefilter halves the scanned volume) —
+    // one map-side-combined aggregate over the edge cache
+    var frontier = t("seed")(edges.filter(col("src") < col("dst"))
+      .groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("component"))
+      .localCheckpoint(true))
+    var nFront = frontier.count()
+    // initial label table with the seed improvements already folded in
+    // (the loop's invariant: `labels` reflects every frontier it has seen)
+    var labels = t("labels0")(edges.select(col("src").as("id"))
+      .distinct()
+      .join(frontier.select(col("id").as("fid"), col("component")),
+        col("id") === col("fid"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint(true))
+    val nv = labels.count()
+    // tail once the frontier is a small fraction of |V| AND broadcastable
+    val tailT = math.min(math.max(nv / 16, 16L), TailFrontier)
+    // tail-phase overlay: improvements not yet folded into `labels`
+    var pending: DataFrame = null
+    var i = 1
+    while (nFront > 0 && i < maxIter) {
+      if (prof) System.err.println(s"[cc] round $i frontier=$nFront")
+      if (nFront > tailT) {
+        // HEAVY round: one fused |V|-row update join (least + changed
+        // flag), then one pointer jump (hash-to-min style): component ←
+        // label(component). Labels are vertex ids of the same component,
+        // so the jump preserves the connectivity invariant while
+        // spreading mins exponentially — the flood takes O(log diameter)
+        // heavy rounds instead of O(diameter). A jump-improved vertex
+        // joins the send set (every label decrease must be re-heard by
+        // neighbors — the termination argument needs exactly that).
+        val cand = edges.join(bc(frontier), edges("src") === frontier("id"))
+          .filter(col("component") < col("dst"))
+          .select(col("dst"), col("component"))
+          .groupBy(col("dst").as("id")).agg(min(col("component")).as("cand"))
+        val upd = t(s"upd   $i")(labels
+          .join(cand, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"),
+              coalesce(col("cand"), col("component"))).as("component"),
+            (coalesce(col("cand"), lit(Long.MaxValue)) <
+              col("component")).as("chg"))
+          .localCheckpoint(true))
+        val look = upd.select(col("id").as("lid"), col("component").as("c2"))
+        val jumped = t(s"jump  $i")(upd
+          .join(look, col("component") === col("lid"))
+          .select(col("id"), col("c2").as("component"),
+            (col("chg") || col("c2") < col("component")).as("chg"))
+          .localCheckpoint(true))
+        labels = jumped.select(col("id"), col("component"))
+        frontier = jumped.filter(col("chg"))
+          .select(col("id"), col("component"))
+        nFront = t(s"count $i")(frontier.count())
+      } else {
+        // TAIL round: the |V| tables are only PROBED — the broadcast
+        // frontier drives a map-side edge probe, the broadcast candidate
+        // set a map-side label probe, and improvements accumulate in a
+        // small overlay folded into `labels` once at the end. Round cost
+        // is two cache scans + frontier-sized state, not |V| rewrites.
+        if (pending == null) {
+          val spark = edges.sparkSession
+          import spark.implicits._
+          pending = Seq.empty[(Long, Long)].toDF("id", "component")
+            .localCheckpoint(true)
+        }
+        val cand = t(s"cand  $i")(edges
+          .join(broadcast(frontier), edges("src") === frontier("id"))
+          .filter(col("component") < col("dst"))
+          .select(col("dst"), col("component"))
+          .groupBy(col("dst").as("id")).agg(min(col("component")).as("cand"))
+          .localCheckpoint(true))
+        // the frontier is ≤ tailT, but its candidate fan-out (distinct
+        // neighborhood) need not be — gate the probe-side broadcast on
+        // the actual count (free on the fresh checkpoint)
+        val candB =
+          if (cand.count() <= TailFrontier) broadcast(cand) else cand
+        val improved = t(s"impr  $i")(labels
+          .join(candB, Seq("id"))
+          .join(pending.select(col("id"), col("component").as("pend")),
+            Seq("id"), "left")
+          .filter(col("cand") <
+            least(col("component"), coalesce(col("pend"), col("component"))))
+          .select(col("id"), col("cand").as("component"))
+          .localCheckpoint(true))
+        frontier = improved
+        pending = pending.union(improved)
+          .groupBy(col("id")).agg(min(col("component")).as("component"))
+          .localCheckpoint(true)
+        nFront = frontier.count()
+      }
+      i += 1
+    }
+    if (pending != null) {
+      // fold the tail overlay into the label table — ONE |V| rewrite for
+      // the whole tail phase
+      labels = t("fold")(labels
+        .join(pending.select(col("id").as("pid"), col("component").as("pc")),
+          col("id") === col("pid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("pc"), col("component")))
+            .as("component"))
+        .localCheckpoint(true))
+    }
+    if (nFront > 0)
+      System.err.println(s"[graft] WARN ConnectedComponents: fixpoint not " +
+        s"reached after $maxIter rounds — labels may be non-minimal " +
+        "(raise maxIter for high-diameter graphs)")
+    // edges cache is shared across algorithms (Graph.cachedUndirected) — no unpersist
+    labels
+  }
+
+  /** The dense (non-frontier) formulation — every round joins the FULL
+    * label state against the edges and takes the min over self ∪ heard.
+    * Kept as the equivalence reference for [[run]]: same per-round labels,
+    * same fixpoint (see the object scaladoc for the argument), but pays the
+    * |E|×state join even when almost no labels still change. Tests assert
+    * `classic` ≡ `apply` on planted, path, R-MAT, and TPC-H graphs.
+    */
+  def classic(g: Graph, maxIter: Int = 50,
+      broadcastVertices: Boolean = true): DataFrame = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
     val edges = g.cachedUndirected
     var labels = edges.select(col("src").as("id"))
@@ -97,10 +257,8 @@ object ConnectedComponents {
       i += 1
     }
     if (!converged)
-      System.err.println(s"[graft] WARN ConnectedComponents: fixpoint not " +
-        s"reached after $maxIter rounds — labels may be non-minimal " +
-        "(raise maxIter for high-diameter graphs)")
-    // edges cache is shared across algorithms (Graph.cachedUndirected) — no unpersist
+      System.err.println(s"[graft] WARN ConnectedComponents.classic: " +
+        s"fixpoint not reached after $maxIter rounds")
     labels
   }
 
@@ -431,6 +589,13 @@ object PageRank {
   private def run(g: Graph, maxIter: Int, tol: Double,
       broadcastVertices: Boolean): (DataFrame, Int) = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    val prof = sys.env.contains("GRAFT_PR_PROF")
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs: Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += b.getCollectionTime)
+      t
+    }
     val edges = g.cachedUndirected
     val degrees = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
@@ -451,6 +616,8 @@ object PageRank {
     var i = 0
     var delta = Double.MaxValue
     while (i < maxIter && (tol == 0.0 || delta > tol)) {
+      val it0 = System.nanoTime()
+      val gc0 = if (prof) gcMs else 0L
       // edges never shuffle: the |V|-row state is broadcast into the join,
       // and the only exchange per iteration is the map-side-combined
       // contribution aggregate on dst
@@ -475,6 +642,9 @@ object PageRank {
       }
       state = next.select(col("id"), col("outdeg"), col("pr"))
       i += 1
+      if (prof) System.err.println(
+        f"[pr] iter $i%-3d ${(System.nanoTime() - it0) / 1e9}%6.3f s  " +
+          f"gc+${gcMs - gc0}%4d ms  storage=${edges.sparkSession.sparkContext.getRDDStorageInfo.length}%3d rdds")
     }
     if (tol > 0.0 && delta > tol)
       System.err.println(s"[graft] WARN PageRank: Σ|Δpr|=$delta still above " +
@@ -603,9 +773,17 @@ object PageRank {
   * count unchanged, a free scalar on the just-materialized checkpoint.
   */
 object KCore {
-  /** Vertices of the k-core with their induced ("core") degree. */
+  /** Vertices of the k-core with their induced ("core") degree.
+    *
+    * @param oracleRounds when the result is hash-checked against
+    *   [[unrolledSql]], pass the oracle's unroll depth: the peel asserts
+    *   its observed convergence depth fits, so an SF change that outgrows
+    *   the unrolled oracle fails with a clear message instead of a bare
+    *   hash mismatch (the Spark side is exact; the truncated oracle isn't).
+    */
   def apply(g: Graph, k: Int, maxIter: Int = 100,
-      broadcastVertices: Boolean = true): DataFrame = {
+      broadcastVertices: Boolean = true,
+      oracleRounds: Option[Int] = None): DataFrame = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
     var edges = g.cachedUndirected.select(col("src"), col("dst"))
     var prev = edges.count()
@@ -631,6 +809,12 @@ object KCore {
     if (!converged)
       System.err.println(s"[graft] WARN KCore: fixpoint not reached after " +
         s"$maxIter rounds — result may contain sub-$k vertices")
+    oracleRounds.foreach { r =>
+      if (!converged || i > r) throw new IllegalStateException(
+        s"k-core peel converged in $i rounds but the unrolled SQL oracle " +
+          s"only has $r: raise `rounds` in KCore.unrolledSql for this SF " +
+          "(the truncated oracle would hash-mismatch the exact Spark result)")
+    }
     edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 

@@ -16,8 +16,14 @@ import graft.core.Tables
   * by action id. Final weight of an edge =
   *   (base weight, if the edge was never deleted) + #inserts after the last
   *   delete;  the edge exists iff that weight > 0.
-  * This matches replaying the action log edge-by-edge and is one window +
-  * one aggregate + one outer join — all shuffling on (src, dst).
+  * This matches replaying the action log edge-by-edge. Physically: the
+  * action log resolves to one row per touched pair (window + aggregate,
+  * shuffling only action rows); for typical (≤ [[BroadcastableActions]])
+  * logs that delta BROADCASTS and the base table is only scanned — the
+  * STINGER idea expressed relationally, and the shape that survives a
+  * 100 TB base where exchanging the edge set per update batch is the
+  * bottleneck. Compaction-sized logs fall back to the co-shuffled
+  * full-outer merge on (src, dst).
   */
 object EdgeUpdates {
 
@@ -66,28 +72,66 @@ object EdgeUpdates {
     * edge source must either canonicalize (src<dst) or keep its endpoint
     * domains disjoint before feeding this merge.
     */
-  def applyAnnotated(base: DataFrame, actions: DataFrame): DataFrame = {
+  /** Action-count ceiling for the broadcast-delta apply: below it the
+    * touched-pair table (≤ one row per action) broadcasts, and the base
+    * edge table is only SCANNED — never exchanged or sorted. Above it
+    * (bulk compaction-sized logs) the co-shuffled full-outer merge is the
+    * right plan. ~16 bytes/pair ⇒ 64 MB at the ceiling.
+    */
+  val BroadcastableActions = 4000000L
+
+  def applyAnnotated(base: DataFrame, actions: DataFrame): DataFrame =
+    // |touched| ≤ |actions|: one cheap count on the (typically
+    // pre-materialized) action table gates the broadcast
+    applyAnnotatedPath(base, actions,
+      broadcastDelta = actions.count() <= BroadcastableActions)
+
+  /** [[applyAnnotated]] with the plan choice explicit — tests assert the
+    * broadcast-delta path ≡ the full-outer fallback.
+    */
+  private[graft] def applyAnnotatedPath(base: DataFrame, actions: DataFrame,
+      broadcastDelta: Boolean): DataFrame = {
     val byEdge = Window.partitionBy(col("src"), col("dst"))
     // per action row: the last delete's action_id over its edge (null if none)
     val annotated = actions.withColumn("last_del",
       max(when(col("is_del"), col("action_id"))).over(byEdge))
-    val inserts = annotated
-      .filter(!col("is_del") &&
-        (col("last_del").isNull || col("action_id") > col("last_del")))
+    // one row per touched pair: did any delete hit it, and how many
+    // inserts survive the last delete (count of non-null whens)
+    val perPair = annotated
       .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("n_ins"))
-    // edges touched by any delete lose their base weight
-    val touched = annotated
-      .groupBy(col("src"), col("dst"))
-      .agg(max(col("is_del")).as("any_del"))
-    base.select(col("src"), col("dst"), col("weight"))
-      .join(touched, Seq("src", "dst"), "full_outer")
-      .join(inserts, Seq("src", "dst"), "left")
-      .select(col("src"), col("dst"),
-        (when(coalesce(col("any_del"), lit(false)), lit(0L))
-          .otherwise(coalesce(col("weight"), lit(0L))) +
-          coalesce(col("n_ins"), lit(0L))).as("weight"),
-        coalesce(col("weight"), lit(0L)).as("weight_old"))
+      .agg(max(col("is_del")).as("any_del"),
+        count(when(!col("is_del") &&
+          (col("last_del").isNull || col("action_id") > col("last_del")),
+          lit(1))).as("n_ins"))
+    val baseCols = base.select(col("src"), col("dst"), col("weight"))
+    if (broadcastDelta) {
+      // STINGER-shaped delta apply: the 100 TB-side base never moves —
+      // survivors come from a broadcast anti join (map-only scan), touched
+      // base weights from a broadcast inner join (same scan shape), and
+      // only the ≤|actions|-row delta is ever exchanged
+      val keys = perPair.select(col("src"), col("dst"))
+      val untouched = baseCols.join(broadcast(keys), Seq("src", "dst"),
+          "left_anti")
+        .select(col("src"), col("dst"), col("weight"),
+          col("weight").as("weight_old"))
+      val baseTouched = baseCols.join(broadcast(keys), Seq("src", "dst"),
+          "left_semi")
+      val resolved = perPair.join(baseTouched, Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"),
+          (when(col("any_del"), lit(0L))
+            .otherwise(coalesce(col("weight"), lit(0L))) +
+            col("n_ins")).as("weight"),
+          coalesce(col("weight"), lit(0L)).as("weight_old"))
+      untouched.union(resolved)
+    } else {
+      baseCols
+        .join(perPair, Seq("src", "dst"), "full_outer")
+        .select(col("src"), col("dst"),
+          (when(coalesce(col("any_del"), lit(false)), lit(0L))
+            .otherwise(coalesce(col("weight"), lit(0L))) +
+            coalesce(col("n_ins"), lit(0L))).as("weight"),
+          coalesce(col("weight"), lit(0L)).as("weight_old"))
+    }
   }
 
   private val instances =

@@ -198,7 +198,7 @@ object Triangles {
     * graph list be shared with the count/clustering consumers).
     */
   def kTrussFrom(triangleList: DataFrame, k: Int = 5,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, oracleRounds: Option[Int] = None): DataFrame = {
     def pairs(t: DataFrame): DataFrame = t.select(explode(array(
         struct(col("u1").as("u"), col("v1").as("v")),
         struct(col("u2").as("u"), col("v2").as("v")),
@@ -313,6 +313,14 @@ object Triangles {
     if (!converged)
       System.err.println(s"[graft] WARN KTruss: fixpoint not reached after " +
         s"$maxIter rounds — result may contain sub-$k edges")
+    // an SF change that outgrows the unrolled oracle must fail loudly, not
+    // as a bare hash mismatch: the Spark peel is exact at any depth, the
+    // truncated oracle is not
+    oracleRounds.foreach { r =>
+      if (!converged || i > r) throw new IllegalStateException(
+        s"k-truss peel converged in $i rounds but the unrolled SQL oracle " +
+          s"only has $r: raise `rounds` in Triangles.kTrussSql for this SF")
+    }
     sup.filter(col("support") >= k - 2)
   }
 
@@ -388,9 +396,11 @@ object Triangles {
     localClusteringFrom(e, tri)
   }
 
-  /** `graph_ktruss` over the memoized list. */
+  /** `graph_ktruss` over the memoized list; the oracle-depth guard matches
+    * [[kTrussSql]]'s default unroll (driver hash-checks the pair).
+    */
   def partKTruss(spark: SparkSession, dir: String): DataFrame =
-    kTrussFrom(partTriCached(spark, dir)._2)
+    kTrussFrom(partTriCached(spark, dir)._2, oracleRounds = Some(12))
 
   /** Part co-occurrence graph: parts are adjacent iff some order contains
     * both — the market-basket projection of `lineitem`. Unlike the nation

@@ -122,28 +122,7 @@ object Multimodal {
         else None
         img match {
           case Some(im) =>
-            val thumb = new java.awt.image.BufferedImage(grid, grid,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g2 = thumb.createGraphics()
-            try {
-              g2.setRenderingHint(
-                java.awt.RenderingHints.KEY_INTERPOLATION,
-                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-              g2.drawImage(im, 0, 0, grid, grid, null)
-            } finally g2.dispose()
-            val feat = new Array[Float](grid * grid)
-            var y = 0
-            while (y < grid) {
-              var x = 0
-              while (x < grid) {
-                val rgb = thumb.getRGB(x, y)
-                val lum = 0.299f * ((rgb >> 16) & 0xff) +
-                  0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
-                feat(y * grid + x) = lum / 255f
-                x += 1
-              }
-              y += 1
-            }
+            val feat = grayBoxDownsample(im, grid, grid).map(_ / 255f)
             MediaFeature(r.doc_id, im.getWidth.toLong, im.getHeight.toLong,
               feat)
           case None =>
@@ -155,32 +134,68 @@ object Multimodal {
 
   final case class PHashRow(doc_id: Long, phash: Long, is_image: Boolean)
 
+  /** Explicit box-average grayscale downsample to w×h over the decoded
+    * pixel data — pure integer/double arithmetic, identical on every
+    * JDK/platform (Graphics2D `drawImage` interpolation is
+    * implementation-defined, so hashes built on it are only comparable
+    * within one JVM). Target cell (x,y) averages the luminance of the
+    * source box [x·W/w,(x+1)·W/w) × [y·H/h,(y+1)·H/h), right/bottom
+    * boundaries floored per cell so every source pixel lands in exactly
+    * one box (boxes are ≥1 px even when upscaling). Returns luminance in
+    * [0,255], row-major.
+    */
+  private[ops] def grayBoxDownsample(im: java.awt.image.BufferedImage,
+      w: Int, h: Int): Array[Float] = {
+    val srcW = im.getWidth
+    val srcH = im.getHeight
+    val out = new Array[Float](w * h)
+    var y = 0
+    while (y < h) {
+      val y0 = (y.toLong * srcH / h).toInt
+      val y1 = math.max(y0 + 1, ((y + 1).toLong * srcH / h).toInt)
+      var x = 0
+      while (x < w) {
+        val x0 = (x.toLong * srcW / w).toInt
+        val x1 = math.max(x0 + 1, ((x + 1).toLong * srcW / w).toInt)
+        var sum = 0.0
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) {
+            val rgb = im.getRGB(xx, yy)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            xx += 1
+          }
+          yy += 1
+        }
+        out(y * w + x) = (sum / ((x1 - x0).toDouble * (y1 - y0))).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** 64-bit perceptual difference-hash (dHash: resize to 9×8 grayscale,
     * bit y·8+x set iff lum(x,y) > lum(x+1,y) — Krawetz 2013): robust to
     * rescaling/recompression, the standard cheap image near-dup signal.
+    * The 9×8 downsample is the explicit [[grayBoxDownsample]], so the
+    * hash is a pure function of the decoded pixels, not of a
+    * platform-defined Graphics2D interpolator.
     * None when the payload is not a decodable image.
     */
   def dHash64(payload: Array[Byte]): Option[Long] =
     if (!looksLikeImage(payload)) None
     else Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))).map { im =>
-      val thumb = new java.awt.image.BufferedImage(9, 8,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g2 = thumb.createGraphics()
-      try {
-        g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g2.drawImage(im, 0, 0, 9, 8, null)
-      } finally g2.dispose()
-      def lum(rgb: Int): Float =
-        0.299f * ((rgb >> 16) & 0xff) + 0.587f * ((rgb >> 8) & 0xff) +
-          0.114f * (rgb & 0xff)
+      val lum = grayBoxDownsample(im, 9, 8)
       var bits = 0L
       var y = 0
       while (y < 8) {
         var x = 0
         while (x < 8) {
-          if (lum(thumb.getRGB(x, y)) > lum(thumb.getRGB(x + 1, y)))
+          if (lum(y * 9 + x) > lum(y * 9 + x + 1))
             bits |= 1L << (y * 8 + x)
           x += 1
         }

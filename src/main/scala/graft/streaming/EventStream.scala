@@ -797,10 +797,19 @@ object EventStream extends Serializable {
     * against.
     */
   def incrementalCcStream(spark: SparkSession, dir: String,
-      batches: Int = 4): DataFrame = {
-    val actions = EdgeUpdates.actionsFromEvents(spark, dir)
+      batches: Int = 4): DataFrame =
+    incrementalCcStreamFrom(spark, Graph.fromTpch(spark, dir),
+      EdgeUpdates.actionsFromEvents(spark, dir), batches)
+
+  /** [[incrementalCcStream]] over an arbitrary base graph + action log
+    * (both honoring [[EdgeUpdates.applyAnnotated]]'s one-directed-row-per-
+    * pair contract) — the entry the delete-heavy R-MAT property tests
+    * drive at tier scale.
+    */
+  def incrementalCcStreamFrom(spark: SparkSession, base: Graph,
+      actions: DataFrame, batches: Int): DataFrame = {
     val staging = stageByChunks(actions, "action_id", batches)
-    var edgeState = Graph.fromTpch(spark, dir).edges.localCheckpoint(true)
+    var edgeState = base.edges.localCheckpoint(true)
     // initial labels: the one full CC (the stream starts from an existing
     // graph snapshot, as a production pipeline would)
     def t[A](tag: String)(f: => A): A = {
@@ -810,8 +819,7 @@ object EventStream extends Serializable {
       r
     }
     var labels = t("initial-cc") {
-      graft.graph.ConnectedComponents(Graph.fromTpch(spark, dir))
-        .localCheckpoint(true)
+      graft.graph.ConnectedComponents(base).localCheckpoint(true)
     }
     // endpoints of presence-flipping deletions, pending the drain repair
     // (vertex ids, not component ids: later merges may rename components)

@@ -60,6 +60,24 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("frontier cc equals the dense classic formulation") {
+    // the frontier path joins only changed-label vertices per round; the
+    // dense reference joins the full state — labels must agree exactly on
+    // every graph shape, both broadcast and shuffle-join state paths
+    val planted = mkGraph((1L, 2L), (2L, 3L), (10L, 11L))
+    val path = mkGraph((1L until 40L).map(i => (i, i + 1)): _*)
+    val rmat = RMat.graph(spark, RMat.Params(scale = 8))
+    Seq(planted, path, rmat, Graph.fromTpch(spark, TestSpark.sfTiny)).foreach { g =>
+      val a = ConnectedComponents(g)
+      val b = ConnectedComponents.classic(g)
+      val c = ConnectedComponents(g, broadcastVertices = false)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        "frontier CC disagrees with dense classic CC")
+      assert(a.exceptAll(c).count() == 0 && c.exceptAll(a).count() == 0,
+        "frontier CC shuffle-state path disagrees with broadcast path")
+    }
+  }
+
   test("sssp distances on a planted path with a shortcut") {
     // 1-2-3-4 path plus 1-3 shortcut: dist(4) = 2
     val g = mkGraph((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
@@ -147,6 +165,28 @@ class GraphSpec extends AnyFunSuite {
     val out = EdgeUpdates(base, actions).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(out == Map((1L, 2L) -> 6L, (5L, 6L) -> 1L, (7L, 8L) -> 1L))
+  }
+
+  test("broadcast-delta update apply equals the full-outer fallback") {
+    // same merge through both physical plans — the fixture above plus the
+    // real TPC-H action log, annotated columns included (weight_old drives
+    // the streaming maintainers' presence flips)
+    val fixtureBase = Seq((1L, 2L, 5L), (3L, 4L, 1L), (5L, 6L, 2L))
+      .toDF("src", "dst", "weight")
+    val fixtureActs = Seq((7L, 8L, false, 1L), (3L, 4L, true, 2L),
+      (5L, 6L, true, 3L), (5L, 6L, false, 4L), (1L, 2L, false, 5L))
+      .toDF("src", "dst", "is_del", "action_id")
+    val g = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val acts = EdgeUpdates.actionsFromEvents(spark, TestSpark.sfTiny)
+    Seq((fixtureBase, fixtureActs), (g.edges, acts)).foreach {
+      case (base, actions) =>
+        val a = EdgeUpdates.applyAnnotatedPath(base, actions,
+          broadcastDelta = true)
+        val b = EdgeUpdates.applyAnnotatedPath(base, actions,
+          broadcastDelta = false)
+        assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+          "broadcast-delta apply disagrees with full-outer merge")
+    }
   }
 
   test("triangles: five 5-cliques have 50 triangles") {

@@ -170,4 +170,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0,
       "batch CC labels missing from incremental result")
   }
+
+  test("delete-heavy R-MAT stream at the small tier: drained CC equals batch CC") {
+    // the lazy split-repair path under real pressure: the small reference
+    // tier's R-MAT graph (SCALE 15, 32k vertices) with a 50%-delete action
+    // stream — thousands of presence flips OFF, so the drain repair
+    // re-labels a large dirty region rather than a fixture-sized one.
+    // Both orientations of a pair can appear in raw R-MAT output, so
+    // canonicalize src<=dst on base and actions alike (applyAnnotated's
+    // one-directed-row-per-pair contract); the batch side gets the same
+    // canonical inputs, keeping the comparison apples-to-apples.
+    import org.apache.spark.sql.functions._
+    import graft.graph.{ConnectedComponents, Graph, RMat}
+    val p = RMat.Params(scale = 15)
+    val base = Graph(RMat.edges(spark, p)
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight")))
+    val actions = RMat.actions(spark, p, na = 100000L, pDelete = 0.5)
+      .select(col("action_id"),
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("is_del"))
+      .localCheckpoint(true)
+    val nDel = actions.filter(col("is_del")).count()
+    assert(nDel > 40000L, s"stream not delete-heavy: $nDel deletes")
+    val streamed = EventStream.incrementalCcStreamFrom(
+      spark, base, actions, batches = 3)
+    val batch = ConnectedComponents(Graph(EdgeUpdates(base.edges, actions)))
+    assert(streamed.exceptAll(batch).count() == 0,
+      "incremental labels not in batch CC")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "batch CC labels missing from incremental result")
+  }
 }
