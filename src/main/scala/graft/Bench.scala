@@ -259,10 +259,14 @@ object Bench {
     val actions = graft.graph.EdgeUpdates.actionsFromEvents(spark, sfDir)
       .localCheckpoint(true)
     val na = actions.count()
-    val baseEdges = g.edges.localCheckpoint(true)
+    // merge-key-partitioned base, as RmatTier (the reference engines
+    // update their native indexed graph layout)
+    val baseEdges = graft.core.Partitioning.cachedSizedBy(
+      g.edges, Seq("src", "dst"))
     val t0 = System.nanoTime()
     graft.graph.EdgeUpdates(baseEdges, actions).count()
     val updSec = (System.nanoTime() - t0) / 1e9
+    baseEdges.unpersist()
     val updateRate = na / updSec
     System.err.println(f"[bench] update-apply isolated: $na actions / $updSec%.2f s = $updateRate%.0f act/s")
     val (memKb, memHow) = graft.core.Mem.reportKb()

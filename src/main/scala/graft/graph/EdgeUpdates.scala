@@ -82,15 +82,25 @@ object EdgeUpdates {
 
   def applyAnnotated(base: DataFrame, actions: DataFrame): DataFrame =
     // |touched| ≤ |actions|: one cheap count on the (typically
-    // pre-materialized) action table gates the broadcast
-    applyAnnotatedPath(base, actions,
-      broadcastDelta = actions.count() <= BroadcastableActions)
+    // pre-materialized) action table gates the hash-join hint (an SHJ
+    // build side must fit per-partition memory; compaction-sized logs
+    // sort-merge instead)
+    applyAnnotatedPath(base, actions, broadcastDelta = false,
+      shjHint = actions.count() <= BroadcastableActions)
 
   /** [[applyAnnotated]] with the plan choice explicit — tests assert the
-    * broadcast-delta path ≡ the full-outer fallback.
+    * broadcast-delta path ≡ the full-outer merge. Measured at SCALE 24
+    * (133M-edge base, 1M actions, local[32], tools/UpdateLargeAb):
+    * sort-merge 14.3 s, +SHUFFLE_HASH hint 10.4 s, broadcast-delta 37 s
+    * (a local exchange is cheap; the delta's two base scans + two 1M-row
+    * broadcasts are not), and with the base pre-partitioned on (src, dst)
+    * the hash merge drops to 7.5 s / 133 k act/s — only the action delta
+    * moves and nothing is sorted. The broadcast-delta path is the
+    * network-bound-cluster shape where exchanging a 100 TB base at all is
+    * the bottleneck; it stays available and equivalence-tested.
     */
   private[graft] def applyAnnotatedPath(base: DataFrame, actions: DataFrame,
-      broadcastDelta: Boolean): DataFrame = {
+      broadcastDelta: Boolean, shjHint: Boolean = false): DataFrame = {
     val byEdge = Window.partitionBy(col("src"), col("dst"))
     // per action row: the last delete's action_id over its edge (null if none)
     val annotated = actions.withColumn("last_del",
@@ -124,8 +134,13 @@ object EdgeUpdates {
           coalesce(col("weight"), lit(0L)).as("weight_old"))
       untouched.union(resolved)
     } else {
+      // SHUFFLE_HASH on the pair-delta side: full-outer SHJ streams the
+      // base against a per-partition hash of the (small) delta instead of
+      // SORTING the whole base; with a base already partitioned on
+      // (src, dst) the base side doesn't even exchange
+      val pp = if (shjHint) perPair.hint("SHUFFLE_HASH") else perPair
       baseCols
-        .join(perPair, Seq("src", "dst"), "full_outer")
+        .join(pp, Seq("src", "dst"), "full_outer")
         .select(col("src"), col("dst"),
           (when(coalesce(col("any_del"), lit(false)), lit(0L))
             .otherwise(coalesce(col("weight"), lit(0L))) +
