@@ -73,10 +73,16 @@ object Bench {
 
   /** First-trial seconds above which a query is not re-trialed (it
     * amortizes its own warmup, and re-running it would double suite
-    * wall-clock to re-measure a number already inside run-to-run variance
-    * — e.g. the 100-iteration `graph_pagerank_conv`).
+    * wall-clock to re-measure a number already inside run-to-run
+    * variance). Raised 20 → 40 in r5: `graph_pagerank_conv` (always ~100
+    * capped iterations ≈ 25-35 s) sat just above the old ceiling, so the
+    * suite always reported its COLD trial — whose first ~10 iterations
+    * carry 3-10 s of JIT/codegen warmup (tools/PrVariance: cold 35-38 s
+    * vs warm 23-26 s, GC < 0.5 s, iterations always 100) — the 20-33 s
+    * session spread the r4 review flagged. One retrial pins it to the
+    * ~25 s steady state.
     */
-  val RetrialCeiling = 20.0
+  val RetrialCeiling = 40.0
 
   /** bench-query → reference results-JSON metric (make_graphs.py charts). */
   private val refMetricOf = Map(
@@ -179,16 +185,25 @@ object Bench {
     s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","failed":$failed,"queries_n":${results.size},"sf":"$sfDir"}"""
   }
 
-  /** recall@5 of the benched ANN operating points vs the exact baseline,
-    * computed once per run (outside the timers) and reported in stderr and
-    * the summary JSON.
+  /** Recall of the probabilistic operating points vs their exact
+    * baselines — ANN recall@5 and SemDeDup pair recall — computed once per
+    * run (outside the timers) and reported in stderr and the summary JSON
+    * (a probabilistic row without its recall is not a comparable number).
     */
   def annRecall(spark: SparkSession, sfDir: String): Map[String, Double] = {
-    import graft.ops.Similarity
+    import graft.ops.{Dedup, Similarity}
     val exact = Similarity.annTopK(spark, sfDir).localCheckpoint(true)
+    val semExact = Dedup.semantic(spark, sfDir, nClusters = 1)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val semGot = Dedup.semantic(spark, sfDir).select("id_a", "id_b")
+    val nExact = semExact.count()
+    val semRecall = if (nExact == 0) 1.0
+      else semGot.join(semExact, Seq("id_a", "id_b"), "left_semi")
+        .count().toDouble / nExact
     Map(
       "ann_lsh" -> Similarity.recallAtK(exact, Similarity.annLsh(spark, sfDir)),
-      "ann_ivf" -> Similarity.recallAtK(exact, Similarity.annIvf(spark, sfDir)))
+      "ann_ivf" -> Similarity.recallAtK(exact, Similarity.annIvf(spark, sfDir)),
+      "dedup_semantic" -> semRecall)
   }
 
   def main(args: Array[String]): Unit = {
@@ -220,7 +235,7 @@ object Bench {
         System.err.println(s"[bench] ref-run json skipped: ${e.getMessage}")
     }
     val recall = try {
-      val r = if (toRun.exists(Set("ann_lsh", "ann_ivf")))
+      val r = if (toRun.exists(Set("ann_lsh", "ann_ivf", "dedup_semantic")))
         annRecall(spark, sfDir) else Map.empty[String, Double]
       r.toSeq.sortBy(_._1).foreach { case (k, v) =>
         System.err.println(f"[bench] recall@5 $k%-18s $v%.3f")

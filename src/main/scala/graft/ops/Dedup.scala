@@ -570,7 +570,7 @@ object Dedup {
     * recall-property-tested instead.
     */
   def semantic(spark: SparkSession, dir: String, nClusters: Int = 16,
-      threshold: Double = 0.4, seed: Long = 42L, nAssign: Int = 2,
+      threshold: Double = 0.4, seed: Long = 42L, nAssign: Int = 4,
       trainSample: Int = 100000): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
