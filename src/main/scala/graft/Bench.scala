@@ -43,10 +43,11 @@ object Bench {
     "graph_update_edges", "graph_update_degrees",
     "graph_update_cc", "graph_update_pagerank5", "graph_update_sssp",
     "graph_triangles", "graph_triangles_scale", "graph_clustering_coeff",
-    "graph_kcore", "graph_lpa", "graph_ktruss",
+    "graph_kcore", "graph_lpa", "graph_ktruss", "graph_mis",
     "rmat_gen", "rmat_actions",
     "q1_agg", "q3_revenue", "q5_nation_revenue",
     "q6_forecast", "q18_large_orders",
+    "q7_volume_shipping", "q10_returned_items", "q16_supplier_cnt",
     "topk_orders_per_cust", "sessionize", "events_hourly", "events_asof",
     "events_json", "events_rollup", "events_moving_avg", "events_funnel",
     "events_retention", "events_hopping", "events_interval_join",

@@ -58,6 +58,8 @@ object SparkEntry {
     "graph_triangles_scale" -> ((s, d) => Triangles.partTrianglesScale(s, d)),
     "graph_clustering_coeff" -> ((s, d) => Triangles.partClustering(s, d)),
     "graph_ktruss" -> ((s, d) => Triangles.partKTruss(s, d)),
+    "graph_mis" -> ((s, d) =>
+      MaximalIndependentSet(Graph.fromTpch(s, d), oracleRounds = Some(8))),
     "rmat_gen" -> ((s, _) => RMat.graph(s, RMat.Params(scale = 10)).edges),
     "rmat_actions" -> ((s, _) =>
       RMat.actions(s, RMat.Params(scale = 10), na = 20000L)),
@@ -67,6 +69,9 @@ object SparkEntry {
     "q5_nation_revenue" -> ((s, d) => Relational.q5NationRevenue(s, d)),
     "q6_forecast" -> ((s, d) => Relational.q6Forecast(s, d)),
     "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q7_volume_shipping" -> ((s, d) => Relational.q7VolumeShipping(s, d)),
+    "q10_returned_items" -> ((s, d) => Relational.q10ReturnedItems(s, d)),
+    "q16_supplier_cnt" -> ((s, d) => Relational.q16SupplierCnt(s, d)),
     "topk_orders_per_cust" -> ((s, d) => Relational.topkOrdersPerCust(s, d)),
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "events_hourly" -> ((s, d) => Relational.eventsHourly(s, d)),
@@ -206,6 +211,7 @@ object SparkEntry {
       PageRank.unrolledSql(5, EdgeUpdates.updatedUndirectedCte),
     "graph_update_sssp" -> EdgeUpdates.updatedSsspSql,
     "graph_kcore" -> KCore.unrolledSql(k = 32, rounds = 8),
+    "graph_mis" -> MaximalIndependentSet.unrolledSql(rounds = 8),
     "graph_lpa" -> LabelPropagation.unrolledSql(rounds = 5),
     "graph_triangles" -> Triangles.nationTrianglesSql,
     "graph_triangles_scale" -> Triangles.partTrianglesSql,
@@ -218,6 +224,9 @@ object SparkEntry {
     "q5_nation_revenue" -> Relational.q5Sql,
     "q6_forecast" -> Relational.q6Sql,
     "q18_large_orders" -> Relational.q18Sql(),
+    "q7_volume_shipping" -> Relational.q7Sql(),
+    "q10_returned_items" -> Relational.q10Sql,
+    "q16_supplier_cnt" -> Relational.q16Sql,
     "topk_orders_per_cust" -> Relational.topkSql,
     "sessionize" -> Relational.sessionizeSql,
     "events_hourly" -> Relational.eventsHourlySql,

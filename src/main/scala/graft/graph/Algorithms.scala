@@ -840,6 +840,129 @@ object KCore {
   }
 }
 
+/** G19: maximal independent set via Luby's algorithm (Luby 1986, "A
+  * Simple Parallel Algorithm for the Maximal Independent Set Problem"),
+  * made deterministic for oracle checking: the random per-round priority
+  * is a fixed md5 of the vertex id (identical arithmetic in DuckDB), and
+  * each round every undecided vertex joins the MIS iff its priority
+  * strictly precedes every undecided neighbor's; selected vertices'
+  * neighbors drop out. Converges in O(log n) rounds w.h.p. — the
+  * classic symmetry-breaking primitive (scheduling, graph coloring,
+  * parallel matching), an extension over the reference surface like
+  * k-core and triangles.
+  *
+  * Spark-first shape: each round is one map-side-combined min-priority
+  * aggregate over the undecided-induced edge set plus semi/anti joins
+  * against the |V|-bounded undecided table (broadcast by default;
+  * disable at billion-vertex scale and they shuffle on the
+  * pre-partitioned vertex key). The edge set shrinks monotonically and
+  * is re-checkpointed per round, so later rounds scan the already-pruned
+  * graph — the k-core peel's cost shape.
+  */
+object MaximalIndependentSet {
+  /** @param oracleRounds as [[KCore.apply]] — assert the observed round
+    *   count fits the unrolled oracle, so an SF change fails loudly.
+    */
+  def apply(g: Graph, maxIter: Int = 30,
+      broadcastVertices: Boolean = true,
+      oracleRounds: Option[Int] = None): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    // self-loops dropped (a vertex adjacent to itself could never win the
+    // strict-min and would deadlock undecided); the vertex SET still
+    // includes loop-only vertices — trivially independent, so in the MIS
+    var und = g.cachedUndirected.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    var state = g.cachedUndirected.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    var mis = Seq.empty[Long].toDF("id").localCheckpoint(true)
+    var n = state.count()
+    var i = 0
+    while (n > 0 && i < maxIter) {
+      // fresh per-round priorities (true Luby — a FIXED priority order
+      // degenerates to parallel greedy, whose round count is the greedy
+      // dependency-chain length, not O(log n); measured a 250-vertex
+      // R-MAT still undecided after 30 fixed-priority rounds)
+      val withPri = state
+        .withColumn("pri",
+          md5(concat(col("id").cast("string"), lit(s":$i"))))
+      // min undecided-neighbor priority per vertex (und is already
+      // undecided-induced, so no per-round edge filter is needed here)
+      val nbrMin = und
+        .join(bc(withPri.select(col("id").as("nid"), col("pri").as("npri"))),
+          col("src") === col("nid"))
+        .groupBy(col("dst")).agg(min(col("npri")).as("minp"))
+      val sel = withPri
+        .join(nbrMin, col("id") === col("dst"), "left")
+        .filter(col("minp").isNull || col("pri") < col("minp"))
+        .select(col("id"))
+        .localCheckpoint(true)
+      mis = mis.union(sel).localCheckpoint(true)
+      val nbrs = und.join(bc(sel.select(col("id").as("sid"))),
+          col("src") === col("sid"))
+        .select(col("dst").as("id"))
+      val removed = sel.union(nbrs).distinct().localCheckpoint(true)
+      state = state.join(removed, Seq("id"), "left_anti")
+        .select(col("id"))
+        .localCheckpoint(true)
+      und = und
+        .join(bc(state.select(col("id").as("ks"))),
+          col("src") === col("ks"), "left_semi")
+        .join(bc(state.select(col("id").as("kd"))),
+          col("dst") === col("kd"), "left_semi")
+        .localCheckpoint(true)
+      n = state.count()
+      i += 1
+    }
+    if (n > 0)
+      System.err.println(s"[graft] WARN MaximalIndependentSet: $n vertices " +
+        s"still undecided after $maxIter rounds")
+    oracleRounds.foreach { r =>
+      if (n > 0 || i > r) throw new IllegalStateException(
+        s"Luby MIS converged in $i rounds but the unrolled SQL oracle " +
+          s"only has $r: raise `rounds` in MaximalIndependentSet.unrolledSql")
+    }
+    mis.select(col("id"))
+  }
+
+  /** DuckDB oracle: `rounds` unrolled Luby steps with the same per-round
+    * md5 priorities (idempotent past the fixpoint — an empty undecided
+    * set selects nothing).
+    */
+  def unrolledSql(rounds: Int,
+      edgesCte: String = Graph.undirectedCte): String = {
+    val steps = (1 to rounds).map { r =>
+      val pri = s"md5(CAST(id AS VARCHAR) || ':${r - 1}')"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT id, $pri AS pri FROM s${r - 1}),
+         |sel$r AS MATERIALIZED (
+         |  SELECT s.id FROM p$r s LEFT JOIN (
+         |    SELECT e.dst, min(p.pri) AS minp
+         |    FROM e${r - 1} e JOIN p$r p ON e.src = p.id
+         |    GROUP BY e.dst) nb ON s.id = nb.dst
+         |  WHERE nb.minp IS NULL OR s.pri < nb.minp),
+         |rm$r AS MATERIALIZED (
+         |  SELECT id FROM sel$r
+         |  UNION
+         |  SELECT e.dst FROM e${r - 1} e JOIN sel$r x ON e.src = x.id),
+         |s$r AS MATERIALIZED (
+         |  SELECT id FROM s${r - 1} WHERE id NOT IN (SELECT id FROM rm$r)),
+         |e$r AS MATERIALIZED (
+         |  SELECT src, dst FROM e${r - 1}
+         |  WHERE src IN (SELECT id FROM s$r) AND dst IN (SELECT id FROM s$r))""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(r => s"SELECT id FROM sel$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $edgesCte,
+       |s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+       |e0 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+       |$steps
+       |SELECT CAST(id AS BIGINT) AS id FROM (
+       |  $union)""".stripMargin
+  }
+}
+
 /** Label-propagation community detection (Raghavan, Albert & Kumara 2007),
   * made deterministic for oracle checking: synchronous rounds, each vertex
   * adopts the most frequent label among its neighbors with ties broken by

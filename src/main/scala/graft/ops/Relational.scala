@@ -801,4 +801,114 @@ object Relational {
       |                  WHERE o_custkey = c_custkey
       |                    AND o_orderpriority = '1-URGENT')
       |GROUP BY 1""".stripMargin
+
+  /** R21: TPC-H Q7-style volume shipping — bilateral trade between two
+    * nations by ship year (Q7 adapted to the generated nation domain,
+    * same workload family as Q1/Q3/Q5 above). The nation
+    * dimension joins twice under two roles (supplier side / customer
+    * side) — both broadcast (25 rows at any SF); the fact-side joins
+    * shuffle on their keys and the date predicate pushes into the
+    * lineitem scan.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <= lit("1997-12-31").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  def q7Sql(nationA: String = "NATION_1", nationB: String = "NATION_2"): String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+       |  AND ((n1.n_name = '$nationA' AND n2.n_name = '$nationB')
+       |    OR (n1.n_name = '$nationB' AND n2.n_name = '$nationA'))
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** R22: TPC-H Q10-style returned-item report — top 20 customers by
+    * revenue lost to returns in one quarter, deterministic tie-break on
+    * custkey. The revenue aggregate shuffles on custkey; the top-20 is a
+    * global sort of the (already small) aggregate, not of the fact table.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  /** R23: TPC-H Q16-style supplier-count by part attribute — distinct
+    * suppliers able to furnish each qualifying (brand, type, size), with
+    * the part-supplier relation derived from lineitem (the generated
+    * schema has no partsupp table). Attribute predicates push into the
+    * part scan; the distinct-count is the standard two-phase aggregate on
+    * the (attrs, suppkey) key.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        !col("p_type").startsWith("PROMO") &&
+        col("p_size").isin(1, 2, 3, 4, 5))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 2, 3, 4, 5)
+      |GROUP BY 1, 2, 3""".stripMargin
 }

@@ -60,6 +60,34 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("maximal independent set: independent, maximal, deterministic") {
+    val rmat = RMat.graph(spark, RMat.Params(scale = 8))
+    Seq(rmat, Graph.fromTpch(spark, TestSpark.sfTiny)).foreach { g =>
+      val mis = MaximalIndependentSet(g).localCheckpoint(true)
+      // self-loops are not independence constraints (the operator drops
+      // them; a loop-only vertex is trivially independent)
+      val und = g.cachedUndirected.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+      // independence: no edge has both endpoints in the MIS
+      val inner = und
+        .join(mis.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(mis.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      assert(inner.count() == 0, "MIS contains an edge")
+      // maximality: every non-member has a member neighbor
+      val nonMembers = und.select(col("src").as("id")).distinct()
+        .join(mis, Seq("id"), "left_anti")
+      val covered = und
+        .join(mis.select(col("id").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+      assert(nonMembers.join(covered, Seq("id"), "left_anti").count() == 0,
+        "a non-member vertex has no MIS neighbor (not maximal)")
+      // deterministic: second run identical
+      val again = MaximalIndependentSet(g)
+      assert(mis.exceptAll(again).count() == 0 &&
+        again.exceptAll(mis).count() == 0)
+    }
+  }
+
   test("frontier cc equals the dense classic formulation") {
     // the frontier path joins only changed-label vertices per round; the
     // dense reference joins the full state — labels must agree exactly on
