@@ -67,7 +67,8 @@ object Bench {
     "multimodal_meta", "multimodal_frames", "multimodal_phash",
     "stream_events_hourly",
     "stream_graph_updates", "stream_sessionize", "stream_hourly_watermarked",
-    "stream_dedup_exact", "stream_events_hopping", "stream_cms_sketch",
+    "stream_dedup_exact", "stream_dedup_minhash",
+    "stream_events_hopping", "stream_cms_sketch",
     "stream_purchase_click_join", "stream_hll_registers",
     "stream_enriched_revenue", "stream_bloom_bits",
     "stream_degrees_incremental", "stream_cc_incremental")

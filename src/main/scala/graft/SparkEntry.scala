@@ -142,6 +142,7 @@ object SparkEntry {
     "stream_hourly_watermarked" -> ((s, d) =>
       EventStream.eventsHourlyWatermarkedFinal(s, d)),
     "stream_dedup_exact" -> ((s, d) => EventStream.dedupExactStream(s, d)),
+    "stream_dedup_minhash" -> ((s, d) => EventStream.minhashLshStream(s, d)),
     "stream_events_hopping" -> ((s, d) => EventStream.eventsHopping(s, d)),
     "stream_cms_sketch" -> ((s, d) => EventStream.cmsSketchStream(s, d)),
     "stream_purchase_click_join" -> ((s, d) =>
@@ -285,6 +286,7 @@ object SparkEntry {
     "stream_sessionize" -> Relational.sessionizeSql,
     "stream_hourly_watermarked" -> EventStream.eventsHourlySql,
     "stream_dedup_exact" -> Dedup.exactSql,
+    "stream_dedup_minhash" -> Dedup.ngramJaccardSql(),
     "stream_events_hopping" -> EventStream.eventsHoppingSql,
     "stream_cms_sketch" -> TextAnalysis.cmsSketchSql,
     "stream_purchase_click_join" -> EventStream.purchaseClickJoinSql,

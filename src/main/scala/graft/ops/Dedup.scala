@@ -80,7 +80,7 @@ object Dedup {
     * No broadcast hint: candidate-pair volume is corpus-dependent (a
     * dup-heavy crawl can make it huge) — AQE broadcasts small sides itself.
     */
-  private def jaccardOfCandidates(sh: DataFrame, cands: DataFrame,
+  private[graft] def jaccardOfCandidates(sh: DataFrame, cands: DataFrame,
       threshold: Double): DataFrame = {
     val candSh = cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh")), Seq("id_a"))

@@ -931,4 +931,62 @@ object EventStream extends Serializable {
       .union(edgeState.select(col("dst").as("id"))).distinct()
     labels.join(present, Seq("id"), "left_semi")
   }
+
+  /** X14: INCREMENTAL MinHash-LSH near-dup maintenance over the document
+    * stream — the maintained state IS the LSH index ((band, bsig) →
+    * doc_id rows). Each micro-batch of newly ingested documents computes
+    * signatures for ITS documents only, probes the accumulated index for
+    * cross-batch bucket collisions, self-joins within the batch, and
+    * folds its bands into the index. Per-batch cost ∝ batch size ×
+    * index probe — the corpus is never re-signatured, which is the shape
+    * that matters when the corpus is 100 TB and a batch is one ingest
+    * increment. Exact-Jaccard verification of the accumulated candidate
+    * set runs once at drain (a production pipeline verifies async); band
+    * semantics are identical to batch D3, so the drained pair set equals
+    * `dedup_minhash_lsh` and is checked against the same exact-Jaccard
+    * DuckDB oracle.
+    */
+  def minhashLshStream(spark: SparkSession, dir: String, batches: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val staging = stageByChunks(docs, "doc_id", batches)
+    import spark.implicits._
+    var bandState = Seq.empty[(Long, Int, Long)]
+      .toDF("doc_id", "band", "bsig").localCheckpoint(true)
+    var cands = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+      .localCheckpoint(true)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val nb = Dedup.bandTable(Dedup.signatures(batch))
+          .localCheckpoint(true)
+        // cross-batch: new bands probe the accumulated index (the index
+        // side is the big one at steady state — scanned, never widened)
+        val cross = nb.as("n").join(bandState.as("s"),
+            col("n.band") === col("s.band") &&
+              col("n.bsig") === col("s.bsig"))
+          .select(least(col("n.doc_id"), col("s.doc_id")).as("id_a"),
+            greatest(col("n.doc_id"), col("s.doc_id")).as("id_b"))
+        val within = Dedup.candidatePairs(nb)
+        cands = cands.union(cross).union(within).distinct()
+          .localCheckpoint(true)
+        bandState = bandState.union(nb).localCheckpoint(true)
+      }
+      .start()
+    q.awaitTermination()
+    // drain: exact-verify the accumulated candidates — same machinery,
+    // same size-gated broadcast as batch D3
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    val sh = Dedup.shingleRowsOf(docs.join(candIds, "doc_id"))
+      .localCheckpoint(true)
+    val gated = if (cands.count() <= Dedup.BroadcastableCandidates)
+      broadcast(cands) else cands
+    Dedup.jaccardOfCandidates(sh, gated, threshold)
+  }
 }

@@ -171,6 +171,15 @@ class StreamingSpec extends AnyFunSuite {
       "batch CC labels missing from incremental result")
   }
 
+  test("incremental minhash-LSH stream equals the batch pair set") {
+    val streamed = EventStream.minhashLshStream(spark, sf)
+    val batch = graft.ops.Dedup.minhashLsh(spark, sf)
+    assert(streamed.exceptAll(batch).count() == 0,
+      "streamed pair not in batch LSH output")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "batch pair missing from streamed output")
+  }
+
   test("delete-heavy R-MAT stream at the small tier: drained CC equals batch CC") {
     // the lazy split-repair path under real pressure: the small reference
     // tier's R-MAT graph (SCALE 15, 32k vertices) with a 50%-delete action
