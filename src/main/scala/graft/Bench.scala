@@ -55,8 +55,8 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic",
     "dedup_semantic_exhaustive", "dedup_substring",
-    "ann_topk", "ann_lsh", "ann_ivf", "embeddings_kmeans",
-    "ann_lsh_exhaustive", "ann_ivf_exhaustive",
+    "ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "embeddings_kmeans",
+    "ann_lsh_exhaustive", "ann_ivf_exhaustive", "ann_pq_exhaustive",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",
     "text_pii", "text_inverted_index", "text_heavy_hitters",
@@ -205,6 +205,7 @@ object Bench {
     Map(
       "ann_lsh" -> Similarity.recallAtK(exact, Similarity.annLsh(spark, sfDir)),
       "ann_ivf" -> Similarity.recallAtK(exact, Similarity.annIvf(spark, sfDir)),
+      "ann_pq" -> Similarity.recallAtK(exact, Similarity.annPq(spark, sfDir)),
       "dedup_semantic" -> semRecall)
   }
 

@@ -108,6 +108,9 @@ object SparkEntry {
     // turning the probabilistic pipelines themselves oracle-checkable
     "ann_lsh_exhaustive" -> ((s, d) => Similarity.annLsh(s, d, probeHamming = 8)),
     "ann_ivf_exhaustive" -> ((s, d) => Similarity.annIvf(s, d, nProbe = 16)),
+    "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
+    "ann_pq_exhaustive" -> ((s, d) =>
+      Similarity.annPq(s, d, rerank = Int.MaxValue)),
     // --- text analysis (T1..T4) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -257,6 +260,7 @@ object SparkEntry {
     "embeddings_kmeans" -> Similarity.kmeansSql(),
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),
     "ann_ivf_exhaustive" -> Similarity.annTopKSql(),
+    "ann_pq_exhaustive" -> Similarity.annTopKSql(),
     "text_tokens" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_langid" -> TextAnalysis.langIdSql,

@@ -202,6 +202,91 @@ object Similarity {
         round(col("c"), 6).as("cos"), col("rank"))
   }
 
+  /** S5: PQ-compressed ANN — product quantization with asymmetric
+    * distance computation (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the embedding splits
+    * into `m` subspaces, a per-subspace k-means codebook (trained like
+    * S3's coarse quantizer) maps each sub-vector to one small code, and
+    * the corpus index is just m codes per vector — a 64-double embedding
+    * compressed to 4 bytes here — scored without ever touching the raw
+    * corpus vectors: the ADC distance is Σ_j d²(q_j, codeword(c_j)),
+    * with the codeword arrays inlined as broadcast literals. The ADC
+    * top-`rerank` candidates then re-rank with EXACT cosine on the raw
+    * vectors (the standard PQ re-rank stage) and the top-k of that is
+    * emitted — so every emitted similarity is exact; only the candidate
+    * CHOICE is approximate.
+    *
+    * The memory-bound scale path beside LSH (S2, hash-pruned) and IVF
+    * (S3, list-pruned): the ADC scan still touches every corpus row but
+    * reads only m small codes per vector, which is what fits executor
+    * memory at corpus sizes where raw vectors cannot. `rerank` ≥ corpus
+    * degenerates to S1 exactly (every vector exact-ranked) — the
+    * oracle-checkable exhaustive twin; the operating point is
+    * probabilistic and publishes recall like S2/S3.
+    */
+  def annPq(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 20,
+      m: Int = 8, codebookK: Int = 32, rerank: Int = 192, seed: Long = 42L,
+      trainSample: Int = 100000): DataFrame = {
+    import graft.functions.ArrayDot.dot
+    val e = vectors(spark, dir)
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val subLen = dim / m
+    // quantize UNIT vectors: the query metric is cosine, and L2 order on
+    // normalized vectors ≡ cosine order (‖q̂−v̂‖² = 2−2cos) — PQ on raw
+    // magnitudes would rank by a metric the re-rank doesn't use
+    val eHat = e.select(col("vec_id"),
+      transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("v"))
+    def sub(v: Column, j: Int): Column = slice(v, j * subLen + 1, subLen)
+    // per-subspace codebooks: k-means over the sliced corpus, seeded per
+    // subspace; codeword vectors + norms inline as literals (k×d/m
+    // doubles — broadcast-tiny at any corpus size)
+    val books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map { j =>
+      kmeansCentroids(eHat.select(col("vec_id"), sub(col("v"), j).as("v")),
+        codebookK, seed + j, trainSample)
+    }
+    // encode: per-subspace nearest codeword — a codegen'd projection, no
+    // join, no shuffle; the PQ index is (vec_id, c0..c{m-1})
+    val codeCols = (0 until m).map { j =>
+      element_at(nearestLists(books(j), sub(col("v"), j), 1), 1)
+        .getField("list_id").as(s"c$j")
+    }
+    val codes = eHat.select((col("vec_id") +: codeCols): _*)
+      .localCheckpoint(true)
+    // ADC score per (query, corpus code row): codeword looked up from the
+    // literal table by code id, distance² accumulated per subspace
+    val q = e.join(eHat.select(col("vec_id"), col("v").as("vh")), "vec_id")
+      .filter(col("vec_id") < nQueries)
+      .select((col("vec_id").as("query_id") +: col("v").as("qv") +:
+        (0 until m).map(j => sub(col("vh"), j).as(s"q$j"))): _*)
+    val adc = (0 until m).map { j =>
+      val cwords = typedlit(books(j).map(_._2))
+      val cnorms = typedlit(books(j).map(_._2.map(x => x * x).sum))
+      val cw = element_at(cwords, (col(s"c$j") + 1).cast("int"))
+      dot(col(s"q$j"), col(s"q$j")) - lit(2.0) * dot(col(s"q$j"), cw) +
+        element_at(cnorms, (col(s"c$j") + 1).cast("int"))
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val cand = broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+        adc.as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    // exact re-rank of the ADC candidates on the raw vectors
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id").asc)
+    cand.join(e.select(col("vec_id").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v")).as("c"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("c"), 6).as("cos"), col("rank"))
+  }
+
   /** S4: k-means clustering as a first-class operator (Lloyd 1982) — the
     * embedding-space curation primitive (cluster-balanced data selection,
     * SemDeDup cells, IVF lists) exposed directly instead of buried inside
