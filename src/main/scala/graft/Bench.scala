@@ -44,6 +44,7 @@ object Bench {
     "graph_update_cc", "graph_update_pagerank5", "graph_update_sssp",
     "graph_triangles", "graph_triangles_scale", "graph_clustering_coeff",
     "graph_kcore", "graph_lpa", "graph_ktruss", "graph_mis",
+    "graph_coloring",
     "rmat_gen", "rmat_actions",
     "q1_agg", "q3_revenue", "q5_nation_revenue",
     "q6_forecast", "q18_large_orders",

@@ -60,6 +60,8 @@ object SparkEntry {
     "graph_ktruss" -> ((s, d) => Triangles.partKTruss(s, d)),
     "graph_mis" -> ((s, d) =>
       MaximalIndependentSet(Graph.fromTpch(s, d), oracleRounds = Some(8))),
+    "graph_coloring" -> ((s, d) =>
+      GraphColoring(Graph.fromTpch(s, d), oracleUnroll = Some((5, 12)))),
     "rmat_gen" -> ((s, _) => RMat.graph(s, RMat.Params(scale = 10)).edges),
     "rmat_actions" -> ((s, _) =>
       RMat.actions(s, RMat.Params(scale = 10), na = 20000L)),
@@ -216,6 +218,7 @@ object SparkEntry {
     "graph_update_sssp" -> EdgeUpdates.updatedSsspSql,
     "graph_kcore" -> KCore.unrolledSql(k = 32, rounds = 8),
     "graph_mis" -> MaximalIndependentSet.unrolledSql(rounds = 8),
+    "graph_coloring" -> GraphColoring.unrolledSql(colors = 5, rounds = 12),
     "graph_lpa" -> LabelPropagation.unrolledSql(rounds = 5),
     "graph_triangles" -> Triangles.nationTrianglesSql,
     "graph_triangles_scale" -> Triangles.partTrianglesSql,

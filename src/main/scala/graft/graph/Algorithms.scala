@@ -866,16 +866,40 @@ object MaximalIndependentSet {
   def apply(g: Graph, maxIter: Int = 30,
       broadcastVertices: Boolean = true,
       oracleRounds: Option[Int] = None): DataFrame = {
-    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
-    val spark = g.edges.sparkSession
-    import spark.implicits._
     // self-loops dropped (a vertex adjacent to itself could never win the
     // strict-min and would deadlock undecided); the vertex SET still
     // includes loop-only vertices — trivially independent, so in the MIS
-    var und = g.cachedUndirected.select(col("src"), col("dst"))
+    val und = g.cachedUndirected.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-    var state = g.cachedUndirected.select(col("src").as("id")).distinct()
+    val state = g.cachedUndirected.select(col("src").as("id")).distinct()
       .localCheckpoint(true)
+    val (mis, rounds, undecided) =
+      lubyMis(und, state, "", maxIter, broadcastVertices)
+    if (undecided > 0)
+      System.err.println(s"[graft] WARN MaximalIndependentSet: $undecided " +
+        s"vertices still undecided after $maxIter rounds")
+    oracleRounds.foreach { r =>
+      if (undecided > 0 || rounds > r) throw new IllegalStateException(
+        s"Luby MIS converged in $rounds rounds but the unrolled SQL oracle " +
+          s"only has $r: raise `rounds` in MaximalIndependentSet.unrolledSql")
+    }
+    mis
+  }
+
+  /** One full Luby MIS run over an explicit undecided-induced edge set and
+    * undecided vertex table — the core [[apply]] and
+    * [[GraphColoring.apply]] share. Per-round priority is
+    * md5(id ':' saltPrefix round). Returns (MIS members, rounds used,
+    * vertices still undecided at the cap).
+    */
+  private[graph] def lubyMis(und0: DataFrame, state0: DataFrame,
+      saltPrefix: String, maxIter: Int,
+      broadcastVertices: Boolean): (DataFrame, Int, Long) = {
+    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    val spark = und0.sparkSession
+    import spark.implicits._
+    var und = und0
+    var state = state0
     var mis = Seq.empty[Long].toDF("id").localCheckpoint(true)
     var n = state.count()
     var i = 0
@@ -886,7 +910,7 @@ object MaximalIndependentSet {
       // R-MAT still undecided after 30 fixed-priority rounds)
       val withPri = state
         .withColumn("pri",
-          md5(concat(col("id").cast("string"), lit(s":$i"))))
+          md5(concat(col("id").cast("string"), lit(s":$saltPrefix$i"))))
       // min undecided-neighbor priority per vertex (und is already
       // undecided-induced, so no per-round edge filter is needed here)
       val nbrMin = und
@@ -915,15 +939,7 @@ object MaximalIndependentSet {
       n = state.count()
       i += 1
     }
-    if (n > 0)
-      System.err.println(s"[graft] WARN MaximalIndependentSet: $n vertices " +
-        s"still undecided after $maxIter rounds")
-    oracleRounds.foreach { r =>
-      if (n > 0 || i > r) throw new IllegalStateException(
-        s"Luby MIS converged in $i rounds but the unrolled SQL oracle " +
-          s"only has $r: raise `rounds` in MaximalIndependentSet.unrolledSql")
-    }
-    mis.select(col("id"))
+    (mis.select(col("id")), i, n)
   }
 
   /** DuckDB oracle: `rounds` unrolled Luby steps with the same per-round
@@ -960,6 +976,122 @@ object MaximalIndependentSet {
        |$steps
        |SELECT CAST(id AS BIGINT) AS id FROM (
        |  $union)""".stripMargin
+  }
+}
+
+/** G20: greedy graph coloring by iterated Luby MIS (Luby 1986 — color c
+  * is a maximal independent set of the residual graph, whose members are
+  * removed before color c+1; every vertex is colored, no edge is
+  * monochrome). Deterministic end-to-end: the inner MIS runs the same
+  * per-round md5 priorities salted by color, so an unrolled SQL oracle
+  * reproduces the exact color assignment. The parallel scheduling /
+  * register-allocation / conflict-partition primitive; colors used is
+  * data-dependent (≤ Δ+1 — typically far fewer), and the runtime guard
+  * asserts both the color count and every color's Luby depth fit the
+  * oracle unroll, so an SF change fails loudly.
+  *
+  * Scale shape: inherits [[MaximalIndependentSet]]'s per-round cost
+  * (map-side-combined min-priority agg + |V|-bounded semi/anti joins);
+  * the residual edge set shrinks monotonically across colors.
+  */
+object GraphColoring {
+  def apply(g: Graph, maxColors: Int = 32, lubyIter: Int = 30,
+      broadcastVertices: Boolean = true,
+      oracleUnroll: Option[(Int, Int)] = None): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    var und = g.cachedUndirected.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).localCheckpoint(true)
+    var state = g.cachedUndirected.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    var colored = Seq.empty[(Long, Long)].toDF("id", "color")
+      .localCheckpoint(true)
+    var c = 0
+    var n = state.count()
+    var maxDepth = 0
+    while (n > 0 && c < maxColors) {
+      val (mis, rounds, undecided) = MaximalIndependentSet.lubyMis(
+        und, state, s"$c:", lubyIter, broadcastVertices)
+      if (undecided > 0) throw new IllegalStateException(
+        s"GraphColoring: inner Luby hit its $lubyIter-round cap at color $c")
+      maxDepth = math.max(maxDepth, rounds)
+      colored = colored
+        .union(mis.select(col("id"), lit(c.toLong).as("color")))
+        .localCheckpoint(true)
+      state = state.join(mis, Seq("id"), "left_anti").localCheckpoint(true)
+      und = und
+        .join(state.select(col("id").as("ks")),
+          col("src") === col("ks"), "left_semi")
+        .join(state.select(col("id").as("kd")),
+          col("dst") === col("kd"), "left_semi")
+        .localCheckpoint(true)
+      n = state.count()
+      c += 1
+    }
+    if (n > 0)
+      System.err.println(s"[graft] WARN GraphColoring: $n vertices " +
+        s"uncolored after $maxColors colors")
+    oracleUnroll.foreach { case (oc, or) =>
+      if (n > 0 || c > oc || maxDepth > or) throw new IllegalStateException(
+        s"coloring used $c colors / Luby depth $maxDepth but the unrolled " +
+          s"SQL oracle has $oc colors × $or rounds: raise the unroll in " +
+          "GraphColoring.unrolledSql")
+    }
+    colored
+  }
+
+  /** DuckDB oracle: `colors` × `rounds` nested Luby unroll with the same
+    * color-salted md5 priorities (idempotent past both fixpoints — an
+    * empty residual selects nothing).
+    */
+  def unrolledSql(colors: Int, rounds: Int,
+      edgesCte: String = Graph.undirectedCte): String = {
+    def luby(c: Int): String = {
+      val p = s"c$c"
+      val steps = (1 to rounds).map { r =>
+        val pri = s"md5(CAST(id AS VARCHAR) || ':${c - 1}:${r - 1}')"
+        s"""${p}p$r AS MATERIALIZED (
+           |  SELECT id, $pri AS pri FROM ${p}s${r - 1}),
+           |${p}sel$r AS MATERIALIZED (
+           |  SELECT s.id FROM ${p}p$r s LEFT JOIN (
+           |    SELECT e.dst, min(p.pri) AS minp
+           |    FROM ${p}e${r - 1} e JOIN ${p}p$r p ON e.src = p.id
+           |    GROUP BY e.dst) nb ON s.id = nb.dst
+           |  WHERE nb.minp IS NULL OR s.pri < nb.minp),
+           |${p}rm$r AS MATERIALIZED (
+           |  SELECT id FROM ${p}sel$r
+           |  UNION
+           |  SELECT e.dst FROM ${p}e${r - 1} e JOIN ${p}sel$r x ON e.src = x.id),
+           |${p}s$r AS MATERIALIZED (
+           |  SELECT id FROM ${p}s${r - 1}
+           |  WHERE id NOT IN (SELECT id FROM ${p}rm$r)),
+           |${p}e$r AS MATERIALIZED (
+           |  SELECT src, dst FROM ${p}e${r - 1}
+           |  WHERE src IN (SELECT id FROM ${p}s$r)
+           |    AND dst IN (SELECT id FROM ${p}s$r))""".stripMargin
+      }.mkString(",\n")
+      val sels = (1 to rounds).map(r => s"SELECT id FROM ${p}sel$r")
+        .mkString(" UNION ALL ")
+      // color members; residual start tables for the next color
+      s"""$steps,
+         |col$c AS MATERIALIZED ($sels),
+         |c${c + 1}s0 AS MATERIALIZED (
+         |  SELECT id FROM c${c}s0 WHERE id NOT IN (SELECT id FROM col$c)),
+         |c${c + 1}e0 AS MATERIALIZED (
+         |  SELECT src, dst FROM c${c}e0
+         |  WHERE src IN (SELECT id FROM c${c + 1}s0)
+         |    AND dst IN (SELECT id FROM c${c + 1}s0))""".stripMargin
+    }
+    val body = (1 to colors).map(luby).mkString(",\n")
+    val out = (1 to colors)
+      .map(c => s"SELECT id, ${c - 1} AS color FROM col$c")
+      .mkString(" UNION ALL ")
+    s"""WITH $edgesCte,
+       |c1s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+       |c1e0 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+       |$body
+       |SELECT CAST(id AS BIGINT) AS id, CAST(color AS BIGINT) AS color
+       |FROM ($out)""".stripMargin
   }
 }
 

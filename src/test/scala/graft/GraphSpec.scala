@@ -88,6 +88,32 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("graph coloring: proper, complete, deterministic") {
+    val rmat = RMat.graph(spark, RMat.Params(scale = 8))
+    Seq(rmat, Graph.fromTpch(spark, TestSpark.sfTiny)).foreach { g =>
+      val colored = GraphColoring(g).localCheckpoint(true)
+      val nColors = colored.agg(max(col("color"))).head().getLong(0) + 1
+      System.err.println(s"[test] coloring used $nColors colors")
+      // complete: every vertex exactly one color
+      val verts = g.cachedUndirected.select(col("src").as("id")).distinct()
+      assert(colored.count() == verts.count())
+      assert(colored.select("id").distinct().count() == verts.count())
+      // proper: no non-loop edge is monochrome
+      val e = g.cachedUndirected.filter(col("src") =!= col("dst"))
+      val mono = e
+        .join(colored.select(col("id").as("src"), col("color").as("cs")),
+          Seq("src"))
+        .join(colored.select(col("id").as("dst"), col("color").as("cd")),
+          Seq("dst"))
+        .filter(col("cs") === col("cd"))
+      assert(mono.count() == 0, "monochrome edge")
+      // deterministic
+      val again = GraphColoring(g)
+      assert(colored.exceptAll(again).count() == 0 &&
+        again.exceptAll(colored).count() == 0)
+    }
+  }
+
   test("frontier cc equals the dense classic formulation") {
     // the frontier path joins only changed-label vertices per round; the
     // dense reference joins the full state — labels must agree exactly on
