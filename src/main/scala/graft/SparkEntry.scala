@@ -48,8 +48,13 @@ object SparkEntry {
       PageRank.fixedIterations(EdgeUpdates.updatedGraph(s, d), 5)),
     "graph_update_sssp" -> ((s, d) =>
       ShortestPaths.fromMinVertex(EdgeUpdates.updatedGraph(s, d))),
+    // oracle unroll-depth guards bind only at the SF the driver
+    // hash-checks (sf0.01): peel/MIS round counts grow with SF, and at
+    // un-checked SFs there is no oracle to protect — the query must not
+    // refuse to run there (same principle as graph_coloring below)
     "graph_kcore" -> ((s, d) =>
-      KCore(Graph.fromTpch(s, d), k = 32, oracleRounds = Some(8))),
+      KCore(Graph.fromTpch(s, d), k = 32,
+        oracleRounds = if (d.contains("sf0.01")) Some(8) else None)),
     "graph_lpa" -> ((s, d) => LabelPropagation(Graph.fromTpch(s, d), rounds = 5)),
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
     // the three part-co-occurrence queries share one memoized enumeration
@@ -59,15 +64,11 @@ object SparkEntry {
     "graph_clustering_coeff" -> ((s, d) => Triangles.partClustering(s, d)),
     "graph_ktruss" -> ((s, d) => Triangles.partKTruss(s, d)),
     "graph_mis" -> ((s, d) =>
-      MaximalIndependentSet(Graph.fromTpch(s, d), oracleRounds = Some(8))),
-    // the unroll-depth guard binds at the SF the driver hash-checks
-    // (sf0.01, ≤5 colors measured, 8 unrolled): color count grows with SF
-    // (17 at sf0.1) and DuckDB's binder depth caps the nested unroll near
-    // 15 colors — at un-checked SFs there is no oracle to protect, so the
-    // query must not refuse to run there
+      MaximalIndependentSet(Graph.fromTpch(s, d),
+        oracleRounds = if (d.contains("sf0.01")) Some(8) else None)),
     "graph_coloring" -> ((s, d) =>
       GraphColoring(Graph.fromTpch(s, d),
-        oracleUnroll = if (d.contains("sf0.01")) Some((8, 12)) else None)),
+        oracleRounds = if (d.contains("sf0.01")) Some(10) else None)),
     "rmat_gen" -> ((s, _) => RMat.graph(s, RMat.Params(scale = 10)).edges),
     "rmat_actions" -> ((s, _) =>
       RMat.actions(s, RMat.Params(scale = 10), na = 20000L)),
@@ -224,7 +225,7 @@ object SparkEntry {
     "graph_update_sssp" -> EdgeUpdates.updatedSsspSql,
     "graph_kcore" -> KCore.unrolledSql(k = 32, rounds = 8),
     "graph_mis" -> MaximalIndependentSet.unrolledSql(rounds = 8),
-    "graph_coloring" -> GraphColoring.unrolledSql(colors = 8, rounds = 12),
+    "graph_coloring" -> GraphColoring.unrolledSql(rounds = 10),
     "graph_lpa" -> LabelPropagation.unrolledSql(rounds = 5),
     "graph_triangles" -> Triangles.nationTrianglesSql,
     "graph_triangles_scale" -> Triangles.partTrianglesSql,

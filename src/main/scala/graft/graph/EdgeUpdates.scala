@@ -80,13 +80,27 @@ object EdgeUpdates {
     */
   val BroadcastableActions = 4000000L
 
-  def applyAnnotated(base: DataFrame, actions: DataFrame): DataFrame =
-    // |touched| ≤ |actions|: one cheap count on the (typically
-    // pre-materialized) action table gates the hash-join hint (an SHJ
-    // build side must fit per-partition memory; compaction-sized logs
+  /** @param knownActionCount pass it when the caller already counted the
+    *   (materialized) action log — e.g. the per-batch streaming maintainers
+    *   and RmatTier — so gating the SHJ hint costs nothing. When absent,
+    *   the actions are localCheckpoint'd BEFORE counting: the count gates
+    *   the hint AND the checkpoint feeds the merge, so a non-materialized
+    *   action lineage is never evaluated twice per apply.
+    */
+  def applyAnnotated(base: DataFrame, actions: DataFrame,
+      knownActionCount: Option[Long] = None): DataFrame = {
+    // |touched| ≤ |actions|: the action count gates the hash-join hint (an
+    // SHJ build side must fit per-partition memory; compaction-sized logs
     // sort-merge instead)
-    applyAnnotatedPath(base, actions, broadcastDelta = false,
-      shjHint = actions.count() <= BroadcastableActions)
+    val (acts, n) = knownActionCount match {
+      case Some(c) => (actions, c)
+      case None =>
+        val a = actions.localCheckpoint(true)
+        (a, a.count())
+    }
+    applyAnnotatedPath(base, acts, broadcastDelta = false,
+      shjHint = n <= BroadcastableActions)
+  }
 
   /** [[applyAnnotated]] with the plan choice explicit — tests assert the
     * broadcast-delta path ≡ the full-outer merge. Measured at SCALE 24

@@ -111,6 +111,19 @@ class GraphSpec extends AnyFunSuite {
       val again = GraphColoring(g)
       assert(colored.exceptAll(again).count() == 0 &&
         again.exceptAll(colored).count() == 0)
+      // the iterated-MIS formulation is also proper and complete (it
+      // yields a DIFFERENT proper assignment — serial across colors, kept
+      // as the equivalence-tested alternative shape)
+      val alt = GraphColoring.iteratedMis(g).localCheckpoint(true)
+      assert(alt.count() == verts.count())
+      assert(alt.select("id").distinct().count() == verts.count())
+      val monoAlt = e
+        .join(alt.select(col("id").as("src"), col("color").as("cs")),
+          Seq("src"))
+        .join(alt.select(col("id").as("dst"), col("color").as("cd")),
+          Seq("dst"))
+        .filter(col("cs") === col("cd"))
+      assert(monoAlt.count() == 0, "monochrome edge in iterated-MIS coloring")
     }
   }
 
