@@ -76,7 +76,8 @@ object Bench {
     "stream_events_hopping", "stream_cms_sketch",
     "stream_purchase_click_join", "stream_hll_registers",
     "stream_enriched_revenue", "stream_bloom_bits",
-    "stream_degrees_incremental", "stream_cc_incremental")
+    "stream_degrees_incremental", "stream_cc_incremental",
+    "stream_pagerank_incremental")
 
   /** First-trial seconds above which a query is not re-trialed (it
     * amortizes its own warmup, and re-running it would double suite

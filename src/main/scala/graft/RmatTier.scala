@@ -84,11 +84,22 @@ object RmatTier {
 
     // build: raw edge list on disk → weighted dedup'd edges → symmetrized
     // adjacency cache the algorithms read (the reference's build step ends
-    // with its adjacency structure likewise materialized)
+    // with its adjacency structure likewise materialized). Pairs are
+    // CANONICALIZED (src ≤ dst) in the same aggregation that counts
+    // multiplicities: raw R-MAT output can carry both orientations of a
+    // pair, and the action stream is canonical at generation — so this
+    // both honors EdgeUpdates' one-directed-row-per-pair contract (a
+    // delete on (a,b) must hit a base row stored as (b,a)) and lets the
+    // symmetrized view skip its |2E|-row distinct shuffle entirely
+    // (edgesCanonical: two shuffles in the whole build instead of three).
     val (g, buildSec) = timed("build") {
       val raw = spark.read.parquet(edgesPath)
-      val graph = Graph(raw.groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("weight")))
+      val graph = Graph(raw
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("weight")),
+        edgesCanonical = true)
       graph.cachedUndirected.count()
       graph
     }

@@ -166,7 +166,9 @@ object SparkEntry {
     "stream_degrees_incremental" -> ((s, d) =>
       EventStream.incrementalDegreesStream(s, d)),
     "stream_cc_incremental" -> ((s, d) =>
-      EventStream.incrementalCcStream(s, d)))
+      EventStream.incrementalCcStream(s, d)),
+    "stream_pagerank_incremental" -> ((s, d) =>
+      EventStream.incrementalPageRankStream(s, d)))
 
   /** DuckDB-equivalent SQL per query key (same column names, types, and
     * rounding as the Spark result — the driver hash-compares).
@@ -308,5 +310,8 @@ object SparkEntry {
     "stream_enriched_revenue" -> EventStream.enrichedRevenueSql,
     "stream_bloom_bits" -> EventStream.bloomBitsSql,
     "stream_degrees_incremental" -> EdgeUpdates.updatedDegreesSql,
-    "stream_cc_incremental" -> EdgeUpdates.updatedCcSql)
+    "stream_cc_incremental" -> EdgeUpdates.updatedCcSql,
+    // X15 drains to exactly the batch G10c result — same oracle
+    "stream_pagerank_incremental" ->
+      PageRank.unrolledSql(5, EdgeUpdates.updatedUndirectedCte))
 }

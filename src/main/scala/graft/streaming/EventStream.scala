@@ -946,41 +946,61 @@ object EventStream extends Serializable {
     * `dedup_minhash_lsh` and is checked against the same exact-Jaccard
     * DuckDB oracle.
     */
+  /** @param batchSecs when set, receives each micro-batch's wall seconds —
+    *   the flatness receipt for the append-only index contract (per-batch
+    *   cost must not grow with the accumulated index; asserted in
+    *   StreamingSpec at 10 batches, measured at sf0.1 in SURVEY §6).
+    */
   def minhashLshStream(spark: SparkSession, dir: String, batches: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      batchSecs: Option[scala.collection.mutable.Buffer[Double]] = None)
+      : DataFrame = {
     import graft.ops.Dedup
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
     val staging = stageByChunks(docs, "doc_id", batches)
     import spark.implicits._
+    def fresh(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    // the accumulated index and candidate set are APPEND-ONLY: each batch
+    // contributes one batch-bounded checkpointed part, and the
+    // accumulators are lazy unions of those parts (re-attributed so no
+    // two union branches share exprIds). Nothing O(index) is ever
+    // rewritten per batch — the r5 review flagged the previous
+    // union+distinct+checkpoint per batch as O(N²/batch) over the
+    // stream's life; dedup of the candidate set is deferred to drain.
     var bandState = Seq.empty[(Long, Int, Long)]
       .toDF("doc_id", "band", "bsig").localCheckpoint(true)
-    var cands = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
-      .localCheckpoint(true)
+    var candParts = List.empty[DataFrame]
     val stream = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(staging)
     val q = stream.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bt0 = System.nanoTime()
         val nb = Dedup.bandTable(Dedup.signatures(batch))
           .localCheckpoint(true)
         // cross-batch: new bands probe the accumulated index (the index
-        // side is the big one at steady state — scanned, never widened)
+        // side is the big one at steady state — scanned, never widened
+        // nor rewritten)
         val cross = nb.as("n").join(bandState.as("s"),
             col("n.band") === col("s.band") &&
               col("n.bsig") === col("s.bsig"))
           .select(least(col("n.doc_id"), col("s.doc_id")).as("id_a"),
             greatest(col("n.doc_id"), col("s.doc_id")).as("id_b"))
         val within = Dedup.candidatePairs(nb)
-        cands = cands.union(cross).union(within).distinct()
-          .localCheckpoint(true)
-        bandState = bandState.union(nb).localCheckpoint(true)
+        candParts ::= cross.union(within).localCheckpoint(true)
+        bandState = bandState.union(fresh(nb))
+        batchSecs.foreach(_ += (System.nanoTime() - bt0) / 1e9)
       }
       .start()
     q.awaitTermination()
-    // drain: exact-verify the accumulated candidates — same machinery,
-    // same size-gated broadcast as batch D3
+    // drain: dedup the accumulated candidates once, then exact-verify —
+    // same machinery, same size-gated broadcast as batch D3
+    val cands = candParts.map(fresh).foldLeft(
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))(_.union(_))
+      .distinct().localCheckpoint(true)
     val candIds = cands.select(col("id_a").as("doc_id"))
       .union(cands.select(col("id_b").as("doc_id"))).distinct()
     val sh = Dedup.shingleRowsOf(docs.join(candIds, "doc_id"))
@@ -989,4 +1009,146 @@ object EventStream extends Serializable {
       broadcast(cands) else cands
     Dedup.jaccardOfCandidates(sh, gated, threshold)
   }
+  /** X15: INCREMENTAL PageRank maintenance over the streaming edge feed —
+    * the last reference maintain-then-analyze workload (ref:
+    * tests/networkx/test_python.py:139-151) whose analyze step previously
+    * re-ran from scratch (G10c). The maintained state is one rank table
+    * PER POWER-ITERATION LEVEL, kept in n-independent "s-space": s0 = 1,
+    * s_k(v) = (1-d) + d * SUM s_{k-1}(u)/deg(u) over neighbors — exactly
+    * PageRank scaled by |V| (r_k = s_k/|V| by linearity), so vertex
+    * arrivals/departures never globally rescale the state the way the
+    * 1/|V| teleport term would.
+    *
+    * Per batch: the update merge's presence flips (the same single-pass
+    * events X6/X7 consume) give the degree-changed set D; level k's
+    * affected set is A_k = D UNION N(A_{k-1}) — the k-hop neighborhood of
+    * the batch's changes — and ONLY A_k rows are recomputed (full
+    * neighborhood sums, so the stored values stay bit-equal to a fresh
+    * batch run up to float summation order, which the 8dp output rounding
+    * absorbs — the same tolerance the hash-green batch oracle already
+    * rides). Unchanged vertices keep their stored level values, which are
+    * exact for the updated graph by induction: no in-neighbor changed
+    * value or degree at any earlier level. Drained result = s_5/|V|
+    * rounded to 8dp == batch G10c (graph_update_pagerank5), same DuckDB
+    * oracle.
+    *
+    * Scale shape: per-batch join work is proportional to the k-hop
+    * neighborhood of the batch (frontier-sized broadcasts against the
+    * src-partitioned edge state), plus |V|-bounded columnar state merges —
+    * on a 100 TB graph with ingest-sized batches the affected sets stay
+    * tiny; on the dense demo feed they approach |V|, where the semi-joins
+    * degrade gracefully to a full recompute of that level.
+    */
+  def incrementalPageRankStream(spark: SparkSession, dir: String,
+      batches: Int = 3, iterations: Int = 5): DataFrame =
+    incrementalPageRankStreamFrom(spark, Graph.fromTpch(spark, dir),
+      EdgeUpdates.actionsFromEvents(spark, dir), batches, iterations)
+
+  /** [[incrementalPageRankStream]] over an arbitrary base graph + action
+    * log (honoring [[EdgeUpdates.applyAnnotated]]'s one-directed-row-per-
+    * pair contract).
+    */
+  def incrementalPageRankStreamFrom(spark: SparkSession, base: Graph,
+      actions: DataFrame, batches: Int, iterations: Int,
+      broadcastVertices: Boolean = true): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    val d = graft.graph.PageRank.Damping
+    val staging = stageByChunks(actions, "action_id", batches)
+    var edgeState = base.edges.localCheckpoint(true)
+    // symmetrized distinct-pair view + degree state, maintained under flips
+    var und = base.undirected.localCheckpoint(true)
+    var degState = und.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    // initial per-level tables (id, deg, s): the one full s-space power
+    // iteration (the stream starts from an existing graph snapshot)
+    val levels = new Array[DataFrame](iterations + 1)
+    levels(0) = degState.withColumn("s", lit(1.0))
+    for (k <- 1 to iterations) {
+      val contribs = und.join(bc(levels(k - 1)), col("src") === col("id"))
+        .select(col("dst"), (col("s") / col("deg")).as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("msg"))
+      levels(k) = degState
+        .join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"), col("deg"),
+          (lit(1.0 - d) + lit(d) * coalesce(col("msg"), lit(0.0))).as("s"))
+        .localCheckpoint(true)
+    }
+    val stream = spark.readStream.schema(actions.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ONE edge-state pass: presence flips out of the same merge the
+        // other incremental maintainers read
+        val merged = EdgeUpdates.applyAnnotated(edgeState, batch)
+          .localCheckpoint(true)
+        edgeState = merged.filter(col("weight") > 0L)
+          .select(col("src"), col("dst"), col("weight"))
+        val flips = merged
+          .filter((col("weight_old") > 0L) =!= (col("weight") > 0L))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"),
+            (col("weight") > 0L).as("on"))
+          .localCheckpoint(true)
+        // both directions of each flipped pair (self-pairs once)
+        val flips2 = flips.select(explode(when(col("a") === col("b"),
+            array(struct(col("a").as("src"), col("b").as("dst"))))
+          .otherwise(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst"))))).as("e"),
+          col("on"))
+          .select(col("e.src"), col("e.dst"), col("on"))
+        val off2 = flips2.filter(!col("on")).select(col("src"), col("dst"))
+        val on2 = flips2.filter(col("on")).select(col("src"), col("dst"))
+        und = und.join(bc(off2), Seq("src", "dst"), "left_anti")
+          .union(on2).localCheckpoint(true)
+        // degree-changed set D = flip endpoints; recompute their degrees
+        // against the updated pair view (vertices isolated by deletes
+        // simply lose their degree row, and with it their rank rows)
+        val dSet = flips
+          .select(explode(when(col("a") === col("b"), array(col("a")))
+            .otherwise(array(col("a"), col("b")))).as("id"))
+          .distinct().localCheckpoint(true)
+        val degD = und
+          .join(bc(dSet.select(col("id").as("did"))),
+            col("src") === col("did"))
+          .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        degState = degState
+          .join(dSet, Seq("id"), "left_anti")
+          .union(degD).localCheckpoint(true)
+        levels(0) = degState.withColumn("s", lit(1.0))
+        // level k recompute on A_k = D UNION N(A_{k-1}): full neighborhood
+        // sums for affected rows only, merged into the level table
+        var aff = dSet
+        for (k <- 1 to iterations) {
+          aff = dSet.union(
+              und.join(bc(aff.select(col("id").as("fid"))),
+                col("src") === col("fid"))
+                .select(col("dst").as("id")))
+            .distinct().localCheckpoint(true)
+          val contribs = und
+            .join(bc(aff.select(col("id").as("tid"))),
+              col("dst") === col("tid"), "left_semi")
+            .join(bc(levels(k - 1)), col("src") === col("id"))
+            .select(col("dst"), (col("s") / col("deg")).as("contrib"))
+            .groupBy(col("dst")).agg(sum(col("contrib")).as("msg"))
+          val newRows = degState
+            .join(aff, Seq("id"), "left_semi")
+            .join(contribs, col("id") === col("dst"), "left")
+            .select(col("id"), col("deg"),
+              (lit(1.0 - d) + lit(d) * coalesce(col("msg"), lit(0.0))).as("s"))
+          levels(k) = levels(k)
+            .join(aff, Seq("id"), "left_anti")
+            .union(newRows).localCheckpoint(true)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    val nv = degState.count().toDouble
+    levels(iterations).select(col("id"),
+      round(col("s") / lit(nv), 8).as("pr"))
+  }
+
 }

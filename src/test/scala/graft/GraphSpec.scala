@@ -196,6 +196,44 @@ class GraphSpec extends AnyFunSuite {
     assert(maxDiff < 1e-6)
   }
 
+  test("canonical-pairs build has the identical undirected view") {
+    // the RmatTier build canonicalizes pairs (src<=dst) and declares
+    // edgesCanonical, skipping the symmetrize-dedup shuffle — the
+    // resulting adjacency must be row-identical to the general path
+    val raw = RMat.edges(spark, RMat.Params(scale = 8))
+    val a = Graph(raw.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))).undirected
+    val b = Graph(raw
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight")),
+      edgesCanonical = true).undirected
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "canonical undirected view diverged from the general path")
+  }
+
+  test("delta pagerank equals the dense converged formulation") {
+    // the frontier/delta push must land on the same fixpoint the dense
+    // power iteration reaches, on every graph shape and both state paths
+    val planted = mkGraph((1L, 2L), (2L, 3L), (10L, 11L), (3L, 1L))
+    val rmat = RMat.graph(spark, RMat.Params(scale = 8))
+    Seq(planted, rmat, Graph.fromTpch(spark, TestSpark.sfTiny)).foreach { g =>
+      Seq(true, false).foreach { bcast =>
+        val a = PageRank.convergedDelta(g, broadcastVertices = bcast)
+          .withColumnRenamed("pr", "pra")
+        val b = PageRank.convergedDense(g, broadcastVertices = bcast)
+          .withColumnRenamed("pr", "prb")
+        val joined = a.join(b, Seq("id"), "full_outer")
+        assert(joined.filter(col("pra").isNull || col("prb").isNull)
+          .count() == 0, "delta and dense rank different vertex sets")
+        val maxDiff = joined
+          .agg(max(abs(col("pra") - col("prb")))).head().getDouble(0)
+        assert(maxDiff < 1e-6,
+          s"delta vs dense diverged: maxDiff=$maxDiff bcast=$bcast")
+      }
+    }
+  }
+
   test("personalized pagerank: source-set-uniform equals global pagerank") {
     // teleport to ALL vertices with uniform mass == the global formula,
     // including the 1/nv initial state — bit-identical arithmetic

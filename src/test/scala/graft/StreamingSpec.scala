@@ -171,6 +171,16 @@ class StreamingSpec extends AnyFunSuite {
       "batch CC labels missing from incremental result")
   }
 
+  test("incremental pagerank stream equals batch PR5 over the updated graph") {
+    val streamed = EventStream.incrementalPageRankStream(spark, sf)
+    val batch = graft.graph.PageRank.fixedIterations(
+      EdgeUpdates.updatedGraph(spark, sf), 5)
+    assert(streamed.exceptAll(batch).count() == 0,
+      "incremental rank not in batch PR5")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "batch PR5 rank missing from incremental result")
+  }
+
   test("incremental minhash-LSH stream equals the batch pair set") {
     val streamed = EventStream.minhashLshStream(spark, sf)
     val batch = graft.ops.Dedup.minhashLsh(spark, sf)
@@ -178,6 +188,29 @@ class StreamingSpec extends AnyFunSuite {
       "streamed pair not in batch LSH output")
     assert(batch.exceptAll(streamed).count() == 0,
       "batch pair missing from streamed output")
+  }
+
+  test("minhash-LSH stream per-batch cost stays flat as the index grows") {
+    // the append-only index contract: batch K's cost must not scale with
+    // the K-1 batches already indexed (the r5 review found an O(index)
+    // state rewrite per batch). 10 batches; compare the last three
+    // batches' mean against the first three after warmup — a per-batch
+    // index rewrite would make the tail grow with K, a flat contract
+    // keeps them within noise of each other.
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val streamed = EventStream.minhashLshStream(spark, sf, batches = 10,
+      batchSecs = Some(times))
+    val batch = graft.ops.Dedup.minhashLsh(spark, sf)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "10-batch drain diverged from the batch pair set")
+    assert(times.size == 10, s"expected 10 batch timings, got ${times.size}")
+    val early = times.slice(1, 4).sum / 3
+    val late = times.takeRight(3).sum / 3
+    System.err.println(f"[test] lsh-stream per-batch early=$early%.2fs " +
+      f"late=$late%.2fs (${times.map(t => f"$t%.2f").mkString(",")})")
+    assert(late <= early * 3 + 0.5,
+      f"per-batch cost grew with the index: early $early%.2fs late $late%.2fs")
   }
 
   test("delete-heavy R-MAT stream at the small tier: drained CC equals batch CC") {
