@@ -303,7 +303,8 @@ object Bench {
     val baseEdges = graft.core.Partitioning.cachedSizedBy(
       g.edges, Seq("src", "dst"))
     val t0 = System.nanoTime()
-    graft.graph.EdgeUpdates(baseEdges, actions).count()
+    graft.graph.EdgeUpdates(baseEdges, actions,
+      knownActionCount = Some(na)).count()
     val updSec = (System.nanoTime() - t0) / 1e9
     baseEdges.unpersist()
     val updateRate = na / updSec

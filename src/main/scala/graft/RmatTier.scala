@@ -129,7 +129,8 @@ object RmatTier {
     val naActual = actions.count()
     val base = graft.core.Partitioning.cachedSizedBy(
       g.edges, Seq("src", "dst"))
-    val (_, updSec) = timed("update")(EdgeUpdates(base, actions).count())
+    val (_, updSec) = timed("update")(
+      EdgeUpdates(base, actions, knownActionCount = Some(naActual)).count())
     val rate = naActual / updSec
     base.unpersist()
     System.err.println(f"[bench] rmat_update rate: $naActual actions / $updSec%.2f s = $rate%.0f act/s")

@@ -48,10 +48,12 @@ object EdgeUpdates {
       |)""".stripMargin
 
   /** Apply an action log to a weighted edge table. Returns (src, dst, weight)
-    * for all surviving edges.
+    * for all surviving edges. Pass `knownActionCount` when the caller
+    * already counted the materialized log (see [[applyAnnotated]]).
     */
-  def apply(base: DataFrame, actions: DataFrame): DataFrame =
-    applyAnnotated(base, actions)
+  def apply(base: DataFrame, actions: DataFrame,
+      knownActionCount: Option[Long] = None): DataFrame =
+    applyAnnotated(base, actions, knownActionCount)
       .filter(col("weight") > 0L)
       .select(col("src"), col("dst"), col("weight"))
 

@@ -24,7 +24,14 @@ object PrLargeAb {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val raw = spark.read.parquet(s"target/graft-data/rmat-s$scale-edges.parquet")
+    val edgesPath = s"target/graft-data/rmat-s$scale-edges.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(edgesPath))) {
+      val tg = System.nanoTime()
+      graft.graph.RMat.edges(spark, graft.graph.RMat.Params(scale))
+        .write.parquet(edgesPath)
+      System.err.println(f"[ab] edge gen (untimed): ${(System.nanoTime() - tg) / 1e9}%.1f s")
+    }
+    val raw = spark.read.parquet(edgesPath)
     val g = Graph(raw.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("weight")))
     val t0 = System.nanoTime()
