@@ -45,7 +45,8 @@ object Bench {
     "graph_build_edges", "graph_degrees", "graph_degree_dist",
     "graph_cc", "graph_cc_alt", "graph_cc_sizes", "graph_sssp",
     "graph_sssp_weighted", "graph_landmark_dist",
-    "graph_pagerank5", "graph_pagerank_conv", "graph_pagerank_ppr",
+    "graph_pagerank5", "graph_pagerank_weighted", "graph_pagerank_conv",
+    "graph_pagerank_ppr", "graph_diameter",
     "graph_update_edges", "graph_update_degrees",
     "graph_update_cc", "graph_update_pagerank5", "graph_update_sssp",
     "graph_triangles", "graph_triangles_scale", "graph_clustering_coeff",
@@ -59,6 +60,8 @@ object Bench {
     "events_json", "events_rollup", "events_moving_avg", "events_funnel",
     "events_retention", "events_hopping", "events_interval_join",
     "events_pivot", "user_spend_deciles", "part_affinity", "q22_no_orders",
+    "q4_priority_check", "q12_ship_priority", "q14_promo_effect",
+    "q19_disjunct_revenue", "q20_excess_share", "q2_min_cost_supplier",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic", "dedup_substring",
     "ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "embeddings_kmeans",
@@ -77,7 +80,7 @@ object Bench {
     "stream_purchase_click_join", "stream_hll_registers",
     "stream_enriched_revenue", "stream_bloom_bits",
     "stream_degrees_incremental", "stream_cc_incremental",
-    "stream_pagerank_incremental")
+    "stream_pagerank_incremental", "stream_sssp_incremental")
 
   /** First-trial seconds above which a query is not re-trialed (it
     * amortizes its own warmup, and re-running it would double suite
@@ -119,6 +122,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // iterative algorithms drop a localCheckpoint per round; on a big
+      // heap the driver may not GC for many minutes, so ContextCleaner
+      // never learns the old rounds' blocks are dead and storage fills
+      // with them (measured: 13 s steady-state PR iterations spiking to
+      // 39-52 s at the large tier). Spark's own remedy is the periodic-GC
+      // floor — default 30 min, far longer than a whole tier workload.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -72,6 +72,17 @@ object RmatTier {
   def run(spark: SparkSession, tier: String, dataDir: String,
       runJson: Option[String]): Seq[(String, Double)] = {
     val (scale, na) = tiers(tier)
+    // the large tier's 265M-edge cache + shuffle state needs a real heap:
+    // on the default 8 GB (-Xmx via SPARK_DRIVER_MEM unset) every
+    // shuffle-path workload runs ~2.3× slower in GC/spill churn and sssp
+    // can OOM outright — measured r6: sv 213 s on 8 GB vs 91 s on 64 GB,
+    // same code. Fail loudly instead of publishing a GC benchmark.
+    val maxHeapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    if (scale >= 24 && maxHeapGb < 31)
+      throw new IllegalStateException(
+        s"tier '$tier' (SCALE $scale) needs SPARK_DRIVER_MEM>=32g; " +
+          s"current max heap ${maxHeapGb}g would benchmark the garbage " +
+          "collector, not the engine")
     val (edgesPath, actionsPath) = ensureData(spark, scale, na, dataDir)
 
     def timed[T](name: String)(body: => T): (T, Double) = {

@@ -34,7 +34,11 @@ object SparkEntry {
       WeightedShortestPaths(g, src)
     }),
     "graph_pagerank5" -> ((s, d) => PageRank.fixedIterations(Graph.fromTpch(s, d), 5)),
+    "graph_pagerank_weighted" -> ((s, d) =>
+      PageRank.fixedIterationsWeighted(Graph.fromTpch(s, d), 5)),
     "graph_pagerank_conv" -> ((s, d) => PageRank.converged(Graph.fromTpch(s, d))),
+    "graph_diameter" -> ((s, d) =>
+      ShortestPaths.diameterDoubleSweep(Graph.fromTpch(s, d))),
     "graph_pagerank_ppr" -> ((s, d) =>
       PageRank.personalizedFromMinVertex(Graph.fromTpch(s, d), 5)),
     "graph_landmark_dist" -> ((s, d) =>
@@ -96,6 +100,12 @@ object SparkEntry {
     "user_spend_deciles" -> ((s, d) => Relational.userSpendDeciles(s, d)),
     "part_affinity" -> ((s, d) => Relational.partAffinity(s, d)),
     "q22_no_orders" -> ((s, d) => Relational.q22NoOrders(s, d)),
+    "q4_priority_check" -> ((s, d) => Relational.q4PriorityCheck(s, d)),
+    "q12_ship_priority" -> ((s, d) => Relational.q12ShipPriority(s, d)),
+    "q14_promo_effect" -> ((s, d) => Relational.q14PromoEffect(s, d)),
+    "q19_disjunct_revenue" -> ((s, d) => Relational.q19DisjunctiveRevenue(s, d)),
+    "q20_excess_share" -> ((s, d) => Relational.q20ExcessShare(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -168,7 +178,9 @@ object SparkEntry {
     "stream_cc_incremental" -> ((s, d) =>
       EventStream.incrementalCcStream(s, d)),
     "stream_pagerank_incremental" -> ((s, d) =>
-      EventStream.incrementalPageRankStream(s, d)))
+      EventStream.incrementalPageRankStream(s, d)),
+    "stream_sssp_incremental" -> ((s, d) =>
+      EventStream.incrementalSsspStream(s, d)))
 
   /** DuckDB-equivalent SQL per query key (same column names, types, and
     * rounding as the Spark result — the driver hash-compares).
@@ -217,7 +229,9 @@ object SparkEntry {
          |)
          |SELECT id, min(lbl) AS component FROM cc GROUP BY id""".stripMargin,
     "graph_pagerank5" -> PageRank.unrolledSql(5),
+    "graph_pagerank_weighted" -> PageRank.unrolledWeightedSql(5),
     "graph_pagerank_ppr" -> PageRank.personalizedSql(5),
+    "graph_diameter" -> ShortestPaths.diameterSql(),
     "graph_landmark_dist" -> LandmarkDistances.recursiveSql(4),
     "graph_update_edges" -> EdgeUpdates.updatedEdgesSql,
     "graph_update_degrees" -> EdgeUpdates.updatedDegreesSql,
@@ -258,6 +272,12 @@ object SparkEntry {
     "user_spend_deciles" -> Relational.userSpendDecilesSql,
     "part_affinity" -> Relational.partAffinitySql,
     "q22_no_orders" -> Relational.q22Sql,
+    "q4_priority_check" -> Relational.q4Sql,
+    "q12_ship_priority" -> Relational.q12Sql,
+    "q14_promo_effect" -> Relational.q14Sql,
+    "q19_disjunct_revenue" -> Relational.q19Sql,
+    "q20_excess_share" -> Relational.q20Sql,
+    "q2_min_cost_supplier" -> Relational.q2Sql,
     "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),
@@ -313,5 +333,7 @@ object SparkEntry {
     "stream_cc_incremental" -> EdgeUpdates.updatedCcSql,
     // X15 drains to exactly the batch G10c result — same oracle
     "stream_pagerank_incremental" ->
-      PageRank.unrolledSql(5, EdgeUpdates.updatedUndirectedCte))
+      PageRank.unrolledSql(5, EdgeUpdates.updatedUndirectedCte),
+    // X16 drains to exactly the batch G10d result — same oracle
+    "stream_sssp_incremental" -> EdgeUpdates.updatedSsspSql)
 }

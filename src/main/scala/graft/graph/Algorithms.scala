@@ -422,6 +422,61 @@ object ShortestPaths {
     // edges cache is shared across algorithms (Graph.cachedUndirected) — no unpersist
     dist
   }
+
+  /** G21: diameter lower bound by DOUBLE-SWEEP BFS (Magnien, Latapy &
+    * Habib 2009 — the standard cheap diameter estimator: BFS from an
+    * arbitrary start, then BFS from the farthest vertex found; the second
+    * eccentricity is a lower bound that is exact on trees and empirically
+    * tight on real graphs). Two frontier BFS runs — 2× G6's cost, not the
+    * |V| BFS runs of the exact diameter — plus two O(1) driver scalars
+    * (the argmax vertex and the eccentricity; deterministic tie-break:
+    * max dist then min id). Returns one row
+    * (start_id, far_id, diameter_lb) over the component of the minimum
+    * vertex id.
+    */
+  def diameterDoubleSweep(g: Graph, maxIter: Int = 64,
+      broadcastState: Boolean = true): DataFrame = {
+    val edges = g.cachedUndirected
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val row = edges.agg(min(col("src"))).head()
+    if (row.isNullAt(0))
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("start_id", "far_id", "diameter_lb")
+    val start = row.getLong(0)
+    val sweep1 = run(g, edges, start, maxIter, broadcastState)
+    val far = sweep1.orderBy(col("dist").desc, col("id").asc)
+      .select(col("id")).head().getLong(0)
+    val sweep2 = run(g, edges, far, maxIter, broadcastState)
+    sweep2.agg(max(col("dist")).as("diameter_lb"))
+      .select(lit(start).as("start_id"), lit(far).as("far_id"),
+        col("diameter_lb"))
+  }
+
+  /** DuckDB oracle: the same two sweeps as recursive CTEs, same
+    * tie-break. */
+  def diameterSql(edgesCte: String = Graph.undirectedCte): String =
+    s"""WITH RECURSIVE $edgesCte,
+       |s AS (SELECT min(src) AS sid FROM edges),
+       |bfs1(id, d) AS (
+       |  SELECT sid, 0 FROM s
+       |  UNION
+       |  SELECT e.dst, bfs1.d + 1 FROM bfs1 JOIN edges e ON bfs1.id = e.src
+       |  WHERE bfs1.d < 64
+       |),
+       |d1 AS (SELECT id, min(d) AS d FROM bfs1 GROUP BY 1),
+       |far AS (SELECT id FROM d1 ORDER BY d DESC, id ASC LIMIT 1),
+       |bfs2(id, d) AS (
+       |  SELECT id, 0 FROM far
+       |  UNION
+       |  SELECT e.dst, bfs2.d + 1 FROM bfs2 JOIN edges e ON bfs2.id = e.src
+       |  WHERE bfs2.d < 64
+       |),
+       |d2 AS (SELECT id, min(d) AS d FROM bfs2 GROUP BY 1)
+       |SELECT (SELECT sid FROM s) AS start_id,
+       |  (SELECT id FROM far) AS far_id,
+       |  CAST(max(d) AS BIGINT) AS diameter_lb
+       |FROM d2""".stripMargin
 }
 
 /** Weighted single-source shortest paths — distributed Bellman-Ford:
@@ -1005,6 +1060,93 @@ object PageRank {
        |verts AS (SELECT DISTINCT src AS id FROM edges),
        |nv AS (SELECT count(*) AS n FROM verts),
        |deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY 1),
+       |pr0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS pr FROM verts),
+       |$iters
+       |SELECT id, round(pr, 8) AS pr FROM pr$iterations""".stripMargin
+  }
+
+  /** G7b: WEIGHTED PageRank — the transition probability u→v is
+    * weight(u,v)/wdeg(u) instead of 1/outdeg(u), the standard weighted
+    * extension (the reference's graphs carry edge weights — CSR `wgt`,
+    * ref tests/networkx/test_python.py:52-58 — that its unweighted PR
+    * discards; multiplicity-weighted ranking is what a co-occurrence
+    * graph actually wants). Identical iteration shape to
+    * [[fixedIterations]]: one edges⋈state join on src + one
+    * map-side-combined aggregate on dst per round, the state is |V|-row;
+    * at unit weights this IS fixedIterations (equivalence-tested). The
+    * weighted symmetrized view folds parallel edges by weight SUM
+    * (orientation weights of the same pair add — both directions carry
+    * the pair's full multiplicity, mirroring Graph.undirected's
+    * presence semantics).
+    */
+  def fixedIterationsWeighted(g: Graph, iterations: Int = 5,
+      broadcastVertices: Boolean = true): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    def shj(df: DataFrame) =
+      if (broadcastVertices) df else df.hint("SHUFFLE_HASH")
+    val e = g.edges.select(col("src"), col("dst"), col("weight"))
+    val wedges = graft.core.Partitioning.cachedSizedBy(
+      e.union(e.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+        .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight")),
+      Seq("src"))
+    val degrees = wedges.groupBy(col("src").as("id"))
+      .agg(sum(col("weight")).cast("double").as("wdeg"))
+      .localCheckpoint(true)
+    val nv = degrees.count().toDouble
+    if (nv == 0.0) {
+      wedges.unpersist()
+      val spark = e.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Double)].toDF("id", "pr")
+    }
+    var state = degrees.select(col("id"), col("wdeg"),
+      lit(1.0 / nv).as("pr"))
+    var i = 0
+    while (i < iterations) {
+      val contribs = wedges
+        .join(shj(bc(state)), col("src") === col("id"))
+        .select(col("dst"),
+          (col("pr") * col("weight") / col("wdeg")).as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("msg"))
+      state = state.select(col("id"), col("wdeg"))
+        .join(shj(contribs), col("id") === col("dst"), "left")
+        .select(col("id"), col("wdeg"),
+          (lit((1.0 - Damping) / nv) +
+            lit(Damping) * coalesce(col("msg"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    wedges.unpersist()
+    state.select(col("id"), round(col("pr"), 8).as("pr"))
+  }
+
+  /** DuckDB oracle for [[fixedIterationsWeighted]]: the same weighted
+    * iterations unrolled, over the same weight-summed symmetrized view.
+    */
+  def unrolledWeightedSql(iterations: Int,
+      weightedEdgesSql: String = Graph.tpchEdgesSql): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""pr$k AS (
+         |  SELECT v.id, (1 - 0.85) / (SELECT n FROM nv) + 0.85 * coalesce(s.msg, 0) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pr * e.weight / d.wdeg) AS msg
+         |    FROM wedges e JOIN pr${k - 1} p ON e.src = p.id JOIN wdeg d ON e.src = d.id
+         |    GROUP BY 1) s ON v.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS MATERIALIZED (
+       |${weightedEdgesSql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |wedges AS (
+       |  SELECT src, dst, sum(weight) AS weight FROM (
+       |    SELECT src, dst, weight FROM base
+       |    UNION ALL
+       |    SELECT dst AS src, src AS dst, weight FROM base WHERE src <> dst
+       |  ) u GROUP BY 1, 2),
+       |verts AS (SELECT DISTINCT src AS id FROM wedges),
+       |nv AS (SELECT count(*) AS n FROM verts),
+       |wdeg AS (SELECT src AS id, CAST(sum(weight) AS DOUBLE) AS wdeg
+       |         FROM wedges GROUP BY 1),
        |pr0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS pr FROM verts),
        |$iters
        |SELECT id, round(pr, 8) AS pr FROM pr$iterations""".stripMargin

@@ -911,4 +911,215 @@ object Relational {
       |  AND p_type NOT LIKE 'PROMO%'
       |  AND p_size IN (1, 2, 3, 4, 5)
       |GROUP BY 1, 2, 3""".stripMargin
+
+  /** R24: TPC-H Q4-style order-priority checking — count orders per
+    * priority that have at least one LATE lineitem (shipped >60 days after
+    * the order date; the generated schema has no commit/receipt dates, so
+    * lateness is ship-lag — the plan shape is Q4's: a date-windowed orders
+    * scan SEMI-joined against lineitem on a correlated predicate that
+    * references both sides, then a tiny 5-row aggregate). The semi-join
+    * shuffles on orderkey; lineitem is never widened (EXISTS, not a join
+    * multiplying rows — double-counting an order with two late lines is
+    * the classic Q4 bug the semi-join shape exists to avoid).
+    */
+  def q4PriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1""".stripMargin
+
+  /** R25: TPC-H Q12-style shipping-priority split — per lineitem status,
+    * how many LATE-shipped lines belonged to high- vs low-priority orders
+    * (Q12's conditional CASE aggregate; ship-lag stands in for the
+    * receipt/commit lag, and l_linestatus for l_shipmode, neither of which
+    * the generated schema carries). One fact⋈fact join on orderkey, then
+    * two conditional sums folding map-side — the CASE never materializes
+    * an intermediate column.
+    */
+  def q12ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 0 ELSE 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |GROUP BY 1""".stripMargin
+
+  /** R26: TPC-H Q14-style promotion effect — the share of one month's
+    * revenue from PROMO-type parts, as a single scalar ratio (Q14's
+    * conditional-numerator/total-denominator shape in ONE aggregate pass:
+    * the CASE picks the numerator, the denominator is the plain sum —
+    * never two scans). The month predicate pushes into the lineitem scan;
+    * part is the broadcast side of the join.
+    */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev), 6).as("promo_revenue"))
+  }
+
+  val q14Sql: String =
+    """SELECT round(100.0 *
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+      |    sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin
+
+  /** R27: TPC-H Q19-style disjunctive predicate revenue — revenue over an
+    * OR of three (brand, size-range, quantity-range) conjunctions (Q19's
+    * signature shape: a disjunction spanning BOTH join sides that naive
+    * planners evaluate post-join; the per-side conjuncts each predicate
+    * shares — p_size ≥ 1, l_quantity ≥ 1 — still push into the scans, and
+    * the disjunction itself runs inside the join's codegen stage, not as a
+    * post-join filter over a wider intermediate).
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val arm = (brand: String, sizeHi: Int, qLo: Double, qHi: Double) =>
+      col("p_brand") === brand &&
+        col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(arm("Brand#1", 5, 1.0, 11.0) ||
+        arm("Brand#2", 10, 10.0, 20.0) ||
+        arm("Brand#3", 15, 20.0, 30.0))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+  }
+
+  val q19Sql: String =
+    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** R28: TPC-H Q20-style excess-share suppliers — suppliers that shipped
+    * MORE THAN 2.5× the average per-supplier quantity of some PROMO part
+    * (Q20's nested semi-join shape: supplier ← semi ← a per-(part,supplier)
+    * aggregate compared against a correlated per-part threshold; the
+    * generated schema has no partsupp/availqty, so "shipped > 2.5× the
+    * part's per-supplier average" stands in for "availqty > half the
+    * part's demand" — and unlike an absolute share cut it stays non-empty
+    * at every SF, since the threshold scales with the supplier fan-out).
+    * Both aggregates shuffle on partkey and join co-partitioned; supplier
+    * only ever semi-joins a (small) qualifying-suppkey set. Quantities
+    * are integer-valued doubles, so the sums are exact and the threshold
+    * comparison is engine-order-independent.
+    */
+  def q20ExcessShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"),
+      col("l_suppkey"), col("l_quantity"))
+    val perSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val thr = li.groupBy(col("l_partkey"))
+      .agg((lit(2.5) * sum(col("l_quantity")) /
+        countDistinct(col("l_suppkey"))).as("thr"))
+    val qualifying = perSupp
+      .join(thr, Seq("l_partkey"))
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .filter(col("qty") > col("thr"))
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  val q20Sql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT ps.l_suppkey
+      |  FROM (SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      |        FROM lineitem GROUP BY 1, 2) ps
+      |  JOIN (SELECT l_partkey,
+      |          2.5 * sum(l_quantity) / count(DISTINCT l_suppkey) AS thr
+      |        FROM lineitem GROUP BY 1) tot ON ps.l_partkey = tot.l_partkey
+      |  WHERE ps.l_partkey IN (SELECT p_partkey FROM part
+      |                         WHERE p_type = 'PROMO')
+      |    AND ps.qty > tot.thr)""".stripMargin
+
+  /** R29: TPC-H Q2-style minimum-cost supplier — for each small part, the
+    * supplier(s) of minimum account balance among those that actually
+    * shipped it (Q2's correlated-scalar-min shape: the per-part min is a
+    * co-partitioned aggregate joined back on (part, min-value) equality —
+    * never a per-row subquery; the part-supplier relation derives from
+    * lineitem as in R23). Ties keep all minimal suppliers, exactly as
+    * Q2's `= (SELECT min …)` does.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_size") <= 3).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+    val best = ps.groupBy(col("l_partkey").as("bp"))
+      .agg(min(col("s_acctbal")).as("min_bal"))
+    ps.join(best, col("l_partkey") === col("bp") &&
+        col("s_acctbal") === col("min_bal"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"))
+  }
+
+  val q2Sql: String =
+    """WITH ps AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 3)
+      |)
+      |SELECT ps.l_partkey AS p_partkey, s_suppkey, s_name, s_acctbal
+      |FROM ps JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_acctbal = (
+      |  SELECT min(s2.s_acctbal)
+      |  FROM ps ps2 JOIN supplier s2 ON ps2.l_suppkey = s2.s_suppkey
+      |  WHERE ps2.l_partkey = ps.l_partkey)""".stripMargin
 }

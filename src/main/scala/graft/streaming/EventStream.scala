@@ -1151,4 +1151,149 @@ object EventStream extends Serializable {
       round(col("s") / lit(nv), 8).as("pr"))
   }
 
+  /** X16: INCREMENTAL BFS-distance maintenance over the streaming edge
+    * feed — the SSSP analog of X7's eager-merge/lazy-repair contract,
+    * closing the maintain-then-analyze family (degrees X6, CC X7,
+    * PageRank X15, distances X16; ref workload
+    * tests/networkx/test_python.py:139-151):
+    *
+    *  - **Inserts (per batch, eager)**: a new edge can only SHORTEN
+    *    distances (or newly reach a vertex). Presence-flip-ON pairs seed a
+    *    candidate relaxation (d(a)+1 for b, d(b)+1 for a where the
+    *    neighbor is reached); improved vertices become a frontier that
+    *    relaxes forward over the edge state until no improvement — work ∝
+    *    the shrunk region, not |E| (Ramalingam & Reps' affected-vertex
+    *    bound for incremental SSSP). Exact for insert-only feeds.
+    *  - **Deletes (flagged per batch, repaired at drain)**: a removal can
+    *    LENGTHEN distances only if the edge could lie on a shortest path —
+    *    both endpoints reached and |d(a) − d(b)| = 1 (level-crossing);
+    *    same-level or unreached-endpoint deletions are ignored for free.
+    *    A possibly-path-carrying deletion (or an insert that introduces a
+    *    new minimum vertex id, which MOVES the source — G10d's source is
+    *    min(id) of the updated graph) sets one dirty flag; ONE drain pass
+    *    re-runs BFS from the final source. Maintaining exact distances
+    *    under deletion online would need per-vertex parent-count state
+    *    (Ramalingam-Reps); deliberately out of scope, like X7's split
+    *    repair.
+    *
+    * Drained result equals batch BFS over the fully-updated graph
+    * (`graph_update_sssp`), the oracle this query is checked against.
+    */
+  def incrementalSsspStream(spark: SparkSession, dir: String,
+      batches: Int = 4): DataFrame =
+    incrementalSsspStreamFrom(spark, Graph.fromTpch(spark, dir),
+      EdgeUpdates.actionsFromEvents(spark, dir), batches)
+
+  /** [[incrementalSsspStream]] over an arbitrary base graph + action log
+    * (honoring [[EdgeUpdates.applyAnnotated]]'s one-directed-row-per-pair
+    * contract).
+    */
+  def incrementalSsspStreamFrom(spark: SparkSession, base: Graph,
+      actions: DataFrame, batches: Int,
+      broadcastState: Boolean = true): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
+    val staging = stageByChunks(actions, "action_id", batches)
+    var edgeState = base.edges.localCheckpoint(true)
+    // symmetrized distinct-pair view, maintained under flips (X15's und)
+    var und = base.undirected.localCheckpoint(true)
+    val srcRow = und.agg(min(col("src"))).head()
+    var source = if (srcRow.isNullAt(0)) Long.MaxValue else srcRow.getLong(0)
+    var dist =
+      if (source == Long.MaxValue) {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("id", "dist").localCheckpoint(true)
+      } else graft.graph.ShortestPaths(base, source).localCheckpoint(true)
+    var dirty = false
+    val stream = spark.readStream.schema(actions.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ONE edge-state pass: the same single-pass flips X6/X7/X15 read
+        val merged = EdgeUpdates.applyAnnotated(edgeState, batch)
+          .localCheckpoint(true)
+        edgeState = merged.filter(col("weight") > 0L)
+          .select(col("src"), col("dst"), col("weight"))
+        val flips = merged
+          .filter((col("weight_old") > 0L) =!= (col("weight") > 0L))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"),
+            (col("weight") > 0L).as("on"))
+          .localCheckpoint(true)
+        val flips2 = flips.select(explode(when(col("a") === col("b"),
+            array(struct(col("a").as("src"), col("b").as("dst"))))
+          .otherwise(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst"))))).as("e"),
+          col("on"))
+          .select(col("e.src"), col("e.dst"), col("on"))
+        val off2 = flips2.filter(!col("on")).select(col("src"), col("dst"))
+        val on2 = flips2.filter(col("on")).select(col("src"), col("dst"))
+        und = und.join(bc(off2), Seq("src", "dst"), "left_anti")
+          .union(on2).localCheckpoint(true)
+        if (!dirty) {
+          // delete repair needed only for possible shortest-path edges:
+          // both endpoints reached AND level-crossing (|da − db| = 1)
+          val da = dist.select(col("id").as("a"), col("dist").as("dda"))
+          val db = dist.select(col("id").as("b"), col("dist").as("ddb"))
+          val pathDeletes = flips.filter(!col("on"))
+            .join(bc(da), Seq("a")).join(bc(db), Seq("b"))
+            .filter(abs(col("dda") - col("ddb")) === 1L)
+          dirty = pathDeletes.limit(1).count() > 0
+        }
+        // a new minimum vertex id moves the source itself
+        val minRow = flips.filter(col("on"))
+          .agg(min(least(col("a"), col("b")))).head()
+        if (!minRow.isNullAt(0) && minRow.getLong(0) < source) {
+          source = minRow.getLong(0)
+          dirty = true
+        }
+        if (!dirty) {
+          // eager insert relaxation: seed candidates from flip-ON pairs
+          // whose other endpoint is reached, then frontier-relax forward
+          val dd = dist.select(col("id").as("rid"), col("dist").as("rd"))
+          var frontier = on2
+            .join(bc(dd), col("src") === col("rid"))
+            .select(col("dst").as("id"), (col("rd") + 1L).as("nd"))
+            .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+            .join(bc(dist.withColumnRenamed("dist", "old")), Seq("id"), "left")
+            .filter(col("old").isNull || col("nd") < col("old"))
+            .select(col("id"), col("nd").as("dist"))
+            .localCheckpoint(true)
+          var guard = 0
+          while (frontier.limit(1).count() > 0 && guard < 10000) {
+            guard += 1
+            dist = dist
+              .join(bc(frontier.select(col("id").as("fid"))),
+                col("id") === col("fid"), "left_anti")
+              .union(frontier).localCheckpoint(true)
+            frontier = und
+              .join(bc(frontier.select(col("id").as("fid"),
+                  col("dist").as("fd"))),
+                col("src") === col("fid"))
+              .select(col("dst").as("id"), (col("fd") + 1L).as("nd"))
+              .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+              .join(bc(dist.withColumnRenamed("dist", "old")),
+                Seq("id"), "left")
+              .filter(col("old").isNull || col("nd") < col("old"))
+              .select(col("id"), col("nd").as("dist"))
+              .localCheckpoint(true)
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+    if (dirty) {
+      // one repair pass: BFS from the final graph's source (X7's drain
+      // shape — the updated graph's min vertex, matching G10d exactly)
+      val g = Graph(edgeState)
+      val out = graft.graph.ShortestPaths.fromMinVertex(g,
+        broadcastState = broadcastState)
+      g.cachedUndirected.unpersist()
+      out
+    } else dist
+  }
+
 }

@@ -203,6 +203,49 @@ class GraphSpec extends AnyFunSuite {
     assert(maxDiff < 1e-6)
   }
 
+  test("weighted pagerank: unit weights equal unweighted, weight skews mass") {
+    // unit-weight fixtures: wdeg == outdeg, so the weighted iteration is
+    // literally the unweighted one
+    val path = mkGraph((1L until 10L).map(i => (i, i + 1)): _*)
+    val planted = mkGraph((1L, 2L), (2L, 3L), (10L, 11L))
+    Seq(path, planted).foreach { g =>
+      val a = PageRank.fixedIterationsWeighted(g, 5)
+        .withColumnRenamed("pr", "pra")
+      val b = PageRank.fixedIterations(g, 5).withColumnRenamed("pr", "prb")
+      val joined = a.join(b, Seq("id"), "full_outer")
+      assert(joined.filter(col("pra").isNull || col("prb").isNull)
+        .count() == 0)
+      val maxDiff = joined.agg(max(abs(col("pra") - col("prb"))))
+        .head().getDouble(0)
+      assert(maxDiff < 1e-9, s"unit-weight weighted PR diverged: $maxDiff")
+    }
+    // a heavy edge pulls rank: star 0—1 (w 9) / 0—2 (w 1); vertex 1
+    // receives 9/10 of 0's rank each round
+    val star = Graph(Seq((0L, 1L, 9L), (0L, 2L, 1L))
+      .toDF("src", "dst", "weight"))
+    val pr = PageRank.fixedIterationsWeighted(star, 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(1L) > pr(2L) * 2,
+      s"heavy edge did not skew rank: ${pr(1L)} vs ${pr(2L)}")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6, "rank mass not conserved")
+  }
+
+  test("diameter double sweep: exact on a path, 1 on a clique") {
+    val path = mkGraph((1L until 12L).map(i => (i, i + 1)): _*)
+    val r1 = ShortestPaths.diameterDoubleSweep(path).head()
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 12L &&
+      r1.getLong(2) == 11L, s"path sweep: $r1")
+    val clique = mkGraph((for {
+      i <- 1L to 5L; j <- (i + 1) to 5L
+    } yield (i, j)): _*)
+    val r2 = ShortestPaths.diameterDoubleSweep(clique).head()
+    assert(r2.getLong(2) == 1L, s"clique diameter_lb: $r2")
+    // only the min-id component is swept
+    val two = mkGraph((1L, 2L), (2L, 3L), (100L, 101L))
+    val r3 = ShortestPaths.diameterDoubleSweep(two).head()
+    assert(r3.getLong(0) == 1L && r3.getLong(2) == 2L, s"components: $r3")
+  }
+
   test("canonical-pairs build has the identical undirected view") {
     // the RmatTier build canonicalizes pairs (src<=dst) and declares
     // edgesCanonical, skipping the symmetrize-dedup shuffle — the

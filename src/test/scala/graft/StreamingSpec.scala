@@ -181,6 +181,44 @@ class StreamingSpec extends AnyFunSuite {
       "batch PR5 rank missing from incremental result")
   }
 
+  test("incremental sssp stream equals batch BFS over the updated graph") {
+    // the sf action feed carries deletes → the lazy repair path drains
+    val streamed = EventStream.incrementalSsspStream(spark, sf)
+    val batch = graft.graph.ShortestPaths.fromMinVertex(
+      EdgeUpdates.updatedGraph(spark, sf))
+    assert(streamed.exceptAll(batch).count() == 0,
+      "incremental distance not in batch BFS")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "batch BFS distance missing from incremental result")
+  }
+
+  test("insert-only sssp stream is exact through the eager relaxation") {
+    // fixture: path 1-2-3-4, then batched inserts that (a) extend the
+    // reached region, (b) add a shortcut that SHORTENS existing
+    // distances, (c) attach a new chain through a fresh vertex — no
+    // deletes, so the drained result must come from the per-batch
+    // relaxation alone and equal batch BFS over the updated graph
+    import org.apache.spark.sql.functions._
+    import graft.graph.{Graph, ShortestPaths}
+    import spark.implicits._
+    val base = Graph(Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst").withColumn("weight", lit(1L)))
+    val actions = Seq(
+      (4L, 5L, false, 1L), (5L, 6L, false, 2L),   // extend
+      (1L, 4L, false, 3L),                        // shortcut: d(4) 3 → 1
+      (6L, 7L, false, 4L), (7L, 8L, false, 5L))   // chain onward
+      .toDF("src", "dst", "is_del", "action_id")
+    val streamed = EventStream.incrementalSsspStreamFrom(
+      spark, base, actions, batches = 3)
+    val batch = ShortestPaths.fromMinVertex(
+      Graph(EdgeUpdates(base.edges, actions)))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "insert-only incremental distances diverged from batch BFS")
+    val d = streamed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(4L) == 1L && d(8L) == 5L, s"relaxation wrong: $d")
+  }
+
   test("incremental minhash-LSH stream equals the batch pair set") {
     val streamed = EventStream.minhashLshStream(spark, sf)
     val batch = graft.ops.Dedup.minhashLsh(spark, sf)
