@@ -122,13 +122,6 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // iterative algorithms drop a localCheckpoint per round; on a big
-      // heap the driver may not GC for many minutes, so ContextCleaner
-      // never learns the old rounds' blocks are dead and storage fills
-      // with them (measured: 13 s steady-state PR iterations spiking to
-      // 39-52 s at the large tier). Spark's own remedy is the periodic-GC
-      // floor — default 30 min, far longer than a whole tier workload.
-      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

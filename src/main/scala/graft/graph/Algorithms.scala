@@ -412,7 +412,12 @@ object ShortestPaths {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next).localCheckpoint(true)
+        val nd = dist.union(next).localCheckpoint(true)
+        // nd holds every row; the superseded distance table and the
+        // consumed frontier are never read again
+        graft.core.Checkpoints.drop(dist)
+        graft.core.Checkpoints.drop(frontier)
+        dist = nd
         frontier = next
       }
     }
@@ -740,6 +745,9 @@ object PageRank {
       if ((i + 1) % DeltaEvery == 0 || i + 1 == maxIter) {
         delta = next.agg(sum(abs(col("x") - col("xp")))).head().getDouble(0)
       }
+      // next is materialized and nothing reads the superseded round again
+      // — drop its checkpoint now rather than after a driver full GC
+      graft.core.Checkpoints.drop(state)
       state = next
       i += 1
       if (prof) System.err.println(
@@ -847,13 +855,15 @@ object PageRank {
           (lit(Damping) * col("fe") / col("fdeg")).as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("msg"))
       val pushed = abs(col("e")) > theta
-      state = state
+      val next = state
         .join(shj(msgs), col("id") === col("dst"), "left")
         .select(col("id"), col("outdeg"),
           (col("r") + when(pushed, col("e")).otherwise(lit(0.0))).as("r"),
           (when(pushed, lit(0.0)).otherwise(col("e")) +
             coalesce(col("msg"), lit(0.0))).as("e"))
         .localCheckpoint(true)
+      graft.core.Checkpoints.drop(state)
+      state = next
       i += 1
       if (i % DeltaEvery == 0 || i == maxIter) {
         val measured = state.agg(sum(abs(col("e")))).head().getDouble(0)
@@ -923,6 +933,11 @@ object PageRank {
     var state = degrees
       .select(col("id"), col("outdeg"), lit(1.0 / nv).as("pr"))
       .localCheckpoint(true)
+    // handle on the round's backing checkpoint (state itself becomes a
+    // projection of it below) — dropped as soon as the next round's
+    // checkpoint has materialized, keeping storage at ~2 rounds instead
+    // of maxIter rounds of dead blocks awaiting a driver full GC
+    var cp = state
     var i = 0
     var delta = Double.MaxValue
     while (i < maxIter && (tol == 0.0 || delta > tol)) {
@@ -950,6 +965,8 @@ object PageRank {
       if (tol > 0.0 && ((i + 1) % DeltaEvery == 0 || i + 1 == maxIter)) {
         delta = next.agg(sum(abs(col("pr") - col("pr_old")))).head().getDouble(0)
       }
+      graft.core.Checkpoints.drop(cp)
+      cp = next
       state = next.select(col("id"), col("outdeg"), col("pr"))
       i += 1
       if (prof) System.err.println(

@@ -949,7 +949,7 @@ object EventStream extends Serializable {
   /** @param batchSecs when set, receives each micro-batch's wall seconds —
     *   the flatness receipt for the append-only index contract (per-batch
     *   cost must not grow with the accumulated index; asserted in
-    *   StreamingSpec at 10 batches, measured at sf0.1 in SURVEY §6).
+    *   StreamingSpec at 10 batches).
     */
   def minhashLshStream(spark: SparkSession, dir: String, batches: Int = 3,
       threshold: Double = 0.8,
