@@ -40,6 +40,16 @@ object PrDeltaAb {
       .localCheckpoint(true)
     dense.count()
     System.err.println(f"[ab] dense       ${(System.nanoTime() - td) / 1e9}%8.1f s")
+    val tc = System.nanoTime()
+    val cheby = PageRank.convergedCheby(g, broadcastVertices = bcast)
+      .localCheckpoint(true)
+    cheby.count()
+    val cSec = (System.nanoTime() - tc) / 1e9
+    val cDiff = dense.withColumnRenamed("pr", "pra")
+      .join(cheby.withColumnRenamed("pr", "prb"), Seq("id"), "full_outer")
+      .agg(max(abs(coalesce(col("pra"), lit(0.0)) -
+        coalesce(col("prb"), lit(0.0))))).head().getDouble(0)
+    System.err.println(f"[ab] cheby       $cSec%8.1f s  maxDiff=$cDiff%.2e")
     fracs.foreach { f =>
       System.setProperty("graft.pr.theta", f.toString) // doc only
       val t = System.nanoTime()
