@@ -104,6 +104,11 @@ object ConnectedComponents {
   private def run(g: Graph, maxIter: Int,
       broadcastVertices: Boolean): DataFrame = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    // shuffle-state path: hash-join the frontier/candidate/lookup sides so
+    // the |E|-row edge cache and the |V|-row label table STREAM instead of
+    // being re-sorted by a sort-merge join every heavy round
+    def shj(df: DataFrame) =
+      if (broadcastVertices) df else df.hint("SHUFFLE_HASH")
     val prof = sys.env.contains("GRAFT_CC_PROF")
     def t[A](tag: => String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -160,12 +165,12 @@ object ConnectedComponents {
         // heavy rounds instead of O(diameter). A jump-improved vertex
         // joins the send set (every label decrease must be re-heard by
         // neighbors — the termination argument needs exactly that).
-        val cand = edges.join(bc(frontier), edges("src") === frontier("id"))
+        val cand = edges.join(shj(bc(frontier)), edges("src") === frontier("id"))
           .filter(col("component") < col("dst"))
           .select(col("dst"), col("component"))
           .groupBy(col("dst").as("id")).agg(min(col("component")).as("cand"))
         val upd = t(s"upd   $i")(labels
-          .join(cand, Seq("id"), "left")
+          .join(shj(cand), Seq("id"), "left")
           .select(col("id"),
             least(col("component"),
               coalesce(col("cand"), col("component"))).as("component"),
@@ -174,7 +179,7 @@ object ConnectedComponents {
           .localCheckpoint(true))
         val look = upd.select(col("id").as("lid"), col("component").as("c2"))
         val jumped = t(s"jump  $i")(upd
-          .join(look, col("component") === col("lid"))
+          .join(shj(look), col("component") === col("lid"))
           .select(col("id"), col("c2").as("component"),
             (col("chg") || col("c2") < col("component")).as("chg"))
           .localCheckpoint(true))
@@ -399,25 +404,30 @@ object ShortestPaths {
     val spark = edges.sparkSession
     import spark.implicits._
     def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
-    var dist = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
-    var frontier = dist
+    // shuffle-state path: hash-join the frontier/visited side so the
+    // |E|-row edge cache only STREAMS — the default sort-merge join
+    // re-SORTS 265M cached edge rows every BFS round at the large tier
+    def shj(df: DataFrame) =
+      if (broadcastState) df else df.hint("SHUFFLE_HASH")
+    val seed = Seq((source, 0L)).toDF("id", "dist").localCheckpoint(true)
+    // the distance table is APPEND-ONLY: one checkpointed part per round,
+    // read as a lazy union — the visited anti-join scans the same |V|
+    // rows either way, but nothing |V|-sized is ever REWRITTEN per round
+    // (the union depth is bounded by maxIter ≤ 64 parts)
+    var dist: DataFrame = seed
+    var frontier = seed
     var d = 0L
     var done = false
     while (!done && d < maxIter) {
       d += 1
-      val next = edges.join(bc(frontier), frontier("id") === edges("src"))
+      val next = edges.join(shj(bc(frontier)), frontier("id") === edges("src"))
         .select(col("dst").as("id")).distinct()
-        .join(bc(dist), Seq("id"), "left_anti")
+        .join(shj(bc(dist)), Seq("id"), "left_anti")
         .withColumn("dist", lit(d))
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        val nd = dist.union(next).localCheckpoint(true)
-        // nd holds every row; the superseded distance table and the
-        // consumed frontier are never read again
-        graft.core.Checkpoints.drop(dist)
-        graft.core.Checkpoints.drop(frontier)
-        dist = nd
+        dist = dist.union(next)
         frontier = next
       }
     }
