@@ -64,6 +64,7 @@ object Bench {
     "q19_disjunct_revenue", "q20_excess_share", "q2_min_cost_supplier",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic", "dedup_substring",
+    "dedup_prefix_join",
     "ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "embeddings_kmeans",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",

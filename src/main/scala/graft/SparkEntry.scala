@@ -118,6 +118,7 @@ object SparkEntry {
     "dedup_semantic_exhaustive" -> ((s, d) => Dedup.semantic(s, d, nClusters = 1)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringContainment(s, d)),
+    "dedup_prefix_join" -> ((s, d) => Dedup.prefixFilterJoin(s, d)),
     // --- similarity search (S1..S3) ---
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "embeddings_kmeans" -> ((s, d) => Similarity.kmeansAssign(s, d)),
@@ -288,6 +289,9 @@ object SparkEntry {
     "dedup_semantic_exhaustive" -> Dedup.embeddingCosineSql(),
     "dedup_keep_best" -> Dedup.keepBestSql(),
     "dedup_substring" -> Dedup.substringContainmentSql(),
+    // D10 is exact and complete by the prefix-filter lemma — the all-pairs
+    // Jaccard SQL is its oracle, not an approximation bound
+    "dedup_prefix_join" -> Dedup.ngramJaccardSql(),
     "ann_topk" -> Similarity.annTopKSql(),
     "embeddings_kmeans" -> Similarity.kmeansSql(),
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),

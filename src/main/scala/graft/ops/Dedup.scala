@@ -127,6 +127,53 @@ object Dedup {
     s"""WITH ${exactPairsCte(threshold)}
        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs""".stripMargin
 
+  /** D10: exact set-similarity self-join by PREFIX FILTERING (the
+    * SSJoin/PPJoin filter family — Chaudhuri, Ganti & Kaushik, ICDE 2006;
+    * Xiao, Wang, Lin & Yu, WWW 2008): ALL pairs with shingle-set Jaccard
+    * ≥ t, deterministically complete — no MinHash band-recall to reason
+    * about — without D2's all-pairs join. Shingles get a total order by
+    * ascending corpus document frequency (rarest first, shingle string
+    * tie-break); J(a,b) ≥ t implies |a∩b| ≥ ceil(t·max(|a|,|b|)), and the
+    * FIRST common shingle in that order provably sits inside BOTH
+    * documents' (m − ceil(t·m) + 1)-prefixes — so an inverted index over
+    * prefix shingles alone generates every qualifying pair (the prefix-
+    * filter lemma; completeness is exact, tested against D2). Rare-first
+    * ordering keeps prefix buckets tiny: the most selective shingles do
+    * the candidate generation, hub shingles never enter a prefix unless a
+    * document has nothing rarer. The length filter (t·|a| ≤ |b| ≤ |a|/t)
+    * prunes inside the candidate join; the exact-Jaccard verify runs on
+    * candidates only (D3's verify machinery). 100 TB shape: df-join +
+    * per-row array sort + prefix explode are linear, the candidate join
+    * shuffles prefix-bucket volume (≪ n² by selectivity), verify is
+    * candidate-bounded. Output ≡ D2: the same exact all-pairs SQL is the
+    * oracle.
+    */
+  def prefixFilterJoin(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame =
+    prefixFilterJoinOf(shingleTable(spark, dir), threshold)
+
+  private[graft] def prefixFilterJoinOf(sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // per-doc shingles sorted by (df, sh): a per-row array sort after a
+    // co-partitioned df join — no global window, no vocabulary collect
+    val sorted = sh.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("m"))
+    val plen = (col("m") - ceil(lit(threshold) * col("m")) + lit(1)).cast("int")
+    val pref = sorted
+      .select(col("doc_id"), col("m"), explode(slice(col("ts"), lit(1), plen)).as("e"))
+      .select(col("doc_id"), col("m"), col("e.sh").as("psh"))
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.psh") === col("b.psh") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.m").cast("double") >= lit(threshold) * col("a.m") &&
+          col("a.m").cast("double") >= lit(threshold) * col("b.m"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    jaccardOfCandidates(sh, cands, threshold)
+  }
+
   /** D3: MinHash + LSH banding, exact-verified. 126 signatures via double
     * hashing; 21 bands × 6 rows hashed to a band key; docs sharing any band
     * key become candidates; candidates are verified with exact Jaccard so
