@@ -11,7 +11,12 @@ import org.apache.spark.sql.SparkSession
   * twins (`dedup_minhash_lsh`, `ann_lsh/ivf/pq`, `dedup_semantic`, which
   * ARE benched); their runtime is all-pairs by construction and says
   * nothing about production performance (r5 judge item #3: the twins were
-  * ~49 s ≈ 17% of the r5 suite).
+  * ~49 s ≈ 17% of the r5 suite). `dedup_prefix_join` (D10) is also
+  * verify-only: exact prefix filtering is subquadratic only when rare
+  * shingles discriminate, and this corpus is template-CLUSTERED — rare
+  * shingles are shared within clusters, so candidates reach 2.95M pairs
+  * (4.2× under all-pairs) and the exact verify costs 60 s at sf0.1 vs
+  * LSH's 6 s; the measured trade the D10 scaladoc documents.
   *
   * Steady-state policy: the suite runs twice and each query reports the
   * min of its two trials. Trial 2 runs on a *fresh* `spark.newSession()`:
@@ -64,7 +69,6 @@ object Bench {
     "q19_disjunct_revenue", "q20_excess_share", "q2_min_cost_supplier",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic", "dedup_substring",
-    "dedup_prefix_join",
     "ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "embeddings_kmeans",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",

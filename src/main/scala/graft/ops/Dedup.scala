@@ -147,6 +147,17 @@ object Dedup {
     * shuffles prefix-bucket volume (≪ n² by selectivity), verify is
     * candidate-bounded. Output ≡ D2: the same exact all-pairs SQL is the
     * oracle.
+    *
+    * Measured limit (why this is verify-only in the headline suite):
+    * prefix filtering is subquadratic only when rare shingles
+    * DISCRIMINATE. The synthetic corpus is template-clustered — docs in a
+    * cluster share even their rarest shingles — so at sf0.1 candidates
+    * reach 2.95M pairs (just 4.2× under all-pairs) and the exact verify
+    * costs ~60 s where MinHash-LSH takes 6 s (banding tolerates
+    * clustering; its candidates track TRUE near-dup mass). On a crawl
+    * with discriminative content the roles flip; both paths ship, the
+    * exact one proven by the lemma + the D2-equality test, the
+    * probabilistic one by its verify stage.
     */
   def prefixFilterJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame =
