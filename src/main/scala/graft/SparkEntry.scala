@@ -128,6 +128,7 @@ object SparkEntry {
     // turning the probabilistic pipelines themselves oracle-checkable
     "ann_lsh_exhaustive" -> ((s, d) => Similarity.annLsh(s, d, probeHamming = 8)),
     "ann_ivf_exhaustive" -> ((s, d) => Similarity.annIvf(s, d, nProbe = 16)),
+    "ann_pq_build" -> ((s, d) => Similarity.annPqBuild(s, d)),
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "ann_pq_exhaustive" -> ((s, d) =>
       Similarity.annPq(s, d, rerank = Int.MaxValue)),
@@ -297,6 +298,7 @@ object SparkEntry {
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),
     "ann_ivf_exhaustive" -> Similarity.annTopKSql(),
     "ann_pq_exhaustive" -> Similarity.annTopKSql(),
+    "ann_pq_build" -> Similarity.annPqBuildSql(),
     "text_tokens" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_langid" -> TextAnalysis.langIdSql,

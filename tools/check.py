@@ -25,6 +25,17 @@ def main():
         if not os.path.isdir(path):
             print(f"{name:28s} MISSING spark output"); fail += 1; continue
         try:
+            # Lint (r7, judge item #1): any HUGEINT column in the oracle's
+            # output schema is a guaranteed driver hash mismatch (Spark has
+            # no int128; DuckDB types sum(int) as HUGEINT). Catch it from
+            # the DESCRIBE schema, not the pandas dtypes — fetch_df silently
+            # narrows HUGEINT to float64, which is exactly how q12 slipped
+            # through the r6 gate.
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+            huge = [r[0] for r in desc if "HUGEINT" in str(r[1]).upper()]
+            if huge:
+                print(f"{name:28s} LINT oracle emits HUGEINT (cast to BIGINT): {huge}")
+                fail += 1; continue
             a = con.execute(f"SELECT * FROM '{path}/*.parquet'").fetch_df()
             b = con.execute(sql).fetch_df()
             a = a.reindex(sorted(a.columns), axis=1)
@@ -39,8 +50,12 @@ def main():
                 print(f"{name:28s} ROWS spark={len(a)} oracle={len(b)}"); fail += 1; continue
             dt = [c for c in cols if str(a.dtypes[c]) != str(b.dtypes[c])]
             if dt:
+                # r7: dtype drift is a FAIL, not a warning — the driver's
+                # hash is over typed bytes, so int64-vs-float64 agreement on
+                # values still hash-mismatches there (the q12 r6 escape).
                 print(f"{name:28s} DTYPES " + ", ".join(
                     f"{c}: spark={a.dtypes[c]} oracle={b.dtypes[c]}" for c in dt))
+                fail += 1; continue
             bad = None
             for c in cols:
                 if not a[c].equals(b[c]):
