@@ -54,6 +54,7 @@ object Bench {
     "graph_pagerank_ppr", "graph_diameter",
     "graph_update_edges", "graph_update_degrees",
     "graph_update_cc", "graph_update_pagerank5", "graph_update_sssp",
+    "graph_update_sssp_weighted",
     "graph_triangles", "graph_triangles_scale", "graph_clustering_coeff",
     "graph_kcore", "graph_lpa", "graph_ktruss", "graph_mis",
     "graph_coloring",
@@ -86,7 +87,8 @@ object Bench {
     "stream_purchase_click_join", "stream_hll_registers",
     "stream_enriched_revenue", "stream_bloom_bits",
     "stream_degrees_incremental", "stream_cc_incremental",
-    "stream_pagerank_incremental", "stream_sssp_incremental")
+    "stream_pagerank_incremental", "stream_sssp_incremental",
+    "stream_wsssp_incremental")
 
   /** First-trial seconds above which a query is not re-trialed (it
     * amortizes its own warmup, and re-running it would double suite

@@ -52,6 +52,11 @@ object SparkEntry {
       PageRank.fixedIterations(EdgeUpdates.updatedGraph(s, d), 5)),
     "graph_update_sssp" -> ((s, d) =>
       ShortestPaths.fromMinVertex(EdgeUpdates.updatedGraph(s, d))),
+    "graph_update_sssp_weighted" -> ((s, d) => {
+      val g = EdgeUpdates.updatedGraph(s, d)
+      val src = g.cachedUndirected.agg(min(col("src"))).head().getLong(0)
+      WeightedShortestPaths(g, src)
+    }),
     // oracle unroll-depth guards bind only at the SF the driver
     // hash-checks (sf0.01): peel/MIS round counts grow with SF, and at
     // un-checked SFs there is no oracle to protect — the query must not
@@ -182,7 +187,9 @@ object SparkEntry {
     "stream_pagerank_incremental" -> ((s, d) =>
       EventStream.incrementalPageRankStream(s, d)),
     "stream_sssp_incremental" -> ((s, d) =>
-      EventStream.incrementalSsspStream(s, d)))
+      EventStream.incrementalSsspStream(s, d)),
+    "stream_wsssp_incremental" -> ((s, d) =>
+      EventStream.incrementalWssspStream(s, d)))
 
   /** DuckDB-equivalent SQL per query key (same column names, types, and
     * rounding as the Spark result — the driver hash-compares).
@@ -341,5 +348,7 @@ object SparkEntry {
     "stream_pagerank_incremental" ->
       PageRank.unrolledSql(5, EdgeUpdates.updatedUndirectedCte),
     // X16 drains to exactly the batch G10d result — same oracle
-    "stream_sssp_incremental" -> EdgeUpdates.updatedSsspSql)
+    "stream_sssp_incremental" -> EdgeUpdates.updatedSsspSql,
+    "graph_update_sssp_weighted" -> EdgeUpdates.updatedWssspSql(),
+    "stream_wsssp_incremental" -> EdgeUpdates.updatedWssspSql())
 }

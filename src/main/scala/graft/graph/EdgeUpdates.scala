@@ -245,6 +245,38 @@ object EdgeUpdates {
        |)
        |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM bfs GROUP BY id""".stripMargin
 
+  /** DuckDB oracle for WEIGHTED SSSP over the updated graph: the G6b
+    * Bellman-Ford unroll ([[WeightedShortestPaths.unrolledSql]]'s step
+    * shape) composed over the maintained edge set — min-weight
+    * symmetrized `upd` pairs, source = the updated graph's min vertex.
+    * Relaxation is idempotent past the fixpoint, so any `hops` ≥ the true
+    * maximum shortest-path hop count yields the exact distances.
+    */
+  def updatedWssspSql(hops: Int = 30): String = {
+    val steps = (1 to hops).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT id, min(d) AS d FROM (
+         |    SELECT id, d FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, p.d + e.weight AS d
+         |    FROM d${k - 1} p JOIN wedges e ON p.id = e.src
+         |  ) u GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $updatedEdgesCtes,
+       |wsym AS (
+       |  SELECT src, dst, weight FROM upd
+       |  UNION ALL SELECT dst AS src, src AS dst, weight FROM upd WHERE src <> dst
+       |),
+       |wedges AS MATERIALIZED (
+       |  SELECT src, dst, min(weight) AS weight FROM wsym GROUP BY 1, 2
+       |),
+       |d0 AS (
+       |  SELECT (SELECT min(src) FROM wedges) AS id, CAST(0 AS BIGINT) AS d
+       |),
+       |$steps
+       |SELECT id, CAST(d AS BIGINT) AS dist FROM d$hops""".stripMargin
+  }
+
   /** DuckDB oracle for connected components over the updated graph —
     * the reference's maintain-then-analyze workflow
     * (ref: tests/networkx/test_python.py:139-151 re-runs components

@@ -1348,4 +1348,162 @@ object EventStream extends Serializable {
     } else dist
   }
 
+  /** X17: INCREMENTAL WEIGHTED-SSSP maintenance over the streaming edge
+    * feed — X16's eager-relax/flag-repair contract generalized to
+    * weighted distances, completing the incremental family for the last
+    * batch workload without a streaming twin (G6b,
+    * [[graft.graph.WeightedShortestPaths]]):
+    *
+    *  - **Shortenings (per batch, eager)**: a new pair, or a pair whose
+    *    weight DECREASED, can only shorten distances. Each such pair with
+    *    a reached endpoint seeds a candidate d(reached) + w for the other
+    *    end; improved vertices become a frontier that Bellman-Ford-relaxes
+    *    forward over the weighted edge state until no improvement — the
+    *    affected-region bound of Ramalingam & Reps, and exactly G6b's
+    *    frontier relaxation restricted to the shrunk region.
+    *  - **Lengthenings (flagged per batch, repaired at drain)**: a deleted
+    *    pair or weight INCREASE can lengthen distances only if the old
+    *    weight was TIGHT on some shortest path — both endpoints reached
+    *    and d(a) + w_old = d(b) or d(b) + w_old = d(a); slack pairs are
+    *    ignored for free. A tight lengthening (or an insert that moves
+    *    the min-id source) sets one dirty flag; ONE drain pass re-runs
+    *    weighted SSSP from the final source. Exact online deletion
+    *    maintenance needs per-vertex tight-parent counts
+    *    (Ramalingam-Reps); deliberately out of scope, like X16.
+    *
+    * The weighted symmetrized view derives LAZILY from the checkpointed
+    * merge state (one canonical row per pair — applyAnnotated's
+    * contract — so both orientations union without a dedup shuffle);
+    * nothing |E|-sized is rewritten beyond the merge itself. Drained
+    * result equals batch weighted SSSP over the fully-updated graph,
+    * hash-checked against the hop-unrolled DuckDB oracle
+    * ([[graft.graph.EdgeUpdates.updatedWssspSql]]).
+    */
+  def incrementalWssspStream(spark: SparkSession, dir: String,
+      batches: Int = 4): DataFrame =
+    incrementalWssspStreamFrom(spark, Graph.fromTpch(spark, dir),
+      EdgeUpdates.actionsFromEvents(spark, dir), batches)
+
+  /** [[incrementalWssspStream]] over an arbitrary base graph + action log
+    * (honoring [[EdgeUpdates.applyAnnotated]]'s one-directed-row-per-pair
+    * contract).
+    */
+  def incrementalWssspStreamFrom(spark: SparkSession, base: Graph,
+      actions: DataFrame, batches: Int,
+      broadcastState: Boolean = true): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
+    val staging = stageByChunks(actions, "action_id", batches)
+    var edgeState = base.edges.localCheckpoint(true)
+    // weighted symmetrized view: lazy over the checkpointed pair state
+    def wund = {
+      val e = edgeState.select(col("src"), col("dst"), col("weight"))
+      e.union(e.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    }
+    val srcRow = wund.agg(min(col("src"))).head()
+    var source = if (srcRow.isNullAt(0)) Long.MaxValue else srcRow.getLong(0)
+    var dist =
+      if (source == Long.MaxValue) {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("id", "dist").localCheckpoint(true)
+      } else graft.graph.WeightedShortestPaths(base, source,
+        broadcastState = broadcastState).localCheckpoint(true)
+    var dirty = false
+    val stream = spark.readStream.schema(actions.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // ONE edge-state pass: the same single-pass merge X6/X7/X15/X16
+        // read; `changed` = presence flips OR weight changes (an insert
+        // on an existing pair INCREMENTS its weight — a lengthening)
+        val merged = EdgeUpdates.applyAnnotated(edgeState, batch)
+          .localCheckpoint(true)
+        edgeState = merged.filter(col("weight") > 0L)
+          .select(col("src"), col("dst"), col("weight"))
+        val changed = merged.filter(
+          ((col("weight_old") > 0L) =!= (col("weight") > 0L)) ||
+          (col("weight") > 0L && col("weight") =!= col("weight_old")))
+        if (!dirty) {
+          // lengthening repair needed only for TIGHT old weights: both
+          // endpoints reached and the old weight exactly on a shortest
+          // path (the weighted analog of X16's level-crossing test)
+          val da = dist.select(col("id").as("src"), col("dist").as("dda"))
+          val db = dist.select(col("id").as("dst"), col("dist").as("ddb"))
+          val lengthened = changed
+            .filter(col("weight_old") > 0L &&
+              (col("weight") <= 0L || col("weight") > col("weight_old")))
+            .join(bc(da), Seq("src")).join(bc(db), Seq("dst"))
+            .filter(col("dda") + col("weight_old") === col("ddb") ||
+              col("ddb") + col("weight_old") === col("dda"))
+          dirty = lengthened.limit(1).count() > 0
+        }
+        // a new minimum vertex id moves the source itself
+        val minRow = changed.filter(col("weight") > 0L)
+          .agg(min(least(col("src"), col("dst")))).head()
+        if (!minRow.isNullAt(0) && minRow.getLong(0) < source) {
+          source = minRow.getLong(0)
+          dirty = true
+        }
+        if (!dirty) {
+          // eager relaxation: shortened pairs (new, or weight decreased)
+          // seed candidates from their reached endpoints, then the
+          // improved set frontier-relaxes forward (G6b's loop, bounded
+          // by the shrunk region)
+          val sh = changed.filter(col("weight") > 0L &&
+              (col("weight_old") <= 0L || col("weight") < col("weight_old")))
+            .select(col("src"), col("dst"), col("weight"))
+          val sh2 = sh.union(sh.filter(col("src") =!= col("dst"))
+            .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+          val dd = dist.select(col("id").as("rid"), col("dist").as("rd"))
+          var frontier = sh2
+            .join(bc(dd), col("src") === col("rid"))
+            .select(col("dst").as("id"), (col("rd") + col("weight")).as("nd"))
+            .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+            .join(bc(dist.withColumnRenamed("dist", "old")), Seq("id"), "left")
+            .filter(col("old").isNull || col("nd") < col("old"))
+            .select(col("id"), col("nd").as("dist"))
+            .localCheckpoint(true)
+          var guard = 0
+          while (frontier.limit(1).count() > 0 && guard < 10000) {
+            guard += 1
+            dist = dist
+              .join(bc(frontier.select(col("id").as("fid"))),
+                col("id") === col("fid"), "left_anti")
+              .union(frontier).localCheckpoint(true)
+            frontier = wund
+              .join(bc(frontier.select(col("id").as("fid"),
+                  col("dist").as("fd"))),
+                col("src") === col("fid"))
+              .select(col("dst").as("id"), (col("fd") + col("weight")).as("nd"))
+              .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+              .join(bc(dist.withColumnRenamed("dist", "old")),
+                Seq("id"), "left")
+              .filter(col("old").isNull || col("nd") < col("old"))
+              .select(col("id"), col("nd").as("dist"))
+              .localCheckpoint(true)
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+    if (dirty) {
+      // one repair pass: weighted SSSP from the final graph's source
+      // (the updated graph's min vertex — G6b over G9, matching the
+      // batch oracle exactly)
+      val g = Graph(edgeState)
+      val s2 = wund.agg(min(col("src"))).head()
+      val out =
+        if (s2.isNullAt(0)) {
+          import spark.implicits._
+          Seq.empty[(Long, Long)].toDF("id", "dist")
+        } else graft.graph.WeightedShortestPaths(g, s2.getLong(0),
+          broadcastState = broadcastState)
+      g.cachedUndirected.unpersist()
+      out
+    } else dist
+  }
+
 }

@@ -192,6 +192,50 @@ class StreamingSpec extends AnyFunSuite {
       "batch BFS distance missing from incremental result")
   }
 
+  test("incremental weighted-sssp stream equals batch G6b over the updated graph") {
+    // the sf action feed carries deletes and re-insert weight increments
+    // → the tight-edge flag + drain repair path runs for real
+    val streamed = EventStream.incrementalWssspStream(spark, sf)
+    val g = graft.graph.EdgeUpdates.updatedGraph(spark, sf)
+    val src = g.cachedUndirected
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.col("src"))).head().getLong(0)
+    val batch = graft.graph.WeightedShortestPaths(g, src)
+    assert(streamed.exceptAll(batch).count() == 0,
+      "incremental weighted distance not in batch G6b")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "batch G6b distance missing from incremental result")
+  }
+
+  test("shorten-only weighted stream is exact through the eager relaxation") {
+    // fixture: weighted path 1-2(5), 2-3(4), 3-4(1); NEW pairs only (an
+    // insert on an existing pair would INCREMENT its weight — a
+    // lengthening), so the drained result must come from the per-batch
+    // weighted relaxation alone: the (1,3) shortcut (weight 1) must
+    // propagate through the PRE-EXISTING (3,4) edge, and the fresh (4,6)
+    // edge must extend the reached region
+    import org.apache.spark.sql.functions._
+    import graft.graph.{EdgeUpdates, Graph, WeightedShortestPaths}
+    import spark.implicits._
+    val base = Graph(Seq((1L, 2L, 5L), (2L, 3L, 4L), (3L, 4L, 1L))
+      .toDF("src", "dst", "weight"))
+    val actions = Seq(
+      (1L, 3L, false, 1L),    // shortcut: d(3) 9 → 1, so d(4) 10 → 2
+      (4L, 6L, false, 2L),    // extend: d(6) = 3
+      (2L, 5L, false, 3L))    // branch: d(5) = 6
+      .toDF("src", "dst", "is_del", "action_id")
+    val streamed = EventStream.incrementalWssspStreamFrom(
+      spark, base, actions, batches = 3)
+    val batch = WeightedShortestPaths(
+      Graph(EdgeUpdates(base.edges, actions)), source = 1L)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "shorten-only incremental distances diverged from batch G6b")
+    val d = streamed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(3L) == 1L && d(4L) == 2L && d(6L) == 3L && d(5L) == 6L,
+      s"weighted relaxation wrong: $d")
+  }
+
   test("insert-only sssp stream is exact through the eager relaxation") {
     // fixture: path 1-2-3-4, then batched inserts that (a) extend the
     // reached region, (b) add a shortcut that SHORTENS existing
