@@ -51,7 +51,7 @@ object Bench {
     "graph_cc", "graph_cc_alt", "graph_cc_sizes", "graph_sssp",
     "graph_sssp_weighted", "graph_landmark_dist",
     "graph_pagerank5", "graph_pagerank_weighted", "graph_pagerank_conv",
-    "graph_pagerank_ppr", "graph_diameter",
+    "graph_pagerank_ppr", "graph_diameter", "graph_betweenness",
     "graph_update_edges", "graph_update_degrees",
     "graph_update_cc", "graph_update_pagerank5", "graph_update_sssp",
     "graph_update_sssp_weighted",

@@ -43,6 +43,7 @@ object SparkEntry {
       PageRank.personalizedFromMinVertex(Graph.fromTpch(s, d), 5)),
     "graph_landmark_dist" -> ((s, d) =>
       LandmarkDistances(Graph.fromTpch(s, d), k = 4)),
+    "graph_betweenness" -> ((s, d) => Betweenness(Graph.fromTpch(s, d), k = 4)),
     "graph_update_edges" -> ((s, d) => EdgeUpdates.updatedGraph(s, d).edges),
     "graph_update_degrees" -> ((s, d) => Degrees(EdgeUpdates.updatedGraph(s, d))),
     // maintain-then-analyze: the same algorithms over the updated graph
@@ -242,6 +243,7 @@ object SparkEntry {
     "graph_pagerank_ppr" -> PageRank.personalizedSql(5),
     "graph_diameter" -> ShortestPaths.diameterSql(),
     "graph_landmark_dist" -> LandmarkDistances.recursiveSql(4),
+    "graph_betweenness" -> Betweenness.unrolledSql(4),
     "graph_update_edges" -> EdgeUpdates.updatedEdgesSql,
     "graph_update_degrees" -> EdgeUpdates.updatedDegreesSql,
     "graph_update_cc" -> EdgeUpdates.updatedCcSql,

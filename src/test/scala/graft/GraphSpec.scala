@@ -246,6 +246,33 @@ class GraphSpec extends AnyFunSuite {
     assert(r3.getLong(0) == 1L && r3.getLong(2) == 2L, s"components: $r3")
   }
 
+  test("betweenness: all-landmark accumulation equals 2x exact Brandes") {
+    // path 1-2-3-4-5: unordered-pair betweenness is 3/4/3 for the interior
+    // vertices, 0 at the ends; with landmarks = ALL vertices the
+    // accumulated dependency is exactly twice that (each pair counted
+    // from both endpoints)
+    val path = mkGraph((1L to 4L).map(i => (i, i + 1)): _*)
+    val bp = Betweenness(path, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bp == Map(1L -> 0.0, 2L -> 6.0, 3L -> 8.0, 4L -> 6.0, 5L -> 0.0),
+      s"path betweenness: $bp")
+    // diamond (4-cycle) 1-2-4, 1-3-4: every opposite pair has TWO equal
+    // shortest paths, so sigma splits the dependency — each vertex
+    // carries half of one pair ((1,4) through 2/3, (2,3) through 1/4):
+    // exact betweenness 0.5 everywhere, doubled to 1.0
+    val diamond = mkGraph((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val bd = Betweenness(diamond, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bd == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0),
+      s"diamond betweenness: $bd")
+    // k-landmark subset: only dependencies from the k smallest sources
+    val b2 = Betweenness(path, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // from source 1 alone: delta(2)=3, delta(3)=2, delta(4)=1
+    assert(b2 == Map(1L -> 0.0, 2L -> 3.0, 3L -> 2.0, 4L -> 1.0, 5L -> 0.0),
+      s"single-landmark dependencies: $b2")
+  }
+
   test("canonical-pairs build has the identical undirected view") {
     // the RmatTier build canonicalizes pairs (src<=dst) and declares
     // edgesCanonical, skipping the symmetrize-dedup shuffle — the
