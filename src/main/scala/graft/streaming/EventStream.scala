@@ -806,8 +806,16 @@ object EventStream extends Serializable {
     * pair contract) — the entry the delete-heavy R-MAT property tests
     * drive at tier scale.
     */
+  /** @param repairStats when set, the drain repair records its touched
+    *   sizes (`dirtyComps`, `subEdges`, `totalEdges`) — the observability
+    *   hook the SCALE-15 bounded-repair property test asserts against:
+    *   repair work is the dirty components' induced subgraph, never the
+    *   full edge set.
+    */
   def incrementalCcStreamFrom(spark: SparkSession, base: Graph,
-      actions: DataFrame, batches: Int): DataFrame = {
+      actions: DataFrame, batches: Int,
+      repairStats: Option[scala.collection.mutable.Map[String, Long]] = None)
+      : DataFrame = {
     val staging = stageByChunks(actions, "action_id", batches)
     var edgeState = base.edges.localCheckpoint(true)
     // initial labels: the one full CC (the stream starts from an existing
@@ -918,6 +926,11 @@ object EventStream extends Serializable {
         .join(dirtyComps, Seq("component"), "left_semi")
         .select(col("src"), col("dst"))
       val sg = Graph(sub)
+      repairStats.foreach { m =>
+        m("dirtyComps") = dirtyComps.count()
+        m("subEdges") = sub.count()
+        m("totalEdges") = edgeState.count()
+      }
       val fresh = graft.graph.ConnectedComponents(sg)
       val clean = labels.join(dirtyComps, Seq("component"), "left_anti")
         .select(col("id"), col("component"))
