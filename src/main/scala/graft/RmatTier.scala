@@ -103,14 +103,15 @@ object RmatTier {
     // delete on (a,b) must hit a base row stored as (b,a)) and lets the
     // symmetrized view skip its |2E|-row distinct shuffle entirely
     // (edgesCanonical: two shuffles in the whole build instead of three).
+    // r7: Graph.fromRawEdges — both orientations explode up front and the
+    // 2|E| rows exchange ONCE hashed on src, aggregating the pair
+    // dedup+count in place (hash(src) satisfies the (src,dst) clustering)
+    // straight into the src-aligned symmetrized cache; the canonical
+    // one-row-per-pair table EdgeUpdates reads derives from the same
+    // cache by a narrow filter. The r6 shape paid two exchanges and two
+    // full cache materializations for the same 265M-row view.
     val (g, buildSec) = timed("build") {
-      val raw = spark.read.parquet(edgesPath)
-      val graph = Graph(raw
-        .select(least(col("src"), col("dst")).as("src"),
-          greatest(col("src"), col("dst")).as("dst"))
-        .groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("weight")),
-        edgesCanonical = true)
+      val graph = Graph.fromRawEdges(spark.read.parquet(edgesPath))
       graph.cachedUndirected.count()
       graph
     }
@@ -176,6 +177,12 @@ object RmatTier {
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json)
       System.err.println(s"[bench] reference-format run json → $out")
+    }
+    // release this run's graph caches: a multi-run session (back-to-back
+    // tier runs for variance pinning) must not accumulate 265M-row caches
+    g.preSymmetrized match {
+      case Some(sym) => sym.unpersist(blocking = false)
+      case None => g.cachedUndirected.unpersist(blocking = false)
     }
     Seq("rmat_build" -> buildSec, "rmat_sv" -> svSec, "rmat_sssp" -> ssspSec,
       "rmat_pr" -> prSec, "rmat_update" -> updSec)

@@ -703,7 +703,9 @@ object PageRank {
     * both state paths.
     */
   def convergedCheby(g: Graph, tol: Double = 1e-8, maxIter: Int = 100,
-      broadcastVertices: Boolean = true): DataFrame = {
+      broadcastVertices: Boolean = true,
+      ckptEvery: Int = sys.env.get("GRAFT_PR_CKPT_EVERY")
+        .map(_.toInt).getOrElse(1)): DataFrame = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
     def shj(df: DataFrame) =
       if (broadcastVertices) df else df.hint("SHUFFLE_HASH")
@@ -729,6 +731,13 @@ object PageRank {
     var omega = 1.0
     var delta = Double.MaxValue
     var i = 0
+    // double-buffered state (A/B knob): eager-checkpoint every Nth round;
+    // the lazy intermediates materialize inside the next eager round's one
+    // job, trading (N−1) per-round barriers for N-deep lineage. Superseded
+    // checkpoints drop only after an eager materialization proves no
+    // future reader needs them (a lazy successor still re-reads its
+    // parent's blocks).
+    var pendingDrop = List.empty[DataFrame]
     while (i < maxIter && delta > tol) {
       val it0 = System.nanoTime()
       omega =
@@ -741,6 +750,13 @@ object PageRank {
         .select(col("dst"), (col("x") / col("outdeg")).as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("msg"))
       val w = omega
+      // check Σ|x_{k+1} − x_k| every DeltaEvery rounds far from the
+      // fixpoint, every round once within 1e3× of tol: with the 0.56/iter
+      // Chebyshev contraction a 5-round stride overshoots convergence by
+      // up to 4 full iterations — ~1 minute at the large tier
+      val checkDelta = (i + 1) % DeltaEvery == 0 || i + 1 == maxIter ||
+        delta <= tol * 1e3
+      val eager = checkDelta || (i + 1) % ckptEvery == 0
       val next = state
         .select(col("id"), col("outdeg"), col("x").as("xp_new"),
           col("xp"))
@@ -750,14 +766,17 @@ object PageRank {
               lit(Damping) * coalesce(col("msg"), lit(0.0)) - col("xp")) +
             col("xp")).as("x"),
           col("xp_new").as("xp"))
-        .localCheckpoint(true)
-      // Σ|x_{k+1} − x_k| on the just-checkpointed state, every few rounds
-      if ((i + 1) % DeltaEvery == 0 || i + 1 == maxIter) {
+        .localCheckpoint(eager = eager)
+      if (checkDelta) {
         delta = next.agg(sum(abs(col("x") - col("xp")))).head().getDouble(0)
       }
-      // next is materialized and nothing reads the superseded round again
-      // — drop its checkpoint now rather than after a driver full GC
-      graft.core.Checkpoints.drop(state)
+      // superseded rounds drop only once an EAGER materialization fences
+      // them off; a lazy successor still reads its parent's blocks
+      pendingDrop ::= state
+      if (eager) {
+        pendingDrop.foreach(graft.core.Checkpoints.drop)
+        pendingDrop = Nil
+      }
       state = next
       i += 1
       if (prof) System.err.println(

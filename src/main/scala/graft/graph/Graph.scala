@@ -23,7 +23,8 @@ import graft.core.Tables
   *   forever — an unbounded leak in long-lived sessions.
   */
 final case class Graph(edges: DataFrame, memoizeAnalytics: Boolean = false,
-    edgesCanonical: Boolean = false) {
+    edgesCanonical: Boolean = false,
+    preSymmetrized: Option[DataFrame] = None) {
 
   /** Symmetrized, deduplicated edge view (reference graphs are undirected:
     * networkx.Graph dedupes, Bagel builds both directions). Self-loops kept
@@ -55,7 +56,14 @@ final case class Graph(edges: DataFrame, memoizeAnalytics: Boolean = false,
     * iteration.
     */
   lazy val cachedUndirected: DataFrame =
-    graft.core.Partitioning.cachedSizedBy(undirected, Seq("src"))
+    preSymmetrized match {
+      // a build that already materialized the src-aligned symmetrized
+      // cache ([[Graph.fromRawEdges]]): project the algorithm view off it
+      // (columnar cache scan + narrow project, partitioning preserved)
+      case Some(sym) => sym.select(col("src"), col("dst"))
+      case None =>
+        graft.core.Partitioning.cachedSizedBy(undirected, Seq("src"))
+    }
 
   /** Distinct vertex ids appearing in any edge. */
   def vertices: DataFrame =
@@ -69,6 +77,43 @@ object Graph {
     * customer–supplier graph disjoint at any scale factor.
     */
   val SupplierOffset = 1000000L
+
+  /** ONE-shuffle graph build from a raw directed multi-edge list (the
+    * R-MAT tier's workload): each raw edge explodes into both
+    * orientations up front, the 2|E| skinny rows exchange ONCE hashed on
+    * `src`, and the per-pair dedup+count aggregates in place —
+    * HashPartitioning(src) already satisfies the (src, dst) clustering
+    * requirement, so Catalyst inserts no second exchange — landing
+    * directly in the src-aligned symmetrized cache every algorithm
+    * scans. The canonical one-row-per-pair edge table (EdgeUpdates'
+    * contract) derives from the same cache by a narrow `src <= dst`
+    * filter, weight = pair multiplicity on both views.
+    *
+    * The previous shape (canonical groupBy shuffle → symmetrize →
+    * persist+count → repartition(src) → persist+count again, via
+    * cachedSizedBy) moved the 265M-row SCALE-24 view through two full
+    * cache materializations and two exchanges; this is one of each.
+    */
+  def fromRawEdges(raw: DataFrame,
+      rowsPerPartition: Long = 1000000L): Graph = {
+    import org.apache.spark.storage.StorageLevel
+    val nRaw = raw.count() // parquet metadata count — no data scan
+    val target = ((2 * nRaw + rowsPerPartition - 1) / rowsPerPartition)
+      .max(1L).min(1L << 17).toInt
+    val both = raw.select(explode(when(col("src") === col("dst"),
+        array(struct(col("src"), col("dst"))))
+      .otherwise(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst"))))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val sym = both.repartition(target, col("src"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    Graph(sym.filter(col("src") <= col("dst")),
+      edgesCanonical = true, preSymmetrized = Some(sym))
+  }
 
   /** Build the bipartite customer–supplier graph from the relational tables:
     * one edge per (custkey, suppkey) co-occurrence in orders⋈lineitem,

@@ -287,6 +287,20 @@ class GraphSpec extends AnyFunSuite {
       edgesCanonical = true).undirected
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
       "canonical undirected view diverged from the general path")
+    // r7 one-shuffle build: same canonical edge table (weights included)
+    // and same symmetrized adjacency as the general path
+    val c = Graph.fromRawEdges(raw)
+    val bEdges = Graph(raw
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight")),
+      edgesCanonical = true)
+    assert(c.edges.exceptAll(bEdges.edges).count() == 0 &&
+      bEdges.edges.exceptAll(c.edges).count() == 0,
+      "fromRawEdges canonical edges diverged")
+    assert(c.cachedUndirected.exceptAll(a).count() == 0 &&
+      a.exceptAll(c.cachedUndirected).count() == 0,
+      "fromRawEdges symmetrized cache diverged")
   }
 
   test("delta pagerank equals the dense converged formulation") {
