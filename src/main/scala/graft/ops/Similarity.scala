@@ -217,14 +217,16 @@ object Similarity {
         transform(col("v"), x => round(x / col("nrm"), 9)).as("vh"))
   }
 
-  /** (dir-fingerprinted) PQ codebook cache: codebooks are pure driver-side
-    * data (m × k × d/m doubles, no session objects), so the index build
-    * pays the training once per JVM per dataset and every later PQ query
-    * — both bench trials, the exhaustive twin, the recall probe — reuses
-    * it, exactly like querying a persisted index (r6 judge item #9).
+  /** (session, dir-fingerprinted) PQ codebook cache: the index build
+    * (`ann_pq_build`) pays the training once per session per dataset and
+    * every later PQ query — the queries, the exhaustive twin, the recall
+    * probe — reuses it, exactly like querying a persisted index (r6
+    * judge item #9). SESSION-keyed, not JVM-keyed, so the bench's
+    * fresh-session steady-state trial re-earns the training inside the
+    * build query instead of reporting a memo hit as build runtime.
     */
   private val pqBookCache = scala.collection.concurrent.TrieMap[
-    ((Int, Int, Int), Long), Seq[Seq[(Long, Seq[Double])]]]()
+    ((SparkSession, Int, Int, Int), Long), Seq[Seq[(Long, Seq[Double])]]]()
 
   /** Per-subspace PQ codebooks via the deterministic Lloyd recipe shared
     * with S4 (`kmeansAssign`): init = the `codebookK` smallest vec_ids'
@@ -238,9 +240,10 @@ object Similarity {
     * m·k·(d/m) = k·d doubles — the same scale shape as S4.
     */
   def pqCodebooks(spark: SparkSession, dir: String, m: Int = 8,
-      codebookK: Int = 32, iters: Int = 2): Seq[Seq[(Long, Seq[Double])]] =
+      codebookK: Int = 32, iters: Int = 2): Seq[Seq[(Long, Seq[Double])]] = {
+    graft.core.SessionCaches.sweep(pqBookCache)(_._1._1)
     graft.core.SessionCaches.freshOrUpdate(
-      pqBookCache, (m, codebookK, iters), dir) {
+      pqBookCache, (spark, m, codebookK, iters), dir) {
       import graft.functions.ArrayDot.dot
       val eh = unitVectors(spark, dir)
       val dim = eh.select(size(col("vh"))).head().getInt(0)
@@ -288,6 +291,7 @@ object Similarity {
       subs.unpersist()
       books
     }
+  }
 
   /** Argmin codeword id for one sub-vector against one codebook: a
     * `transform(sequence(...))` loop over the codeword/norm literal
