@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline queries at SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Verify-only by design (registered in
   * `SparkEntry.queries` with green CORRECTNESS rows, but not benched):
-  * `dedup_ngram_jaccard` and the four `*_exhaustive` oracle twins
-  * (`ann_lsh/ivf/pq_exhaustive`, `dedup_semantic_exhaustive`) — all are
+  * `dedup_ngram_jaccard` and the five `*_exhaustive` oracle twins
+  * (`ann_lsh/ivf/pq/ivfpq_exhaustive`, `dedup_semantic_exhaustive`) — all are
   * deliberately all-pairs baselines that exist to PROVE their scalable
   * twins (`dedup_minhash_lsh`, `ann_lsh/ivf/pq`, `dedup_semantic`, which
   * ARE benched); their runtime is all-pairs by construction and says
@@ -71,7 +71,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic", "dedup_substring",
     "ann_topk", "ann_lsh", "ann_ivf", "ann_pq_build", "ann_pq",
-    "embeddings_kmeans",
+    "ann_ivfpq", "embeddings_kmeans",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",
     "text_pii", "text_inverted_index", "text_heavy_hitters",
@@ -210,18 +210,19 @@ object Bench {
     * (a probabilistic row without its recall is not a comparable number).
     */
   def annRecall(spark: SparkSession, sfDir: String,
-      toRun: Set[String] = Set("ann_lsh", "ann_ivf", "ann_pq",
+      toRun: Set[String] = Set("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
         "dedup_semantic")): Map[String, Double] = {
     import graft.ops.{Dedup, Similarity}
     // each exact baseline is itself expensive (all-pairs / full-re-rank) —
     // compute one only when a query that needs it actually ran
-    val wantAnn = Seq("ann_lsh", "ann_ivf", "ann_pq").filter(toRun)
+    val wantAnn = Seq("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq").filter(toRun)
     val ann = if (wantAnn.isEmpty) Map.empty[String, Double] else {
       val exact = Similarity.annTopK(spark, sfDir).localCheckpoint(true)
       val approx: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
         "ann_lsh" -> (Similarity.annLsh(_, _)),
         "ann_ivf" -> (Similarity.annIvf(_, _)),
-        "ann_pq" -> (Similarity.annPq(_, _)))
+        "ann_pq" -> (Similarity.annPq(_, _)),
+        "ann_ivfpq" -> (Similarity.annIvfPq(_, _)))
       wantAnn.map(q =>
         q -> Similarity.recallAtK(exact, approx(q)(spark, sfDir))).toMap
     }
@@ -268,7 +269,7 @@ object Bench {
     }
     val recall = try {
       val probabilistic =
-        Set("ann_lsh", "ann_ivf", "ann_pq", "dedup_semantic")
+        Set("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "dedup_semantic")
       val want = toRun.toSet.intersect(probabilistic)
       val r = if (want.nonEmpty) annRecall(spark, sfDir, want)
         else Map.empty[String, Double]

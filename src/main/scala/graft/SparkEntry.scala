@@ -136,6 +136,9 @@ object SparkEntry {
     "ann_ivf_exhaustive" -> ((s, d) => Similarity.annIvf(s, d, nProbe = 16)),
     "ann_pq_build" -> ((s, d) => Similarity.annPqBuild(s, d)),
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
+    "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
+    "ann_ivfpq_exhaustive" -> ((s, d) =>
+      Similarity.annIvfPq(s, d, nProbe = 16, rerank = Int.MaxValue)),
     "ann_pq_exhaustive" -> ((s, d) =>
       Similarity.annPq(s, d, rerank = Int.MaxValue)),
     // --- text analysis (T1..T4) ---
@@ -308,6 +311,7 @@ object SparkEntry {
     "ann_ivf_exhaustive" -> Similarity.annTopKSql(),
     "ann_pq_exhaustive" -> Similarity.annTopKSql(),
     "ann_pq_build" -> Similarity.annPqBuildSql(),
+    "ann_ivfpq_exhaustive" -> Similarity.annTopKSql(),
     "text_tokens" -> TextAnalysis.tokenCountsSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_langid" -> TextAnalysis.langIdSql,

@@ -254,43 +254,55 @@ object Similarity {
             slice(col("vh"), j * subLen + 1, subLen).as("sv"))): _*)).as("s"))
         .select(col("s.j").as("j"), col("vec_id"), col("s.sv").as("sv"))
         .withColumn("n2", dot(col("sv"), col("sv")))
-        .localCheckpoint(true)
-      // init: the k smallest ids' sub-vectors (deterministic, like S4)
-      val initRows = subs.filter(col("vec_id") < codebookK)
-        .select(col("j"), col("vec_id"), col("sv")).collect()
-      var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(j =>
-        initRows.filter(_.getInt(0) == j)
+      trainJointPq(subs, m, codebookK, iters)
+    }
+  }
+
+  /** The joint deterministic Lloyd trainer behind [[pqCodebooks]] and the
+    * IVF-PQ residual codebooks: `subs` carries (j, vec_id, sv, n2) rows
+    * for all m subspace problems at once, so each round is ONE scan +
+    * ONE map-side-combined aggregate for every codebook. Init = the
+    * `codebookK` smallest vec_ids' sub-vectors per subspace; 6 dp-rounded
+    * argmin/means with cid-asc tie-break (the S4 recipe).
+    */
+  private def trainJointPq(subsIn: DataFrame, m: Int, codebookK: Int,
+      iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
+    val subs = subsIn.localCheckpoint(true)
+    // init: the k smallest ids' sub-vectors (deterministic, like S4)
+    val initRows = subs.filter(col("vec_id") < codebookK)
+      .select(col("j"), col("vec_id"), col("sv")).collect()
+    var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(j =>
+      initRows.filter(_.getInt(0) == j)
+        .map(r => (r.getLong(1), r.getSeq[Double](2).toSeq))
+        .sortBy(_._1).toSeq)
+    // joint argmin: per row, the candidates of ITS subspace's codebook
+    // (a data-driven loop over the codeword literal table — constant
+    // codegen size at any k, where an unrolled candidate array blows
+    // the 64 KB method limit at m×k = 256 and falls out of codegen)
+    def assignCol(bks: Seq[Seq[(Long, Seq[Double])]]): Column =
+      (0 until m).foldLeft(lit(null).cast("bigint")) { case (acc, j) =>
+        when(col("j") === j,
+          nearestCodeword(bks(j), col("sv"), col("n2"))).otherwise(acc)
+      }
+    for (_ <- 1 to iters) {
+      val rows = subs.withColumn("cluster", assignCol(books))
+        .select(col("j"), col("cluster"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("j"), col("cluster"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("mval"))
+        .groupBy(col("j"), col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mval"))))
+          .as("cm"))
+        .select(col("j"), col("cluster"),
+          transform(col("cm"), s => s.getField("mval")).as("c"))
+        .collect()
+      books = (0 until m).map(j =>
+        rows.filter(_.getInt(0) == j)
           .map(r => (r.getLong(1), r.getSeq[Double](2).toSeq))
           .sortBy(_._1).toSeq)
-      // joint argmin: per row, the candidates of ITS subspace's codebook
-      // (a data-driven loop over the codeword literal table — constant
-      // codegen size at any k, where an unrolled candidate array blows
-      // the 64 KB method limit at m×k = 256 and falls out of codegen)
-      def assignCol(bks: Seq[Seq[(Long, Seq[Double])]]): Column =
-        (0 until m).foldLeft(lit(null).cast("bigint")) { case (acc, j) =>
-          when(col("j") === j,
-            nearestCodeword(bks(j), col("sv"), col("n2"))).otherwise(acc)
-        }
-      for (_ <- 1 to iters) {
-        val rows = subs.withColumn("cluster", assignCol(books))
-          .select(col("j"), col("cluster"),
-            posexplode(col("sv")).as(Seq("pos", "x")))
-          .groupBy(col("j"), col("cluster"), col("pos"))
-          .agg(round(avg(col("x")), 6).as("mval"))
-          .groupBy(col("j"), col("cluster"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("mval"))))
-            .as("cm"))
-          .select(col("j"), col("cluster"),
-            transform(col("cm"), s => s.getField("mval")).as("c"))
-          .collect()
-        books = (0 until m).map(j =>
-          rows.filter(_.getInt(0) == j)
-            .map(r => (r.getLong(1), r.getSeq[Double](2).toSeq))
-            .sortBy(_._1).toSeq)
-      }
-      subs.unpersist()
-      books
     }
+    subs.unpersist()
+    books
   }
 
   /** Argmin codeword id for one sub-vector against one codebook: a
@@ -442,6 +454,136 @@ object Similarity {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     val cand = broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
+        adc.as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("qv"), col("neighbor_id"))
+    // exact re-rank of the ADC candidates on the raw vectors
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("neighbor_id").asc)
+    cand.join(e.select(col("vec_id").as("neighbor_id"), col("v")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v")).as("c"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("c"), 6).as("cos"), col("rank"))
+  }
+
+  /** (session, dir-fingerprinted) IVF-PQ index cache: coarse centroids +
+    * residual codebooks, pure driver-side data like [[pqBookCache]].
+    */
+  private val ivfPqCache = scala.collection.concurrent.TrieMap[
+    ((SparkSession, Int, Int, Int, Int), Long),
+    (Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]])]()
+
+  /** Coarse quantizer + RESIDUAL PQ codebooks for [[annIvfPq]] — both
+    * trained with the deterministic Lloyd recipe: the coarse problem is
+    * [[trainJointPq]] with one "subspace" spanning the whole unit vector,
+    * then every vector's residual against its assigned centroid slices
+    * into m subspace problems trained jointly (one scan + one aggregate
+    * per round for all m codebooks). Session-cached like the PQ books so
+    * the index builds once and every query run reuses it.
+    */
+  def ivfPqBooks(spark: SparkSession, dir: String, nLists: Int = 16,
+      m: Int = 8, codebookK: Int = 32, iters: Int = 2)
+      : (Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]]) = {
+    graft.core.SessionCaches.sweep(ivfPqCache)(_._1._1)
+    graft.core.SessionCaches.freshOrUpdate(
+      ivfPqCache, (spark, nLists, m, codebookK, iters), dir) {
+      import graft.functions.ArrayDot.dot
+      val eh = unitVectors(spark, dir)
+      val dim = eh.select(size(col("vh"))).head().getInt(0)
+      require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+      val subLen = dim / m
+      val coarse = trainJointPq(
+        eh.select(lit(0).as("j"), col("vec_id"), col("vh").as("sv"))
+          .withColumn("n2", dot(col("sv"), col("sv"))),
+        1, nLists, iters).head
+      val cents = typedlit(coarse.map(_._2))
+      val resid = eh
+        .withColumn("n2", dot(col("vh"), col("vh")))
+        .withColumn("list_id", nearestCodeword(coarse, col("vh"), col("n2")))
+        .withColumn("resid", zip_with(col("vh"),
+          element_at(cents, (col("list_id") + 1).cast("int")),
+          (a, b) => a - b))
+      val residSubs = resid.select(col("vec_id"),
+          explode(array((0 until m).map(j =>
+            struct(lit(j).as("j"),
+              slice(col("resid"), j * subLen + 1, subLen).as("sv"))): _*))
+            .as("s"))
+        .select(col("s.j").as("j"), col("vec_id"), col("s.sv").as("sv"))
+        .withColumn("n2", dot(col("sv"), col("sv")))
+      (coarse, trainJointPq(residSubs, m, codebookK, iters))
+    }
+  }
+
+  /** S6: IVF-PQ composed ANN (Jégou, Douze & Schmid 2011 §IVFADC — the
+    * composition their paper ships as the practical system): the coarse
+    * quantizer PRUNES (each query scans only its nProbe nearest inverted
+    * lists — S3's scale lever) and the residual product quantizer
+    * COMPRESSES (the scanned rows are m small codes, not raw vectors —
+    * S5's memory lever), so a 100 TB corpus is scanned at
+    * ~nProbe/nLists coverage × ~m bytes/vector. Residual quantization
+    * (codebooks trained on v − centroid(v), ADC against q − centroid_L
+    * per probed list) is what makes the composition work: residuals are
+    * centered near zero so the same codebook budget quantizes them far
+    * more finely than raw vectors. The ADC top-`rerank` candidates then
+    * re-rank with EXACT cosine on the raw vectors, so every emitted
+    * similarity is exact — only candidate CHOICE is approximate, with
+    * recall published per bench run and floor-asserted like S2/S3/S5.
+    * nProbe = nLists AND rerank ≥ corpus degenerates to S1 exactly (all
+    * lists probed, every vector exact-ranked) — the hash-green
+    * exhaustive twin.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 20, nLists: Int = 16, nProbe: Int = 10, m: Int = 8,
+      codebookK: Int = 32, rerank: Int = 192, iters: Int = 2): DataFrame = {
+    import graft.functions.ArrayDot.dot
+    val e = vectors(spark, dir)
+    val eh = unitVectors(spark, dir)
+    val dim = eh.select(size(col("vh"))).head().getInt(0)
+    val subLen = dim / m
+    val (coarse, books) = ivfPqBooks(spark, dir, nLists, m, codebookK, iters)
+    val cents = typedlit(coarse.map(_._2))
+    def residOf(vh: Column, listId: Column): Column =
+      zip_with(vh, element_at(cents, (listId + 1).cast("int")), (a, b) => a - b)
+    // index: (vec_id, list_id, c0..c{m-1}) — one codegen projection
+    val withResid = eh
+      .withColumn("n2", dot(col("vh"), col("vh")))
+      .withColumn("list_id", nearestCodeword(coarse, col("vh"), col("n2")))
+      .withColumn("resid", residOf(col("vh"), col("list_id")))
+    val codes = withResid.select(
+      (col("vec_id") +: col("list_id") +: (0 until m).map { j =>
+        val sv = slice(col("resid"), j * subLen + 1, subLen)
+        nearestCodeword(books(j), sv, dot(sv, sv)).as(s"c$j")
+      }): _*)
+      .localCheckpoint(true)
+    // queries: nProbe nearest lists each; the query residual is
+    // per-(query, probed list), its subspace slices feed the ADC lookups
+    val q = e.join(eh, "vec_id").filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(transform(nearestLists(coarse, col("vh"), nProbe),
+          s => s.getField("list_id"))).as("list_id"),
+        col("vh"))
+      .withColumn("qr", residOf(col("vh"), col("list_id")))
+      .select((col("query_id") +: col("qv") +: col("list_id") +:
+        (0 until m).map(j =>
+          slice(col("qr"), j * subLen + 1, subLen).as(s"q$j"))): _*)
+    val adc = (0 until m).map { j =>
+      val cw = typedlit(books(j).map(_._2))
+      val cn = typedlit(books(j).map(_._2.map(x => x * x).sum))
+      val cwj = element_at(cw, (col(s"c$j") + 1).cast("int"))
+      dot(col(s"q$j"), col(s"q$j")) - lit(2.0) * dot(col(s"q$j"), cwj) +
+        element_at(cn, (col(s"c$j") + 1).cast("int"))
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    // LIST PRUNING: candidates come from the probed lists' codes only
+    val cand = broadcast(q).join(codes, Seq("list_id"))
+      .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("qv"), col("vec_id").as("neighbor_id"),
         adc.as("adc"))
       .withColumn("arank", row_number().over(wAdc))

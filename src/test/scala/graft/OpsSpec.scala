@@ -234,9 +234,20 @@ class OpsSpec extends AnyFunSuite {
     val rl = Similarity.recallAtK(exact, Similarity.annLsh(spark, sf))
     val ri = Similarity.recallAtK(exact, Similarity.annIvf(spark, sf))
     val rp = Similarity.recallAtK(exact, Similarity.annPq(spark, sf))
+    val rc = Similarity.recallAtK(exact, Similarity.annIvfPq(spark, sf))
     assert(rl >= 0.9, s"ann_lsh recall@5 $rl < 0.9")
     assert(ri >= 0.9, s"ann_ivf recall@5 $ri < 0.9")
     assert(rp >= 0.9, s"ann_pq recall@5 $rp < 0.9")
+    assert(rc >= 0.9, s"ann_ivfpq recall@5 $rc < 0.9")
+  }
+
+  test("ann_ivfpq: all lists + full re-rank equals brute force") {
+    val exact = Similarity.annTopK(spark, sf, k = 3, nQueries = 10)
+    val full = Similarity.annIvfPq(spark, sf, k = 3, nQueries = 10,
+      nProbe = 16, rerank = Int.MaxValue)
+    assert(exact.exceptAll(full).count() == 0 &&
+      full.exceptAll(exact).count() == 0,
+      "IVF-PQ with all lists probed + full re-rank differs from brute force")
   }
 
   test("ann_pq: full re-rank equals brute force, ADC candidates keep recall") {
