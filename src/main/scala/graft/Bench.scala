@@ -71,7 +71,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic", "dedup_substring",
     "ann_topk", "ann_lsh", "ann_ivf", "ann_pq_build", "ann_pq",
-    "ann_ivfpq", "embeddings_kmeans",
+    "ann_ivfpq", "ann_graph", "embeddings_kmeans",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",
     "text_pii", "text_inverted_index", "text_heavy_hitters",
@@ -88,7 +88,7 @@ object Bench {
     "stream_enriched_revenue", "stream_bloom_bits",
     "stream_degrees_incremental", "stream_cc_incremental",
     "stream_pagerank_incremental", "stream_sssp_incremental",
-    "stream_wsssp_incremental")
+    "stream_wsssp_incremental", "stream_landmark_incremental")
 
   /** First-trial seconds above which a query is not re-trialed (it
     * amortizes its own warmup, and re-running it would double suite
@@ -127,6 +127,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // the large R-MAT tier's broadcast-state PageRank collects a
+      // ~0.5 GB |V|-row relation per broadcast — above the 1g default
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -211,18 +214,20 @@ object Bench {
     */
   def annRecall(spark: SparkSession, sfDir: String,
       toRun: Set[String] = Set("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
-        "dedup_semantic")): Map[String, Double] = {
+        "ann_graph", "dedup_semantic")): Map[String, Double] = {
     import graft.ops.{Dedup, Similarity}
     // each exact baseline is itself expensive (all-pairs / full-re-rank) —
     // compute one only when a query that needs it actually ran
-    val wantAnn = Seq("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq").filter(toRun)
+    val wantAnn = Seq("ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
+      "ann_graph").filter(toRun)
     val ann = if (wantAnn.isEmpty) Map.empty[String, Double] else {
       val exact = Similarity.annTopK(spark, sfDir).localCheckpoint(true)
       val approx: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
         "ann_lsh" -> (Similarity.annLsh(_, _)),
         "ann_ivf" -> (Similarity.annIvf(_, _)),
         "ann_pq" -> (Similarity.annPq(_, _)),
-        "ann_ivfpq" -> (Similarity.annIvfPq(_, _)))
+        "ann_ivfpq" -> (Similarity.annIvfPq(_, _)),
+        "ann_graph" -> (Similarity.annGraph(_, _)))
       wantAnn.map(q =>
         q -> Similarity.recallAtK(exact, approx(q)(spark, sfDir))).toMap
     }

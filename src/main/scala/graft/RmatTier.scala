@@ -128,8 +128,6 @@ object RmatTier {
       ConnectedComponents(g, broadcastVertices = bc).count())
     val (_, ssspSec) = timed("sssp")(
       ShortestPaths.fromMinVertex(g, broadcastState = bc).count())
-    val (_, prSec) = timed("pr")(
-      PageRank.converged(g, broadcastVertices = bc).count())
     // update: inputs pre-materialized, the timed step is the action-log
     // application alone (ref: tests/bagel/App.scala:195-203 reads the
     // action file untimed, then times the apply). The base is laid out
@@ -137,6 +135,10 @@ object RmatTier {
     // reference engines updating their native indexed graph (STINGER's
     // CSR) — so the timed merge exchanges only the action delta
     // (tools/UpdateLargeAb A/B: 7.5 s vs 14.3 s at SCALE 24).
+    // TIMED BEFORE pr (r8): pr's ~100 GB-class shuffle spill evicts the
+    // page-cache copy of the caches update re-reads — the pinned cause of
+    // r7's 190.8 k act/s artifact row when the same session's isolated
+    // A/B held 706 k. Workload order is free; the page cache is not.
     val actions = spark.read.parquet(actionsPath).localCheckpoint(true)
     val naActual = actions.count()
     val base = graft.core.Partitioning.cachedSizedBy(
@@ -146,6 +148,8 @@ object RmatTier {
     val rate = naActual / updSec
     base.unpersist()
     System.err.println(f"[bench] rmat_update rate: $naActual actions / $updSec%.2f s = $rate%.0f act/s")
+    val (_, prSec) = timed("pr")(
+      PageRank.converged(g, broadcastVertices = bc).count())
 
     val ne = g.cachedUndirected.count()
     runJson.foreach { path =>

@@ -134,6 +134,9 @@ object SparkEntry {
     // turning the probabilistic pipelines themselves oracle-checkable
     "ann_lsh_exhaustive" -> ((s, d) => Similarity.annLsh(s, d, probeHamming = 8)),
     "ann_ivf_exhaustive" -> ((s, d) => Similarity.annIvf(s, d, nProbe = 16)),
+    "ann_graph" -> ((s, d) => Similarity.annGraph(s, d)),
+    "ann_graph_exhaustive" -> ((s, d) => Similarity.annGraph(s, d,
+      ef = Int.MaxValue, beamWidth = Int.MaxValue, maxHops = 64)),
     "ann_pq_build" -> ((s, d) => Similarity.annPqBuild(s, d)),
     "ann_pq" -> ((s, d) => Similarity.annPq(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.annIvfPq(s, d)),
@@ -193,7 +196,9 @@ object SparkEntry {
     "stream_sssp_incremental" -> ((s, d) =>
       EventStream.incrementalSsspStream(s, d)),
     "stream_wsssp_incremental" -> ((s, d) =>
-      EventStream.incrementalWssspStream(s, d)))
+      EventStream.incrementalWssspStream(s, d)),
+    "stream_landmark_incremental" -> ((s, d) =>
+      EventStream.incrementalLandmarkStream(s, d)))
 
   /** DuckDB-equivalent SQL per query key (same column names, types, and
     * rounding as the Spark result — the driver hash-compares).
@@ -310,6 +315,7 @@ object SparkEntry {
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),
     "ann_ivf_exhaustive" -> Similarity.annTopKSql(),
     "ann_pq_exhaustive" -> Similarity.annTopKSql(),
+    "ann_graph_exhaustive" -> Similarity.annTopKSql(),
     "ann_pq_build" -> Similarity.annPqBuildSql(),
     "ann_ivfpq_exhaustive" -> Similarity.annTopKSql(),
     "text_tokens" -> TextAnalysis.tokenCountsSql,
@@ -356,5 +362,6 @@ object SparkEntry {
     // X16 drains to exactly the batch G10d result — same oracle
     "stream_sssp_incremental" -> EdgeUpdates.updatedSsspSql,
     "graph_update_sssp_weighted" -> EdgeUpdates.updatedWssspSql(),
-    "stream_wsssp_incremental" -> EdgeUpdates.updatedWssspSql())
+    "stream_wsssp_incremental" -> EdgeUpdates.updatedWssspSql(),
+    "stream_landmark_incremental" -> EdgeUpdates.updatedLandmarkSql())
 }

@@ -23,6 +23,24 @@ import org.apache.spark.sql.DataFrame
   * localCheckpoint cannot be recomputed once its blocks are gone.
   */
 object Checkpoints {
+  /** Rebuild `df` (typically an eager localCheckpoint) as a fresh
+    * DataFrame with DEFAULT size stats. The checkpoint-produced
+    * `LogicalRDD` INHERITS the pre-checkpoint plan's sizeInBytes
+    * estimate, so a loop whose round joins two descendants of the same
+    * state table SQUARES that estimate every round (S → S²): the BigInt
+    * digit count doubles per round and Catalyst's stats walk goes
+    * exponential. Measured on S7's beam loop: 0.35 s/round flat until
+    * ~hop 17, then ×2.5/round to 113 s by hop 23 with the driver pinned
+    * in BigInteger.divide under SizeInBytesOnlyStatsPlanVisitor — same
+    * data sizes every round. (One-state-product loops like PageRank only
+    * MULTIPLY by a constant per round — linear digit growth — which is
+    * why they never hit this.) The identity rebuild costs one
+    * InternalRow↔Row conversion per read over the still-cached checkpoint
+    * blocks — noise for loop-state tables.
+    */
+  def freshStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Unpersist the RDD behind an eager localCheckpoint (a `LogicalRDD`
     * plan). Non-blocking; silently a no-op for any other plan shape or on
     * reflection failure (cleanup is an optimization, never a correctness

@@ -277,6 +277,24 @@ object EdgeUpdates {
        |SELECT id, CAST(d AS BIGINT) AS dist FROM d$hops""".stripMargin
   }
 
+  /** DuckDB oracle for k-landmark BFS distances over the updated graph
+    * (G17's recursive CTE composed over the maintained edge set — the X18
+    * drain contract).
+    */
+  def updatedLandmarkSql(k: Int = 4): String =
+    s"""WITH RECURSIVE $updatedUndirectedCte,
+       |lms AS MATERIALIZED (
+       |  SELECT DISTINCT src AS lm FROM edges ORDER BY 1 LIMIT $k),
+       |bfs(landmark, id, d) AS (
+       |  SELECT lm, lm, 0 FROM lms
+       |  UNION
+       |  SELECT bfs.landmark, e.dst, bfs.d + 1
+       |  FROM bfs JOIN edges e ON bfs.id = e.src
+       |  WHERE bfs.d < 64
+       |)
+       |SELECT landmark, id, CAST(min(d) AS BIGINT) AS dist
+       |FROM bfs GROUP BY 1, 2""".stripMargin
+
   /** DuckDB oracle for connected components over the updated graph —
     * the reference's maintain-then-analyze workflow
     * (ref: tests/networkx/test_python.py:139-151 re-runs components

@@ -8,14 +8,17 @@ import graft.core.Tables
 /** Multimodal-column plumbing (SURVEY §2 M1): media as opaque `binary`
   * columns + typed metadata, processed per-partition in batches.
   *
-  * The decode step is REAL for still images: `javax.imageio` is
-  * JDK-standard (PNG/JPEG/GIF/BMP readers ship with the JVM — no external
-  * codecs needed), and [[decodeImage]] reads true width/height/channels
-  * from the bytes. Payloads that are not a supported image (e.g. the
+  * The decode step is REAL for still images AND WAV audio: `javax.imageio`
+  * is JDK-standard (PNG/JPEG/GIF/BMP readers ship with the JVM — no
+  * external codecs needed) and [[decodeImage]] reads true
+  * width/height/channels from the bytes; [[decodeWav]] (r8) walks the
+  * public RIFF chunk layout for channels/sample-rate/duration — no codec
+  * needed for header meta. Payloads that are neither (e.g. the
   * text-as-bytes stand-in corpus the driver oracle runs on) fall back to
   * [[syntheticMeta]], a deterministic length-derived shape, so mixed
-  * binary columns flow through one pipeline. Audio/video codecs are not in
-  * the JDK; those stay behind the same bytes => meta signature.
+  * binary columns flow through one pipeline. Compressed audio/video
+  * codecs are not in the JDK; those stay behind the same bytes => meta
+  * signature.
   *
   * The Spark shape is the production one either way: a scan of
   * (id, payload) partitions streaming through a per-partition iterator —
@@ -25,8 +28,9 @@ import graft.core.Tables
 object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
-      height: Long, channels: Long)
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, media_type: String,
+      width: Long, height: Long, channels: Long, sample_rate: Long,
+      duration_ms: Long)
 
   /** Cheap magic-byte sniff: only payloads that can be a JDK-decodable
     * image reach ImageIO's reader lookup (a text payload costs 4 byte
@@ -56,15 +60,76 @@ object Multimodal {
       .map(img => (img.getWidth.toLong, img.getHeight.toLong,
         img.getRaster.getNumBands.toLong))
 
-  /** Deterministic fallback shape for non-image payloads (length-derived),
+  /** Deterministic fallback shape for non-media payloads (length-derived),
     * keeping mixed binary columns total and the text-corpus oracle exact.
     */
   def syntheticMeta(payload: Array[Byte]): (Long, Long, Long) =
     ((payload.length % 640).toLong, (payload.length % 480).toLong, 3L)
 
-  /** Total decode: real ImageIO for images, synthetic shape otherwise. */
-  def decode(payload: Array[Byte]): (Long, Long, Long) =
-    decodeImage(payload).getOrElse(syntheticMeta(payload))
+  /** Cheap magic-byte sniff for WAV: RIFF container with a WAVE form type
+    * (the audio analog of [[looksLikeImage]] — 8 byte compares gate the
+    * chunk walk).
+    */
+  def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 44 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL audio container parse: the WAV/RIFF format is public and fully
+    * deterministic (RIFF 1991 spec — little-endian chunk walk; no codec
+    * needed for the header), so unlike compressed audio the meta decode
+    * is a few dozen lines of byte arithmetic. Walks the chunk list for
+    * `fmt ` (channels, sample rate, byte rate) and `data` (payload size),
+    * returning (channels, sample_rate_hz, duration_ms) with duration =
+    * data_bytes · 1000 / byte_rate in exact integer math. None for
+    * malformed or truncated containers (they fall through to the
+    * synthetic shape like any other opaque payload).
+    */
+  def decodeWav(p: Array[Byte]): Option[(Long, Long, Long)] = {
+    if (!looksLikeWav(p)) return None
+    def u16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    var channels = -1L
+    var rate = -1L
+    var byteRate = -1L
+    var dataBytes = -1L
+    var o = 12
+    while (o + 8 <= p.length && (channels < 0 || dataBytes < 0)) {
+      val id = new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(o + 4)
+      if (id == "fmt " && size >= 16 && o + 8 + 16 <= p.length) {
+        channels = u16(o + 8 + 2).toLong
+        rate = u32(o + 8 + 4)
+        byteRate = u32(o + 8 + 8)
+      } else if (id == "data") {
+        // the data chunk may legally extend to EOF; clamp to what's here
+        dataBytes = math.min(size, (p.length - o - 8).toLong)
+      }
+      o += 8 + size.toInt + (size.toInt & 1) // chunks pad to even sizes
+      if (size > Int.MaxValue - 16) return None
+    }
+    if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataBytes < 0) None
+    else Some((channels, rate, dataBytes * 1000L / byteRate))
+  }
+
+  /** Total decode to the typed meta row: real ImageIO for images, real
+    * RIFF header parse for WAV audio, deterministic synthetic shape for
+    * genuinely opaque payloads — one pipeline for mixed binary columns.
+    */
+  def decodeMeta(docId: Long, payload: Array[Byte]): MediaMeta =
+    decodeImage(payload) match {
+      case Some((w, h, c)) =>
+        MediaMeta(docId, payload.length.toLong, "image", w, h, c, 0L, 0L)
+      case None => decodeWav(payload) match {
+        case Some((ch, rate, durMs)) =>
+          MediaMeta(docId, payload.length.toLong, "audio", 0L, 0L, ch,
+            rate, durMs)
+        case None =>
+          val (w, h, c) = syntheticMeta(payload)
+          MediaMeta(docId, payload.length.toLong, "binary", w, h, c, 0L, 0L)
+      }
+    }
 
   /** Extract per-payload metadata from a binary column, one streamed
     * partition at a time.
@@ -72,12 +137,8 @@ object Multimodal {
   def extractMetaFrom(bin: org.apache.spark.sql.Dataset[MediaRow]): DataFrame = {
     val spark = bin.sparkSession
     import spark.implicits._
-    bin.mapPartitions { rows =>
-      rows.map { r =>
-        val (w, h, c) = decode(r.payload)
-        MediaMeta(r.doc_id, r.payload.length.toLong, w, h, c)
-      }
-    }.toDF()
+    bin.mapPartitions(rows => rows.map(r => decodeMeta(r.doc_id, r.payload)))
+      .toDF()
   }
 
   /** Ingest documents' text as a binary payload column (stand-in for image
@@ -94,9 +155,12 @@ object Multimodal {
   val extractMetaSql: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  'binary' AS media_type,
       |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
       |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
-      |  CAST(3 AS BIGINT) AS channels
+      |  CAST(3 AS BIGINT) AS channels,
+      |  CAST(0 AS BIGINT) AS sample_rate,
+      |  CAST(0 AS BIGINT) AS duration_ms
       |FROM documents""".stripMargin
 
   final case class MediaFeature(doc_id: Long, width: Long, height: Long,

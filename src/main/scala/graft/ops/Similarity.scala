@@ -226,11 +226,14 @@ object Similarity {
     * build query instead of reporting a memo hit as build runtime.
     */
   private val pqBookCache = scala.collection.concurrent.TrieMap[
-    ((SparkSession, Int, Int, Int), Long), Seq[Seq[(Long, Seq[Double])]]]()
+    ((SparkSession, String, Int, Int, Int), Long),
+    Seq[Seq[(Long, Seq[Double])]]]()
 
   /** Per-subspace PQ codebooks via the deterministic Lloyd recipe shared
-    * with S4 (`kmeansAssign`): init = the `codebookK` smallest vec_ids'
-    * sub-vectors, squared-L2 argmin rounded to 6 dp with cid-asc
+    * with S4 (`kmeansAssign`): init = the sub-vectors of vec_ids 0..k−1
+    * (a 0-based dense id space is assumed and require-checked — the
+    * DuckDB oracle encodes the same `vec_id < k` filter),
+    * squared-L2 argmin rounded to 6 dp with cid-asc
     * tie-break, per-dimension centroid means rounded to 6 dp — so unlike
     * an MLlib-trained codebook the whole index build is oracle-exact in
     * DuckDB ([[annPqBuildSql]]). All `m` subspaces train JOINTLY: the
@@ -242,8 +245,12 @@ object Similarity {
   def pqCodebooks(spark: SparkSession, dir: String, m: Int = 8,
       codebookK: Int = 32, iters: Int = 2): Seq[Seq[(Long, Seq[Double])]] = {
     graft.core.SessionCaches.sweep(pqBookCache)(_._1._1)
+    // the dataset dir is part of the KEY, not just the fingerprint
+    // (r7 advisor): two dirs alternating in one session each keep their
+    // own entry instead of evicting each other on every call, and a
+    // fingerprint collision between dirs can't serve the wrong codebooks
     graft.core.SessionCaches.freshOrUpdate(
-      pqBookCache, (spark, m, codebookK, iters), dir) {
+      pqBookCache, (spark, dir, m, codebookK, iters), dir) {
       import graft.functions.ArrayDot.dot
       val eh = unitVectors(spark, dir)
       val dim = eh.select(size(col("vh"))).head().getInt(0)
@@ -262,15 +269,24 @@ object Similarity {
     * IVF-PQ residual codebooks: `subs` carries (j, vec_id, sv, n2) rows
     * for all m subspace problems at once, so each round is ONE scan +
     * ONE map-side-combined aggregate for every codebook. Init = the
-    * `codebookK` smallest vec_ids' sub-vectors per subspace; 6 dp-rounded
-    * argmin/means with cid-asc tie-break (the S4 recipe).
+    * sub-vectors of vec_ids 0..k−1 per subspace (0-based dense id space,
+    * require-checked); 6 dp-rounded argmin/means with cid-asc tie-break
+    * (the S4 recipe).
     */
   private def trainJointPq(subsIn: DataFrame, m: Int, codebookK: Int,
       iters: Int): Seq[Seq[(Long, Seq[Double])]] = {
     val subs = subsIn.localCheckpoint(true)
-    // init: the k smallest ids' sub-vectors (deterministic, like S4)
+    // init: the sub-vectors of ids 0..k-1 — this ASSUMES a 0-based dense
+    // vec_id space (true of the generated embeddings tables, and what the
+    // DuckDB oracle's matching `vec_id < k` filter encodes). The require
+    // below fails loudly on a sparse/offset id space instead of silently
+    // training k' < k codewords per subspace (r7 advisor finding).
     val initRows = subs.filter(col("vec_id") < codebookK)
       .select(col("j"), col("vec_id"), col("sv")).collect()
+    require(initRows.length == m.toLong * codebookK,
+      s"trainJointPq init expects a 0-based dense vec_id space: ids < " +
+        s"$codebookK yielded ${initRows.length} sub-vectors, want " +
+        s"${m.toLong * codebookK} ($m subspaces × $codebookK)")
     var books: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(j =>
       initRows.filter(_.getInt(0) == j)
         .map(r => (r.getLong(1), r.getSeq[Double](2).toSeq))
@@ -326,6 +342,28 @@ object Similarity {
         element_at(cids, i).as("cid")))
     array_min(scored).getField("cid")
   }
+
+  /** Codeword lookup by cluster ID, NOT array position: the Lloyd update
+    * (groupBy cluster) silently drops empty clusters, so the surviving
+    * cluster ids are not guaranteed dense 0..k-1 — a positional
+    * `element_at(cwords, cid+1)` would shift every id above a dropped one
+    * to the wrong codeword (r7 advisor finding). `array_position` over
+    * the literal id table translates cid → position; it is constant-size
+    * codegen like the tables themselves, and the cid always exists
+    * because it came from [[nearestCodeword]] over the same book.
+    */
+  private def codewordOf(book: Seq[(Long, Seq[Double])],
+      cid: Column): Column =
+    element_at(typedlit(book.map(_._2)),
+      array_position(typedlit(book.map(_._1)), cid.cast("long")).cast("int"))
+
+  /** |codeword|² lookup by cluster ID (same cid → position translation as
+    * [[codewordOf]]).
+    */
+  private def codewordNormOf(book: Seq[(Long, Seq[Double])],
+      cid: Column): Column =
+    element_at(typedlit(book.map(_._2.map(x => x * x).sum)),
+      array_position(typedlit(book.map(_._1)), cid.cast("long")).cast("int"))
 
   /** S5a: the PQ index build as a first-class operator — trains the
     * deterministic codebooks ([[pqCodebooks]]) and encodes every corpus
@@ -445,11 +483,9 @@ object Similarity {
       .select((col("vec_id").as("query_id") +: col("v").as("qv") +:
         (0 until m).map(j => sub(col("vh"), j).as(s"q$j"))): _*)
     val adc = (0 until m).map { j =>
-      val cwords = typedlit(books(j).map(_._2))
-      val cnorms = typedlit(books(j).map(_._2.map(x => x * x).sum))
-      val cw = element_at(cwords, (col(s"c$j") + 1).cast("int"))
-      dot(col(s"q$j"), col(s"q$j")) - lit(2.0) * dot(col(s"q$j"), cw) +
-        element_at(cnorms, (col(s"c$j") + 1).cast("int"))
+      dot(col(s"q$j"), col(s"q$j")) -
+        lit(2.0) * dot(col(s"q$j"), codewordOf(books(j), col(s"c$j"))) +
+        codewordNormOf(books(j), col(s"c$j"))
     }.reduce(_ + _)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
@@ -476,7 +512,7 @@ object Similarity {
     * residual codebooks, pure driver-side data like [[pqBookCache]].
     */
   private val ivfPqCache = scala.collection.concurrent.TrieMap[
-    ((SparkSession, Int, Int, Int, Int), Long),
+    ((SparkSession, String, Int, Int, Int, Int), Long),
     (Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]])]()
 
   /** Coarse quantizer + RESIDUAL PQ codebooks for [[annIvfPq]] — both
@@ -492,7 +528,7 @@ object Similarity {
       : (Seq[(Long, Seq[Double])], Seq[Seq[(Long, Seq[Double])]]) = {
     graft.core.SessionCaches.sweep(ivfPqCache)(_._1._1)
     graft.core.SessionCaches.freshOrUpdate(
-      ivfPqCache, (spark, nLists, m, codebookK, iters), dir) {
+      ivfPqCache, (spark, dir, nLists, m, codebookK, iters), dir) {
       import graft.functions.ArrayDot.dot
       val eh = unitVectors(spark, dir)
       val dim = eh.select(size(col("vh"))).head().getInt(0)
@@ -502,13 +538,11 @@ object Similarity {
         eh.select(lit(0).as("j"), col("vec_id"), col("vh").as("sv"))
           .withColumn("n2", dot(col("sv"), col("sv"))),
         1, nLists, iters).head
-      val cents = typedlit(coarse.map(_._2))
       val resid = eh
         .withColumn("n2", dot(col("vh"), col("vh")))
         .withColumn("list_id", nearestCodeword(coarse, col("vh"), col("n2")))
         .withColumn("resid", zip_with(col("vh"),
-          element_at(cents, (col("list_id") + 1).cast("int")),
-          (a, b) => a - b))
+          codewordOf(coarse, col("list_id")), (a, b) => a - b))
       val residSubs = resid.select(col("vec_id"),
           explode(array((0 until m).map(j =>
             struct(lit(j).as("j"),
@@ -547,9 +581,8 @@ object Similarity {
     val dim = eh.select(size(col("vh"))).head().getInt(0)
     val subLen = dim / m
     val (coarse, books) = ivfPqBooks(spark, dir, nLists, m, codebookK, iters)
-    val cents = typedlit(coarse.map(_._2))
     def residOf(vh: Column, listId: Column): Column =
-      zip_with(vh, element_at(cents, (listId + 1).cast("int")), (a, b) => a - b)
+      zip_with(vh, codewordOf(coarse, listId), (a, b) => a - b)
     // index: (vec_id, list_id, c0..c{m-1}) — one codegen projection
     val withResid = eh
       .withColumn("n2", dot(col("vh"), col("vh")))
@@ -573,11 +606,9 @@ object Similarity {
         (0 until m).map(j =>
           slice(col("qr"), j * subLen + 1, subLen).as(s"q$j"))): _*)
     val adc = (0 until m).map { j =>
-      val cw = typedlit(books(j).map(_._2))
-      val cn = typedlit(books(j).map(_._2.map(x => x * x).sum))
-      val cwj = element_at(cw, (col(s"c$j") + 1).cast("int"))
-      dot(col(s"q$j"), col(s"q$j")) - lit(2.0) * dot(col(s"q$j"), cwj) +
-        element_at(cn, (col(s"c$j") + 1).cast("int"))
+      dot(col(s"q$j"), col(s"q$j")) -
+        lit(2.0) * dot(col(s"q$j"), codewordOf(books(j), col(s"c$j"))) +
+        codewordNormOf(books(j), col(s"c$j"))
     }.reduce(_ + _)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
@@ -597,6 +628,175 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("v")).as("c"))
       .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("c"), 6).as("cos"), col("rank"))
+  }
+
+  /** The deterministic navigable graph behind [[annGraph]] (S7): three
+    * link families over a 0-based dense vec_id space (require-checked,
+    * like the PQ trainer):
+    *
+    *  - **kNN links**: each vector's top-`m` exact-cosine neighbors
+    *    WITHIN its coarse k-means cell — the local navigable structure.
+    *    Candidate pairs are cell-bounded (Σ n_c², the same bound SemDeDup
+    *    D8 rides), never all-pairs.
+    *  - **chain links** i↔i+1 and **doubling links** i↔2i — the
+    *    deterministic analog of the long-range upper-layer links HNSW
+    *    randomizes (Malkov & Yashunin 2016 build on skip lists; doubling
+    *    links ARE the skip-list expressway): O(log n) diameter and
+    *    guaranteed reachability of every vertex from the fixed entry
+    *    point (id 0), which is what makes the exhaustive twin provably
+    *    exact rather than merely empirical.
+    *
+    * All links are symmetrized and distinct. Build cost: one cell
+    * self-join + one top-m window per cell; at 100 TB the cells bound
+    * the pair work exactly like D8's.
+    */
+  def annGraphLinks(spark: SparkSession, dir: String, m: Int = 10,
+      nLists: Int = 16, seed: Long = 42L,
+      trainSample: Int = 100000): DataFrame = {
+    val e = vectors(spark, dir)
+    val n = e.count()
+    val bounds = e.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    require(bounds.getLong(0) == 0L && bounds.getLong(1) == n - 1,
+      s"annGraph expects a 0-based dense vec_id space (got ids " +
+        s"${bounds.getLong(0)}..${bounds.getLong(1)} over $n rows)")
+    val centroids = kmeansCentroids(e, nLists, seed, trainSample)
+    val assigned = e.withColumn("list_id",
+      element_at(nearestLists(centroids, col("v"), 1), 1).getField("list_id"))
+    val a = assigned.select(col("list_id"), col("vec_id").as("node"),
+      col("v").as("nv"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("nbr"),
+      col("v").as("bv"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("c").desc, col("nbr").asc)
+    val knn = a.join(b, Seq("list_id")).filter(col("node") =!= col("nbr"))
+      .select(col("node"), col("nbr"), cosine(col("nv"), col("bv")).as("c"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= m)
+      .select(col("node"), col("nbr"))
+    val ids = e.select(col("vec_id"))
+    val chain = ids.filter(col("vec_id") < n - 1)
+      .select(col("vec_id").as("node"), (col("vec_id") + 1L).as("nbr"))
+    val jump = ids.filter(col("vec_id") >= 1L && col("vec_id") * 2L <= n - 1)
+      .select(col("vec_id").as("node"), (col("vec_id") * 2L).as("nbr"))
+    val directed = knn.union(chain).union(jump)
+    directed
+      .union(directed.select(col("nbr").as("node"), col("node").as("nbr")))
+      .distinct().localCheckpoint(true)
+  }
+
+  /** S7: graph-traversal ANN (the NSW/HNSW family — Malkov & Yashunin
+    * 2016), deterministically formulated: fixed entry point (id 0),
+    * deterministic link construction ([[annGraphLinks]]) and fully
+    * tie-broken beam search make the whole query reproducible, closing
+    * the remaining ANN paradigm next to hash pruning (S2), list pruning
+    * (S3), and code compression (S5/S6).
+    *
+    * Search, all queries batched: best-first beam. Per round, the top
+    * `beamWidth` UNEXPANDED beam rows per query expand their links; the
+    * newly discovered nodes score EXACT cosine in ONE corpus probe join
+    * shared by every query in the batch; the beam keeps top-`ef` per
+    * query (cos desc, id asc). A node pruned from the beam can never
+    * re-enter (the beam floor only rises), so the loop terminates when
+    * every surviving beam row is expanded. Emitted similarities are
+    * exact — only candidate CHOICE is approximate, with recall published
+    * per bench run and a ≥0.9 floor asserted like S2/S3/S5/S6.
+    *
+    * Scale shape: total pair scoring is q · hops · beamWidth · degree —
+    * independent of corpus size — and each round's scoring is one
+    * broadcast probe join against the corpus shared by ALL q queries
+    * (rounds amortize across the query batch; a million-query batch
+    * still pays ~maxHops probe joins, not a million). The |V|-bounded
+    * state is the beams, q·ef rows.
+    *
+    * ef=∞, beamWidth=∞ and enough hops expand the whole graph (connected
+    * by construction — chain links), so every vector is exact-scored and
+    * the result ≡ S1: the hash-green exhaustive twin
+    * (`ann_graph_exhaustive`).
+    *
+    * Default operating point: the driver's embeddings are ISOTROPIC
+    * (uniform directions — the annLsh caveat applies to every ANN family
+    * here), the regime where graph navigability is weakest: a beam that
+    * expands ~10% of the corpus stalls in local minima at recall ≈ 0.4.
+    * ef=256/beamWidth=64 expands up to ~ef nodes (discoveries ≈
+    * ef·degree cover the toy corpus) in ~ef/beamWidth+discovery rounds
+    * for recall ≥ 0.9 at sf0.01–0.1 — on real clustered embeddings the
+    * same machinery needs far smaller ef, but the published recall must
+    * clear the floor on the data the gate actually runs. The wide beam
+    * keeps the ROUND count low (rounds, not rows, are the cost at these
+    * sizes: each is a fixed set of tiny jobs).
+    */
+  def annGraph(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 20, m: Int = 12, nLists: Int = 16, ef: Int = 256,
+      beamWidth: Int = 64, maxHops: Int = 32, seed: Long = 42L,
+      trainSample: Int = 100000): DataFrame = {
+    val e = vectors(spark, dir)
+    val links = annGraphLinks(spark, dir, m, nLists, seed, trainSample)
+    val q = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .localCheckpoint(true))
+    val corpus = e.select(col("vec_id").as("node"), col("v"))
+    val wBeam = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("node").asc)
+    // seed: the fixed entry node, exact-scored per query
+    var beam = q.crossJoin(broadcast(corpus.filter(col("node") === 0L)))
+      .select(col("query_id"), col("node"),
+        cosine(col("qv"), col("v")).as("c"), lit(false).as("expanded"))
+      .localCheckpoint(true)
+    val prof = sys.env.contains("GRAFT_S7_PROF")
+    var hops = 0
+    var more = true
+    while (more && hops < maxHops) {
+      hops += 1
+      val rt0 = System.nanoTime()
+      // rank among the UNEXPANDED rows (not the whole beam): the search
+      // keeps digging best-first until every surviving beam row has been
+      // expanded, rather than stopping as soon as the global top-B happen
+      // to be expanded — the ef budget is only spent if exploration
+      // actually continues
+      val toExpand = beam.filter(!col("expanded"))
+        .withColumn("r", row_number().over(wBeam))
+        .filter(col("r") <= beamWidth)
+        .select(col("query_id"), col("node"))
+        .localCheckpoint(true)
+      if (toExpand.isEmpty) more = false
+      else {
+        val discovered = broadcast(toExpand).join(links, Seq("node"))
+          .select(col("query_id"), col("nbr").as("node")).distinct()
+          .join(beam.select(col("query_id"), col("node")),
+            Seq("query_id", "node"), "left_anti")
+        // ONE corpus probe join scores every query's discoveries exactly
+        val scored = broadcast(discovered).join(corpus, Seq("node"))
+          .join(q, Seq("query_id"))
+          .select(col("query_id"), col("node"),
+            cosine(col("qv"), col("v")).as("c"), lit(false).as("expanded"))
+        beam = beam
+          .join(broadcast(toExpand.withColumn("x", lit(true))),
+            Seq("query_id", "node"), "left")
+          .select(col("query_id"), col("node"), col("c"),
+            (col("expanded") || col("x").isNotNull).as("expanded"))
+          .union(scored)
+          .withColumn("r", row_number().over(wBeam))
+          .filter(col("r") <= ef)
+          .select(col("query_id"), col("node"), col("c"), col("expanded"))
+          .localCheckpoint(true)
+        // reset inherited sizeInBytes stats: this round joined two
+        // descendants of the previous beam, which SQUARES the carried
+        // estimate every round — exponential stats-walk blowup by ~hop 20
+        // (see graft.core.Checkpoints.freshStats)
+        beam = graft.core.Checkpoints.freshStats(beam)
+      }
+      if (prof) System.err.println(f"[s7] hop $hops%3d " +
+        f"${(System.nanoTime() - rt0) / 1e9}%6.2f s  " +
+        s"toExpand=${toExpand.count()} beam=${beam.count()} " +
+        s"plan=${beam.queryExecution.analyzed.numberedTreeString.length}ch")
+    }
+    beam.filter(col("node") =!= col("query_id"))
+      .select(col("query_id"), col("node").as("neighbor_id"), col("c"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("neighbor_id").asc)).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("c"), 6).as("cos"), col("rank"))

@@ -268,6 +268,70 @@ class OpsSpec extends AnyFunSuite {
     assert(r >= 0.3, s"PQ ADC ordering no better than random at rerank=16: $r")
   }
 
+  test("ann_pq/ann_ivfpq: sparse codebook ids (dropped empty cluster) still exact") {
+    // Lloyd's groupBy(cluster) update drops empty clusters, so book ids
+    // need not stay dense 0..k-1. Forced here: init vectors 0 and 1 are
+    // IDENTICAL, so every point ties between codewords 0/1, the cid-asc
+    // tie-break sends all of them to 0, and cluster 1 empties out of the
+    // book. A positional element_at(cwords, cid+1) lookup then reads the
+    // wrong codeword for every id above the hole (r7 advisor finding);
+    // the cid->position translation must keep the exhaustive twins
+    // bit-equal to brute force anyway.
+    import spark.implicits._
+    val dim = 4
+    def vec(seed: Long): Seq[Float] =
+      (0 until dim).map(i => (((seed * 2654435761L + i * 40503L) % 1000L)
+        / 1000.0f - 0.5f)).map(x => if (x == 0.0f) 0.1f else x)
+    val rows = (0L until 24L).map { id =>
+      val base = if (id == 1L) vec(0L) else vec(id) // ids 0,1 identical
+      (id, base, 0)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sparse-cid")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val dir = tmp.toString
+    val exact = Similarity.annTopK(spark, dir, k = 3, nQueries = 6)
+    val pq = Similarity.annPq(spark, dir, k = 3, nQueries = 6, m = 2,
+      codebookK = 4, rerank = Int.MaxValue)
+    assert(exact.exceptAll(pq).count() == 0 &&
+      pq.exceptAll(exact).count() == 0,
+      "PQ exhaustive twin diverged under sparse codebook ids")
+    val ivfpq = Similarity.annIvfPq(spark, dir, k = 3, nQueries = 6,
+      nLists = 4, nProbe = 4, m = 2, codebookK = 4, rerank = Int.MaxValue)
+    assert(exact.exceptAll(ivfpq).count() == 0 &&
+      ivfpq.exceptAll(exact).count() == 0,
+      "IVF-PQ exhaustive twin diverged under sparse codebook/list ids")
+  }
+
+  test("ann_graph: full expansion equals brute force, beam search keeps recall") {
+    // ef=∞/beamWidth=∞ expands the whole graph (chain links guarantee
+    // connectivity from entry 0), so every vector is exact-scored — must
+    // equal S1 exactly: the hash-green exhaustive twin
+    val exact = Similarity.annTopK(spark, sf, k = 3, nQueries = 10)
+    val full = Similarity.annGraph(spark, sf, k = 3, nQueries = 10,
+      ef = Int.MaxValue, beamWidth = Int.MaxValue, maxHops = 64)
+    assert(exact.exceptAll(full).count() == 0 &&
+      full.exceptAll(exact).count() == 0,
+      "graph-ANN full expansion differs from brute force")
+    // the operating point: recall@3 must clear the asserted floor
+    val got = Similarity.annGraph(spark, sf, k = 3, nQueries = 10)
+    val r = Similarity.recallAtK(exact, got)
+    assert(r >= 0.9, s"ann_graph recall@3 $r < 0.9")
+    System.err.println(f"[test] ann_graph recall@3 = $r%.3f")
+  }
+
+  test("ann_graph links: symmetric, deterministic skip links present") {
+    val links = Similarity.annGraphLinks(spark, sf, m = 4)
+    val rev = links.select(col("nbr").as("node"), col("node").as("nbr"))
+    assert(links.exceptAll(rev).count() == 0, "link table not symmetric")
+    // chain i↔i+1 and doubling i↔2i exist (spot-check a few)
+    val set = links.filter(col("node").isin(0L, 1L, 7L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set.contains((0L, 1L)) && set.contains((1L, 2L)) &&
+      set.contains((7L, 8L)) && set.contains((7L, 14L)),
+      s"skip links missing: ${set.toSeq.sorted.take(20)}")
+  }
+
   test("ann_ivf: probing all lists equals brute force, fewer probes keep recall") {
     val exact = Similarity.annTopK(spark, sf, k = 3, nQueries = 10)
     // nProbe = nLists degenerates to brute force over all lists
@@ -659,12 +723,51 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.MediaRow(3L, "just some text bytes, not an image".getBytes("UTF-8")))
     val out = Multimodal.extractMetaFrom(rows.toDS())
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(out(1L).getLong(2) == 17 && out(1L).getLong(3) == 9)
-    assert(out(2L).getLong(2) == 32 && out(2L).getLong(3) == 24)
-    assert(out(1L).getLong(4) == 3) // RGB PNG
+    def f(id: Long, c: String) = out(id).getLong(out(id).fieldIndex(c))
+    assert(f(1L, "width") == 17 && f(1L, "height") == 9)
+    assert(f(2L, "width") == 32 && f(2L, "height") == 24)
+    assert(f(1L, "channels") == 3) // RGB PNG
+    assert(out(1L).getString(2) == "image" && out(3L).getString(2) == "binary")
     // non-image payload takes the deterministic synthetic shape
     val n = rows(2).payload.length
-    assert(out(3L).getLong(2) == n % 640 && out(3L).getLong(3) == n % 480)
+    assert(f(3L, "width") == n % 640 && f(3L, "height") == n % 480)
+  }
+
+  /** Real WAV bytes: the JDK's own javax.sound writer (AudioSystem ships
+    * with every JVM), so the parse is checked against an independent
+    * encoder, not a hand-rolled twin of itself.
+    */
+  private def wavBytes(channels: Int, rate: Int, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16,
+      channels, true, false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    pcm.indices.foreach(i => pcm(i) = ((i * 37) % 251 - 125).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("multimodal decode: real WAV channels/rate/duration via RIFF parse") {
+    import spark.implicits._
+    // 44100 Hz stereo, 22050 frames = exactly 500 ms; 8000 Hz mono,
+    // 2000 frames = 250 ms
+    val rows = Seq(
+      Multimodal.MediaRow(1L, wavBytes(2, 44100, 22050)),
+      Multimodal.MediaRow(2L, wavBytes(1, 8000, 2000)),
+      Multimodal.MediaRow(3L, "RIFFnot actually a wav".getBytes("UTF-8")))
+    val out = Multimodal.extractMetaFrom(rows.toDS())
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = out(id).getLong(out(id).fieldIndex(c))
+    assert(out(1L).getString(2) == "audio" && out(2L).getString(2) == "audio")
+    assert(f(1L, "channels") == 2 && f(1L, "sample_rate") == 44100 &&
+      f(1L, "duration_ms") == 500, s"stereo meta wrong: ${out(1L)}")
+    assert(f(2L, "channels") == 1 && f(2L, "sample_rate") == 8000 &&
+      f(2L, "duration_ms") == 250, s"mono meta wrong: ${out(2L)}")
+    // a payload that merely starts with RIFF is not a WAV
+    assert(out(3L).getString(2) == "binary")
   }
 
   test("multimodal features: resize + grayscale pool separates dark/light halves") {

@@ -263,6 +263,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(d(4L) == 1L && d(8L) == 5L, s"relaxation wrong: $d")
   }
 
+  test("insert-only landmark stream is exact through the eager relaxation") {
+    // fixture: path 10-11-12-13 (landmarks 10,11,12,13 at k=4); inserts
+    // extend the reach, shortcut an existing distance, and chain through
+    // a fresh vertex — all with ids ABOVE max(landmark), so the landmark
+    // set never changes, no deletes occur, and the drained result must
+    // come from the per-batch fused multi-landmark relaxation alone
+    import org.apache.spark.sql.functions._
+    import graft.graph.{EdgeUpdates, Graph, LandmarkDistances}
+    import spark.implicits._
+    val base = Graph(Seq((10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("src", "dst").withColumn("weight", lit(1L)))
+    val actions = Seq(
+      (13L, 14L, false, 1L), (14L, 15L, false, 2L),  // extend
+      (10L, 13L, false, 3L),                         // shortcut: d10(13) 3→1
+      (15L, 16L, false, 4L))                         // chain onward
+      .toDF("src", "dst", "is_del", "action_id")
+    val streamed = EventStream.incrementalLandmarkStreamFrom(
+      spark, base, actions, batches = 3, k = 4)
+    val batch = LandmarkDistances(
+      Graph(EdgeUpdates(base.edges, actions)), k = 4)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "insert-only incremental landmark distances diverged from batch G17")
+    val d = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d((10L, 13L)) == 1L && d((10L, 16L)) == 4L && d((13L, 10L)) == 1L,
+      s"fused relaxation wrong: $d")
+  }
+
+  test("landmark stream repairs at drain on set changes and path deletes") {
+    import org.apache.spark.sql.functions._
+    import graft.graph.{EdgeUpdates, Graph, LandmarkDistances}
+    import spark.implicits._
+    val base = Graph(Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("src", "dst").withColumn("weight", lit(1L)))
+    // a new id BELOW the current landmarks (changes the set) and a
+    // level-crossing delete (lengthens 10→13's only short path)
+    val actions = Seq(
+      (5L, 12L, false, 1L),   // new vertex 5 joins the landmark set
+      (11L, 12L, true, 2L))   // path delete: 10-11 | 12-13-14 split
+      .toDF("src", "dst", "is_del", "action_id")
+    val streamed = EventStream.incrementalLandmarkStreamFrom(
+      spark, base, actions, batches = 2, k = 4)
+    val batch = LandmarkDistances(
+      Graph(EdgeUpdates(base.edges, actions)), k = 4)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "drain-repaired landmark distances diverged from batch G17")
+  }
+
   test("incremental minhash-LSH stream equals the batch pair set") {
     val streamed = EventStream.minhashLshStream(spark, sf)
     val batch = graft.ops.Dedup.minhashLsh(spark, sf)
@@ -315,6 +365,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats("subEdges") < stats("totalEdges"),
       s"repair touched the full edge set: $stats")
     System.err.println(s"[test] cc drain repair stats=$stats copy1Ever=$copy1Ever")
+  }
+
+  test("eager split repair: delete-heavy SCALE-15 stream exact mid-stream") {
+    // the item carried since r4, closed r8: with eagerSplitRepair on, the
+    // scoped split repair runs INSIDE every delete-batch, so labels are
+    // exact after EVERY micro-batch — the drain repair is a no-op (the
+    // online contract a streaming-graph engine like the reference's
+    // STINGER serves). Checked against batch CC at every snapshot, not
+    // just at drain.
+    import org.apache.spark.sql.functions._
+    import graft.graph.{ConnectedComponents, EdgeUpdates, Graph, RMat}
+    val p = RMat.Params(scale = 15)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+    val base = Graph(canon(RMat.edges(spark, p))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight")))
+    val actions = RMat.actions(spark, p, na = 30000L, pDelete = 0.5)
+      .select(col("action_id"),
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("is_del"))
+      .localCheckpoint(true)
+    assert(actions.filter(col("is_del")).count() > 10000L,
+      "fixture not delete-heavy")
+    val snaps = scala.collection.mutable.ArrayBuffer
+      .empty[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+    val streamed = EventStream.incrementalCcStreamFrom(
+      spark, base, actions, batches = 3, eagerSplitRepair = true,
+      midStreamLabels = Some(snaps))
+    assert(snaps.size == 3, s"expected 3 batch snapshots, got ${snaps.size}")
+    snaps.zipWithIndex.foreach { case ((lbl, es), i) =>
+      val g = Graph(es)
+      val fresh = ConnectedComponents(g)
+      val present = es.select(col("src").as("id"))
+        .union(es.select(col("dst").as("id"))).distinct()
+      val got = lbl.join(present, Seq("id"), "left_semi")
+      assert(got.exceptAll(fresh).count() == 0 &&
+        fresh.exceptAll(got).count() == 0,
+        s"mid-stream labels diverged from batch CC after batch $i")
+      g.cachedUndirected.unpersist()
+    }
+    val batch = ConnectedComponents(Graph(EdgeUpdates(base.edges, actions)))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "eager-repair drained labels diverged from batch CC")
   }
 
   test("minhash-LSH stream per-batch cost stays flat as the index grows") {

@@ -3,14 +3,52 @@
 runs each oracle_sql.json query in DuckDB against the sf tables and
 compares (sorted columns, sorted rows) with the Verify.scala parquet dumps.
 Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+
+Selftest (r8, judge item #9 — prove the gate CAN go red): --selftest
+builds a throwaway out-dir whose oracle is a deliberately un-cast
+sum(int) (DuckDB types it HUGEINT — the exact r6 q12 escape class) with a
+value-identical spark-side dump, runs the normal gate on it end-to-end,
+and exits 0 only if the gate FAILED it via the HUGEINT lint:
+    python3 tools/check.py /root/testdata/sf0.01 --selftest
+
+This script IS the local gate's second half: Verify.scala dumps the
+results, check.py replays the oracles. Running Verify without check.py
+is not a gate (the round workflow doc and .claude/skills/verify say so).
 """
 import duckdb, json, sys, os
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+def selftest(sf):
+    """Plant the r6-q12 escape class and require the gate to catch it."""
+    import tempfile, subprocess
+    out = tempfile.mkdtemp(prefix="graft-gate-selftest-")
+    # un-cast sum(int): DuckDB types it HUGEINT; values agree with the
+    # spark-side dump exactly, so only the DESCRIBE lint can catch it
+    bad_sql = "SELECT l_returnflag, sum(l_linenumber) AS s FROM lineitem GROUP BY 1"
+    json.dump({"selftest_uncast_sum": bad_sql},
+              open(f"{out}/oracle_sql.json", "w"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    os.makedirs(f"{out}/selftest_uncast_sum", exist_ok=True)
+    con.execute(
+        "COPY (SELECT l_returnflag, CAST(sum(l_linenumber) AS BIGINT) AS s "
+        f"FROM lineitem GROUP BY 1) TO '{out}/selftest_uncast_sum/part.parquet'")
+    r = subprocess.run([sys.executable, __file__, sf, out],
+                       capture_output=True, text=True)
+    caught = r.returncode != 0 and "LINT" in r.stdout and "HUGEINT" in r.stdout
+    print(r.stdout.strip())
+    print("SELFTEST " + ("PASS: gate went red on the un-cast sum(int)"
+                         if caught else
+                         "FAIL: gate let the un-cast sum(int) through"))
+    sys.exit(0 if caught else 1)
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
+    if out == "--selftest":
+        selftest(sf)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
