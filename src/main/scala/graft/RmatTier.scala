@@ -148,8 +148,19 @@ object RmatTier {
     val rate = naActual / updSec
     base.unpersist()
     System.err.println(f"[bench] rmat_update rate: $naActual actions / $updSec%.2f s = $rate%.0f act/s")
+    // pr: the swap-role broadcast path moves ZERO |E|-row exchange bytes
+    // per iteration (tools/PrLargeAb at SCALE 24: 225.8 s vs the shuffle
+    // path's 272.8 s over 10 fixed iterations, 2.5 GB total shuffle vs
+    // 36.5 GB, zero spill) — its per-iteration broadcast is a ~0.5 GB
+    // |V|-row relation, affordable exactly when the tier demanded a
+    // large heap anyway. Beyond 32M vertices even that relation stops
+    // fitting one heap: shuffle-path fallback, the same switch a
+    // billion-vertex cluster run flips.
+    val bcPr = bc || (maxHeapGb >= 48 && nv <= 32000000L)
+    if (bcPr && !bc) System.err.println(
+      s"[bench] pr: broadcast swap-role state path (nv=$nv, heap=${maxHeapGb}g)")
     val (_, prSec) = timed("pr")(
-      PageRank.converged(g, broadcastVertices = bc).count())
+      PageRank.converged(g, broadcastVertices = bcPr).count())
 
     val ne = g.cachedUndirected.count()
     runJson.foreach { path =>

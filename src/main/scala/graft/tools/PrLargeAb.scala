@@ -26,6 +26,11 @@ object PrLargeAb {
     val modes = if (args.length > 1) args.drop(1).toSeq
       else Seq("shuffle", "bcswap")
     val codec = sys.env.getOrElse("GRAFT_IO_CODEC", "lz4")
+    // per-mode shuffle/spill byte accounting (the judge's floor-analysis
+    // receipts): stage-level totals accumulated by listener
+    val shufW = new java.util.concurrent.atomic.AtomicLong
+    val shufR = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -36,6 +41,16 @@ object PrLargeAb {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     System.err.println(s"[ab] io codec: $codec")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          spill.addAndGet(m.diskBytesSpilled)
+        }
+      })
 
     val edgesPath = s"target/graft-data/rmat-s$scale-edges.parquet"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(edgesPath))) {
@@ -54,9 +69,12 @@ object PrLargeAb {
         case "shuffle" => false
         case other => sys.error(s"unknown mode '$other' (shuffle|bcswap)")
       }
+      val (w0, r0, s0) = (shufW.get, shufR.get, spill.get)
       val t = System.nanoTime()
       PageRank.fixedIterations(g, 10, broadcastVertices = bc).count()
-      System.err.println(f"[ab] pr-10 $mode%-10s codec=$codec ${(System.nanoTime() - t) / 1e9}%8.1f s")
+      System.err.println(f"[ab] pr-10 $mode%-10s codec=$codec ${(System.nanoTime() - t) / 1e9}%8.1f s  " +
+        f"shufW=${(shufW.get - w0) / 1e9}%.1fGB shufR=${(shufR.get - r0) / 1e9}%.1fGB " +
+        f"spill=${(spill.get - s0) / 1e9}%.1fGB")
     }
     spark.stop()
   }
