@@ -198,7 +198,9 @@ object SparkEntry {
     "stream_wsssp_incremental" -> ((s, d) =>
       EventStream.incrementalWssspStream(s, d)),
     "stream_landmark_incremental" -> ((s, d) =>
-      EventStream.incrementalLandmarkStream(s, d)))
+      EventStream.incrementalLandmarkStream(s, d)),
+    "stream_triangles_incremental" -> ((s, d) =>
+      EventStream.incrementalTrianglesStream(s, d)))
 
   /** DuckDB-equivalent SQL per query key (same column names, types, and
     * rounding as the Spark result — the driver hash-compares).
@@ -363,5 +365,6 @@ object SparkEntry {
     "stream_sssp_incremental" -> EdgeUpdates.updatedSsspSql,
     "graph_update_sssp_weighted" -> EdgeUpdates.updatedWssspSql(),
     "stream_wsssp_incremental" -> EdgeUpdates.updatedWssspSql(),
-    "stream_landmark_incremental" -> EdgeUpdates.updatedLandmarkSql())
+    "stream_landmark_incremental" -> EdgeUpdates.updatedLandmarkSql(),
+    "stream_triangles_incremental" -> EdgeUpdates.updatedUserTrianglesSql)
 }

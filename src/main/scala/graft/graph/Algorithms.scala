@@ -390,14 +390,26 @@ object ShortestPaths {
       val spark = edges.sparkSession
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("id", "dist")
-    } else run(g, edges, row.getLong(0), maxIter, broadcastState)
+    } else apply(g, row.getLong(0), maxIter, broadcastState)
   }
 
+  /** Converged distance tables, memoized per (graph, params) for
+    * session-memoized graphs — the [[ConnectedComponents]] labelCache
+    * contract: one maintained graph serves many analytics (the incremental
+    * stream maintainers seed from the same converged state the batch
+    * queries already computed), and ad-hoc graphs never enter the cache.
+    */
+  private val distCache = scala.collection.concurrent.TrieMap[
+    (Graph, Long, Int, Boolean), DataFrame]()
+
   def apply(g: Graph, source: Long, maxIter: Int = 64,
-      broadcastState: Boolean = true): DataFrame = {
-    val edges = g.cachedUndirected
-    run(g, edges, source, maxIter, broadcastState)
-  }
+      broadcastState: Boolean = true): DataFrame =
+    if (g.memoizeAnalytics) {
+      graft.core.SessionCaches.sweep(distCache)(_._1.edges.sparkSession)
+      distCache.getOrElseUpdate((g, source, maxIter, broadcastState),
+        run(g, g.cachedUndirected, source, maxIter, broadcastState)
+          .localCheckpoint(true))
+    } else run(g, g.cachedUndirected, source, maxIter, broadcastState)
 
   private def run(g: Graph, edges: DataFrame, source: Long, maxIter: Int,
       broadcastState: Boolean): DataFrame = {
@@ -505,8 +517,22 @@ object WeightedShortestPaths {
   /** @param broadcastState see [[ShortestPaths.fromMinVertex]] — disable at
     *   billion-vertex scale (frontier and distance table are |V|-bounded).
     */
+  /** Converged weighted distances, memoized per (graph, params) for
+    * session-memoized graphs ([[ConnectedComponents]] labelCache contract).
+    */
+  private val distCache = scala.collection.concurrent.TrieMap[
+    (Graph, Long, Int, Boolean), DataFrame]()
+
   def apply(g: Graph, source: Long, maxIter: Int = 100,
-      broadcastState: Boolean = true): DataFrame = {
+      broadcastState: Boolean = true): DataFrame =
+    if (g.memoizeAnalytics) {
+      graft.core.SessionCaches.sweep(distCache)(_._1.edges.sparkSession)
+      distCache.getOrElseUpdate((g, source, maxIter, broadcastState),
+        run(g, source, maxIter, broadcastState).localCheckpoint(true))
+    } else run(g, source, maxIter, broadcastState)
+
+  private def run(g: Graph, source: Long, maxIter: Int,
+      broadcastState: Boolean): DataFrame = {
     val spark = g.edges.sparkSession
     import spark.implicits._
     def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
@@ -594,8 +620,22 @@ object LandmarkDistances {
   /** @param broadcastState see [[ShortestPaths.fromMinVertex]] — disable at
     *   billion-vertex scale (state is ≤ k·|V| rows).
     */
+  /** Converged landmark sketches, memoized per (graph, params) for
+    * session-memoized graphs ([[ConnectedComponents]] labelCache contract).
+    */
+  private val distCache = scala.collection.concurrent.TrieMap[
+    (Graph, Int, Int, Boolean), DataFrame]()
+
   def apply(g: Graph, k: Int = 4, maxIter: Int = 64,
-      broadcastState: Boolean = true): DataFrame = {
+      broadcastState: Boolean = true): DataFrame =
+    if (g.memoizeAnalytics) {
+      graft.core.SessionCaches.sweep(distCache)(_._1.edges.sparkSession)
+      distCache.getOrElseUpdate((g, k, maxIter, broadcastState),
+        run(g, k, maxIter, broadcastState).localCheckpoint(true))
+    } else run(g, k, maxIter, broadcastState)
+
+  private def run(g: Graph, k: Int, maxIter: Int,
+      broadcastState: Boolean): DataFrame = {
     val edges = g.cachedUndirected
     val spark = edges.sparkSession
     import spark.implicits._

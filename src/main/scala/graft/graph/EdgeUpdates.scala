@@ -47,6 +47,54 @@ object EdgeUpdates {
       |  FROM events
       |)""".stripMargin
 
+  /** A user–user action feed for the triangle-bearing maintainers: the
+    * customer–supplier feed above is bipartite (triangle-free by
+    * construction), so X19 streams edges within ONE id space instead.
+    * Pairs are canonicalized (src < dst) at derivation and self-pairs
+    * dropped, satisfying [[applyAnnotated]]'s one-row-per-pair contract.
+    */
+  def userPairActions(spark: SparkSession, dir: String): DataFrame = {
+    val u = col("user_id") + lit(1L)
+    val v = pmod(col("event_id"), lit(1500L)) + lit(1L)
+    Tables.events(spark, dir).filter(u =!= v).select(
+      least(u, v).as("src"), greatest(u, v).as("dst"),
+      (col("event_type") === "error").as("is_del"),
+      col("event_id").as("action_id"))
+  }
+
+  /** DuckDB CTE for the surviving user-pair edge set under
+    * [[userPairActions]]' last-delete-wins semantics (empty base). */
+  val userPairUpdCte: String =
+    """uactions AS (
+      |  SELECT least(user_id + 1, event_id % 1500 + 1) AS src,
+      |         greatest(user_id + 1, event_id % 1500 + 1) AS dst,
+      |         event_type = 'error' AS is_del,
+      |         event_id AS action_id
+      |  FROM events
+      |  WHERE user_id + 1 <> event_id % 1500 + 1
+      |),
+      |uannotated AS (
+      |  SELECT src, dst, is_del, action_id,
+      |    max(CASE WHEN is_del THEN action_id END)
+      |      OVER (PARTITION BY src, dst) AS last_del
+      |  FROM uactions
+      |),
+      |uupd AS (
+      |  SELECT src, dst FROM uannotated
+      |  WHERE NOT is_del AND (last_del IS NULL OR action_id > last_del)
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Oracle for X19: triangle count over the drained user-pair edge set
+    * (oriented a<b<c join — the [[Triangles.nationTrianglesSql]] shape).
+    */
+  val updatedUserTrianglesSql: String =
+    s"""WITH $userPairUpdCte
+       |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM uupd e1
+       |JOIN uupd e2 ON e1.dst = e2.src
+       |JOIN uupd e3 ON e1.src = e3.src AND e2.dst = e3.dst""".stripMargin
+
   /** Apply an action log to a weighted edge table. Returns (src, dst, weight)
     * for all surviving edges. Pass `knownActionCount` when the caller
     * already counted the materialized log (see [[applyAnnotated]]).

@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** Phase decomposition of the incremental-maintenance stream queries (the
+  * suite's single biggest remaining block, VERDICT r7 "Next round" #3):
+  * Spark-job count and wall seconds per phase — staging, initial state
+  * build, each micro-batch, drain — so the job-count cuts attack what the
+  * harness actually spends, not what a floor guess says.
+  *
+  * Usage: runMain graft.tools.StreamProf [sfDir] [query ...]
+  */
+object StreamProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val queries = if (args.length > 1) args.drop(1).toSeq
+      else Seq("pr", "sssp", "wsssp", "landmark", "cc", "degrees")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .appName("graft-stream-prof").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    sys.env.get("GRAFT_PROF_AQE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", v))
+    val jobs = new AtomicInteger(0)
+    val jobNanos = new AtomicLong(0)
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          val d = p.durationMs
+          System.err.println(s"[prof]   batch ${p.batchId}: " +
+            s"trigger=${d.get("triggerExecution")}ms " +
+            s"addBatch=${d.getOrDefault("addBatch", -1L)}ms " +
+            s"getBatch=${d.getOrDefault("getBatch", -1L)}ms " +
+            s"latestOffset=${d.getOrDefault("latestOffset", -1L)}ms " +
+            s"queryPlanning=${d.getOrDefault("queryPlanning", -1L)}ms " +
+            s"commit=${d.getOrDefault("commitOffsets", -1L)}ms " +
+            s"rows=${p.numInputRows}")
+        }
+      })
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        starts.put(j.jobId, System.nanoTime())
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        jobs.incrementAndGet()
+        Option(starts.remove(j.jobId)).foreach(t0 =>
+          jobNanos.addAndGet(System.nanoTime() - t0))
+      }
+    })
+    // warm the memoized graph + actions like a mid-suite bench run
+    val g = graft.graph.Graph.fromTpch(spark, sfDir)
+    g.cachedUndirected.count()
+    val actions = graft.graph.EdgeUpdates.actionsFromEvents(spark, sfDir)
+    actions.count()
+
+    def phase[T](name: String)(body: => T): T = {
+      val (j0, n0, t0) = (jobs.get, jobNanos.get, System.nanoTime())
+      val r = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[prof] $name%-28s ${dt}%6.2f s  " +
+        f"jobs=${jobs.get - j0}%3d  jobSec=${(jobNanos.get - n0) / 1e9}%6.2f")
+      r
+    }
+
+    queries.foreach { q =>
+      System.err.println(s"== $q ==")
+      graft.streaming.EventStream.stagingNanos.set(0)
+      val batchSecs = scala.collection.mutable.ArrayBuffer[Double]()
+      val t0 = System.nanoTime()
+      val out = phase(s"$q total") {
+        q match {
+          case "pr" => graft.streaming.EventStream
+            .incrementalPageRankStream(spark, sfDir)
+          case "sssp" => graft.streaming.EventStream
+            .incrementalSsspStream(spark, sfDir)
+          case "wsssp" => graft.streaming.EventStream
+            .incrementalWssspStream(spark, sfDir)
+          case "landmark" => graft.streaming.EventStream
+            .incrementalLandmarkStream(spark, sfDir)
+          case "cc" => graft.streaming.EventStream
+            .incrementalCcStream(spark, sfDir)
+          case "degrees" => graft.streaming.EventStream
+            .incrementalDegreesStream(spark, sfDir)
+          case other => sys.error(s"unknown query '$other'")
+        }
+      }
+      phase(s"$q drain-collect")(out.count())
+      val total = (System.nanoTime() - t0) / 1e9
+      val stage = graft.streaming.EventStream.stagingNanos.get / 1e9
+      System.err.println(f"[prof] $q staging ${stage}%5.2f s; batches: " +
+        batchSecs.map(s => f"$s%.2f").mkString(" ") +
+        f"  (sum ${batchSecs.sum}%5.2f)  total $total%6.2f")
+    }
+    spark.stop()
+  }
+}

@@ -495,4 +495,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0,
       "batch CC labels missing from incremental result")
   }
+
+  test("incremental triangle count is exact after every batch, " +
+      "including same-batch multi-side inserts and deletes") {
+    // fixture: base path 1-2-3 (no triangle), then three batches that hit
+    // the streaming-triangle corner cases — a batch whose TWO inserts
+    // close one triangle, a batch inserting ALL THREE sides of a fresh
+    // triangle, and a batch mixing a two-triangle-destroying delete with
+    // a creating insert. batchTris must match the hand-derived counts
+    // (mid-stream exactness, not just drained), and the drained scalar
+    // must equal the batch oriented count over the updated pair set.
+    import org.apache.spark.sql.functions._
+    import graft.graph.{Graph, Triangles}
+    import spark.implicits._
+    val base = Graph(Seq((1L, 2L), (2L, 3L))
+      .toDF("src", "dst").withColumn("weight", lit(1L)))
+    val actions = Seq(
+      // chunk 1 (ids 1-4): close {1,2,3}; (2,4)+(3,4) close {2,3,4}
+      (1L, 3L, false, 1L), (2L, 4L, false, 2L),
+      (3L, 4L, false, 3L), (4L, 5L, false, 4L),
+      // chunk 2 (ids 5-8): (1,4) closes {1,2,4} AND {1,3,4}; a fully
+      // fresh triangle {7,8,9} arrives three-sides-in-one-batch
+      (1L, 4L, false, 5L), (7L, 8L, false, 6L),
+      (8L, 9L, false, 7L), (7L, 9L, false, 8L),
+      // chunk 3 (ids 9-12): deleting (2,3) destroys {1,2,3} and {2,3,4};
+      // (5,6)+(4,6) close {4,5,6}; deleting (8,9) destroys {7,8,9}
+      (2L, 3L, true, 9L), (5L, 6L, false, 10L),
+      (4L, 6L, false, 11L), (8L, 9L, true, 12L))
+      .toDF("src", "dst", "is_del", "action_id")
+    val perBatch = scala.collection.mutable.ArrayBuffer[Long]()
+    val streamed = EventStream.incrementalTrianglesStreamFrom(
+      spark, base, actions, batches = 3, batchTris = Some(perBatch))
+    assert(perBatch.toSeq == Seq(2L, 5L, 3L),
+      s"per-batch maintained counts wrong: $perBatch")
+    assert(streamed.head().getLong(0) == 3L,
+      "drained triangle count != 3")
+    val batch = Triangles.count(
+      EdgeUpdates(base.edges, actions)
+        .select(col("src").as("u"), col("dst").as("v")))
+      .head().getLong(0)
+    assert(batch == 3L && streamed.head().getLong(0) == batch,
+      s"drained != batch oriented count ($batch)")
+  }
 }
