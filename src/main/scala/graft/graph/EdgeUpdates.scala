@@ -85,15 +85,32 @@ object EdgeUpdates {
       |  GROUP BY 1, 2
       |)""".stripMargin
 
-  /** Oracle for X19: triangle count over the drained user-pair edge set
-    * (oriented a<b<c join — the [[Triangles.nationTrianglesSql]] shape).
+  /** Oracle for X19: the streaming-clustering-coefficient triple over the
+    * drained user-pair edge set — triangle count (oriented a<b<c join, the
+    * [[Triangles.nationTrianglesSql]] shape), wedge count from symmetrized
+    * degrees, and the global coefficient 3T/W at the 8dp ratio contract.
     */
   val updatedUserTrianglesSql: String =
-    s"""WITH $userPairUpdCte
-       |SELECT CAST(count(*) AS BIGINT) AS n_triangles
-       |FROM uupd e1
-       |JOIN uupd e2 ON e1.dst = e2.src
-       |JOIN uupd e3 ON e1.src = e3.src AND e2.dst = e3.dst""".stripMargin
+    s"""WITH $userPairUpdCte,
+       |tri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM uupd e1
+       |  JOIN uupd e2 ON e1.dst = e2.src
+       |  JOIN uupd e3 ON e1.src = e3.src AND e2.dst = e3.dst
+       |),
+       |udegs AS (
+       |  SELECT src AS id, count(*) AS deg
+       |  FROM (SELECT src, dst FROM uupd UNION SELECT dst, src FROM uupd)
+       |  GROUP BY 1
+       |),
+       |wed AS (
+       |  SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+       |  FROM udegs
+       |)
+       |SELECT n_triangles, n_wedges,
+       |  round(CASE WHEN n_wedges = 0 THEN 0.0
+       |             ELSE 3.0 * n_triangles / n_wedges END, 8) AS global_cc
+       |FROM tri, wed""".stripMargin
 
   /** Apply an action log to a weighted edge table. Returns (src, dst, weight)
     * for all surviving edges. Pass `knownActionCount` when the caller

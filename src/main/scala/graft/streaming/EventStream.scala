@@ -1987,7 +1987,21 @@ object EventStream extends Serializable {
       }
       .start()
     q.awaitTermination()
-    Seq(tri).toDF("n_triangles")
+    // drained: the full streaming-clustering-coefficient output STINGER's
+    // alg emits — maintained triangle scalar + wedge count (one degree
+    // aggregate over the final pair state) + the global coefficient
+    // 3T/W, 8dp like every ratio oracle here
+    val wRow = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(sum(((col("deg") * (col("deg") - lit(1L))) / lit(2L))
+        .cast("long")).as("w")).head()
+    val w: Long = if (wRow.isNullAt(0)) 0L else wRow.getLong(0)
+    Seq((tri, w)).toDF("n_triangles", "n_wedges")
+      .select(col("n_triangles"), col("n_wedges"),
+        round(when(col("n_wedges") === 0L, lit(0.0))
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 8)
+          .as("global_cc"))
   }
 
 }
