@@ -267,10 +267,14 @@ object Triangles {
             val out = pairs(marked.filter(col("m")))
               .groupBy(col("u"), col("v"))
               .agg(org.apache.spark.sql.functions.count(lit(1)).as("dec"))
+            // lazy: the surviving-list projection of the marked checkpoint
+            // materializes inside the NEXT round's marked job (or never,
+            // once wedge mode stops consuming the list) instead of paying
+            // its own barrier per round
             tri = marked.filter(!col("m"))
               .select(col("u1"), col("v1"), col("u2"), col("v2"),
                 col("u3"), col("v3"))
-              .localCheckpoint(true)
+              .localCheckpoint(eager = false)
             out
           } else {
             val edges0 = sup.select(col("u"), col("v"))
@@ -302,11 +306,14 @@ object Triangles {
               .groupBy(col("u"), col("v"))
               .agg(org.apache.spark.sql.functions.count(lit(1)).as("dec"))
           }
+        // lazy: the next round's dropped.count() (or the caller's first
+        // action after convergence) is the materializing job — one
+        // barrier per round, not two
         sup = sup.filter(col("support") >= k - 2)
           .join(dec, Seq("u", "v"), "left")
           .select(col("u"), col("v"),
             (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
-          .localCheckpoint(true)
+          .localCheckpoint(eager = false)
       }
       i += 1
     }
