@@ -866,7 +866,8 @@ object EventStream extends Serializable {
       batches: Int = IncrementalBatches): DataFrame =
     incrementalCcStreamFrom(spark, Graph.fromTpch(spark, dir),
       EdgeUpdates.actionsFromEvents(spark, dir), batches,
-      stagedDir = Some(stagedActionFeed(spark, dir, batches)))
+      stagedDir = Some(stagedActionFeed(spark, dir, batches)),
+      drainBase = Some(() => EdgeUpdates.updatedGraph(spark, dir)))
 
   /** [[incrementalCcStream]] over an arbitrary base graph + action log
     * (both honoring [[EdgeUpdates.applyAnnotated]]'s one-directed-row-per-
@@ -898,7 +899,8 @@ object EventStream extends Serializable {
       eagerSplitRepair: Boolean = false,
       midStreamLabels: Option[scala.collection.mutable.ArrayBuffer[
         (DataFrame, DataFrame)]] = None,
-      stagedDir: Option[String] = None)
+      stagedDir: Option[String] = None,
+      drainBase: Option[() => Graph] = None)
       : DataFrame = {
     val staging = stagedDir.getOrElse(
       stageByChunks(actions, "action_id", batches))
@@ -923,29 +925,51 @@ object EventStream extends Serializable {
     // subgraph ONLY, fold the fresh labels over the clean remainder, clear
     // the dirty set. Runs once at drain by default; per delete-batch when
     // eagerSplitRepair is on (then labels are exact after every batch).
-    def repairDirty(tag: String): Unit =
+    def repairDirty(tag: String,
+        finalGraph: Option[() => Graph] = None): Unit =
       if (dirtyVerts.limit(1).count() > 0) t(tag) {
         val dirtyComps = labels
           .join(dirtyVerts, Seq("id"), "left_semi")
           .select(col("component")).distinct().localCheckpoint(true)
-        val lsrc = labels.select(col("id").as("src"), col("component"))
-        val sub = edgeState.select(col("src"), col("dst"))
-          .join(lsrc, "src")
-          .join(dirtyComps, Seq("component"), "left_semi")
-          .select(col("src"), col("dst"))
-        val sg = Graph(sub)
-        repairStats.foreach { m =>
-          m("dirtyComps") = m.getOrElse("dirtyComps", 0L) + dirtyComps.count()
-          m("subEdges") = m.getOrElse("subEdges", 0L) + sub.count()
-          m("totalEdges") = edgeState.count()
+        // drain-time whole-graph case: when the dirty components cover
+        // most of the graph, the scoped carve saves nothing over full CC
+        // of the final graph — and full CC at drain is always CORRECT
+        // (min-id labels are deterministic; clean components re-derive
+        // identically), so when the dir entry has declared that graph's
+        // identity (the memoized updated graph) the session's converged
+        // labels are reused instead of carving a subgraph ≈ the whole.
+        // Mid-stream repairs never take this path (finalGraph is only
+        // passed at drain); ingest-sized dirty sets keep the scoped
+        // carve, which is the 100 TB shape.
+        val useWhole = finalGraph.isDefined && {
+          val nAll = labels.count()
+          nAll > 0 && labels.join(dirtyComps, Seq("component"), "left_semi")
+            .count() * 2 >= nAll
         }
-        val fresh = graft.graph.ConnectedComponents(sg)
-        val clean = labels.join(dirtyComps, Seq("component"), "left_anti")
-          .select(col("id"), col("component"))
-        labels = clean.union(fresh.select(col("id"), col("component")))
-          .localCheckpoint(true)
-        sg.cachedUndirected.unpersist()
-        dirtyVerts = noDirty
+        if (useWhole) {
+          labels = graft.graph.ConnectedComponents(finalGraph.get.apply())
+            .select(col("id"), col("component"))
+          dirtyVerts = noDirty
+        } else {
+          val lsrc = labels.select(col("id").as("src"), col("component"))
+          val sub = edgeState.select(col("src"), col("dst"))
+            .join(lsrc, "src")
+            .join(dirtyComps, Seq("component"), "left_semi")
+            .select(col("src"), col("dst"))
+          val sg = Graph(sub)
+          repairStats.foreach { m =>
+            m("dirtyComps") = m.getOrElse("dirtyComps", 0L) + dirtyComps.count()
+            m("subEdges") = m.getOrElse("subEdges", 0L) + sub.count()
+            m("totalEdges") = edgeState.count()
+          }
+          val fresh = graft.graph.ConnectedComponents(sg)
+          val clean = labels.join(dirtyComps, Seq("component"), "left_anti")
+            .select(col("id"), col("component"))
+          labels = clean.union(fresh.select(col("id"), col("component")))
+            .localCheckpoint(true)
+          sg.cachedUndirected.unpersist()
+          dirtyVerts = noDirty
+        }
       }
     val stream = spark.readStream.schema(actions.schema)
       .option("maxFilesPerTrigger", "1")
@@ -1035,7 +1059,7 @@ object EventStream extends Serializable {
     q.awaitTermination()
     // drain: one split-repair pass over the dirty components' subgraph
     // (already-clean when eagerSplitRepair handled it per batch)
-    repairDirty("drain-repair")
+    repairDirty("drain-repair", finalGraph = drainBase)
     // vertices isolated by deletion carry no edge: match batch-CC's vertex
     // set (components over the updated edge list)
     val present = edgeState.select(col("src").as("id"))
