@@ -89,7 +89,7 @@ object Bench {
     "stream_degrees_incremental", "stream_cc_incremental",
     "stream_pagerank_incremental", "stream_sssp_incremental",
     "stream_wsssp_incremental", "stream_landmark_incremental",
-    "stream_triangles_incremental")
+    "stream_triangles_incremental", "stream_local_cc_incremental")
 
   /** First-trial seconds above which a query is not re-trialed (it
     * amortizes its own warmup, and re-running it would double suite

@@ -200,7 +200,9 @@ object SparkEntry {
     "stream_landmark_incremental" -> ((s, d) =>
       EventStream.incrementalLandmarkStream(s, d)),
     "stream_triangles_incremental" -> ((s, d) =>
-      EventStream.incrementalTrianglesStream(s, d)))
+      EventStream.incrementalTrianglesStream(s, d)),
+    "stream_local_cc_incremental" -> ((s, d) =>
+      EventStream.incrementalLocalClusteringStream(s, d)))
 
   /** DuckDB-equivalent SQL per query key (same column names, types, and
     * rounding as the Spark result — the driver hash-compares).
@@ -366,5 +368,6 @@ object SparkEntry {
     "graph_update_sssp_weighted" -> EdgeUpdates.updatedWssspSql(),
     "stream_wsssp_incremental" -> EdgeUpdates.updatedWssspSql(),
     "stream_landmark_incremental" -> EdgeUpdates.updatedLandmarkSql(),
-    "stream_triangles_incremental" -> EdgeUpdates.updatedUserTrianglesSql)
+    "stream_triangles_incremental" -> EdgeUpdates.updatedUserTrianglesSql,
+    "stream_local_cc_incremental" -> EdgeUpdates.updatedUserLocalCcSql)
 }

@@ -112,6 +112,35 @@ object EdgeUpdates {
        |             ELSE 3.0 * n_triangles / n_wedges END, 8) AS global_cc
        |FROM tri, wed""".stripMargin
 
+  /** Oracle for X20: per-vertex triangle counts + local clustering
+    * coefficients over the drained user-pair edge set (corner counts from
+    * the oriented triangle join; G16's Watts-Strogatz ratio at 8dp).
+    */
+  val updatedUserLocalCcSql: String =
+    s"""WITH $userPairUpdCte,
+       |tri AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM uupd e1
+       |  JOIN uupd e2 ON e1.dst = e2.src
+       |  JOIN uupd e3 ON e1.src = e3.src AND e2.dst = e3.dst
+       |),
+       |corners AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |    SELECT a AS id FROM tri UNION ALL
+       |    SELECT b AS id FROM tri UNION ALL
+       |    SELECT c AS id FROM tri) GROUP BY 1
+       |),
+       |udegs AS (
+       |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT src, dst FROM uupd UNION SELECT dst, src FROM uupd)
+       |  GROUP BY 1
+       |)
+       |SELECT d.id, coalesce(c.n_tri, 0) AS n_tri, d.deg,
+       |  round(CASE WHEN d.deg < 2 THEN 0.0
+       |             ELSE 2.0 * coalesce(c.n_tri, 0) / (d.deg * (d.deg - 1))
+       |        END, 8) AS local_cc
+       |FROM udegs d LEFT JOIN corners c ON d.id = c.id""".stripMargin
+
   /** Apply an action log to a weighted edge table. Returns (src, dst, weight)
     * for all surviving edges. Pass `knownActionCount` when the caller
     * already counted the materialized log (see [[applyAnnotated]]).

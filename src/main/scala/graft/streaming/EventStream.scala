@@ -81,6 +81,27 @@ object EventStream extends Serializable {
         "action_id", batches))
   }
 
+  /** Distinct triangles of canonical (src < dst) pair view `ps` with at
+    * least one vertex in `s(id)`: wedges centered at s-vertices, closed
+    * against the canonical pair view by semi-join, deduplicated as sorted
+    * vertex-triple arrays `t`. Work ∝ Σ_{v∈s} deg(v)² — the X19/X20
+    * batch-local counting kernel.
+    */
+  private def trianglesAt(ps: DataFrame, s: DataFrame): DataFrame = {
+    val sym = ps.union(ps.select(col("dst").as("src"), col("src").as("dst")))
+    val at = sym.join(broadcast(s.select(col("id").as("c"))),
+        col("src") === col("c"))
+      .select(col("c"), col("dst").as("w"))
+    val wedges = at.select(col("c"), col("w").as("w1"))
+      .join(at.select(col("c"), col("w").as("w2")), Seq("c"))
+      .filter(col("w1") < col("w2"))
+    wedges.join(
+        ps.select(col("src").as("w1"), col("dst").as("w2")),
+        Seq("w1", "w2"), "left_semi")
+      .select(array_sort(array(col("c"), col("w1"), col("w2"))).as("t"))
+      .distinct()
+  }
+
   /** One micro-batch of actions merged into the edge state. Micro-batches
     * are ingest-sized by the maintainers' contract (at most one staged
     * chunk), so the SHJ-hint gate needs no count job — [[EdgeUpdates
@@ -93,6 +114,21 @@ object EventStream extends Serializable {
   private def mergeIngestBatch(state: DataFrame, batch: DataFrame): DataFrame =
     EdgeUpdates.applyAnnotatedPath(state, batch,
       broadcastDelta = false, shjHint = true)
+
+  /** Session-shared staged USER-PAIR feed (X19/X20's triangle-bearing
+    * stream, [[EdgeUpdates.userPairActions]]) — same contract as
+    * [[stagedActionFeed]].
+    */
+  private val userStagingMemo = scala.collection.concurrent.TrieMap[
+    ((org.apache.spark.sql.SparkSession, String, Int), Long), String]()
+  private def stagedUserFeed(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batches: Int): String = {
+    graft.core.SessionCaches.sweep(userStagingMemo)(_._1._1)
+    graft.core.SessionCaches.freshOrUpdate(
+      userStagingMemo, (spark, dir, batches), dir)(
+      stageByChunks(EdgeUpdates.userPairActions(spark, dir),
+        "action_id", batches))
+  }
 
   /** Default staged-batch count for the incremental maintainers' demo
     * feed. Two is the minimum that still exercises the cross-batch state
@@ -1949,7 +1985,8 @@ object EventStream extends Serializable {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight")
     incrementalTrianglesStreamFrom(spark, Graph(empty),
-      EdgeUpdates.userPairActions(spark, dir), batches)
+      EdgeUpdates.userPairActions(spark, dir), batches,
+      stagedDir = Some(stagedUserFeed(spark, dir, batches)))
   }
 
   /** [[incrementalTrianglesStream]] over an arbitrary base graph + action
@@ -1970,23 +2007,8 @@ object EventStream extends Serializable {
     var edgeState = maintainedBase(base).edges
     // canonical (src < dst) pair view, maintained under flips
     var pairs = edgeState.select(col("src"), col("dst"))
-    // distinct triangles of `ps` with at least one vertex in `s`: wedges
-    // centered at s-vertices, closed against the canonical pair view,
-    // deduplicated as sorted vertex triples
-    def triAt(ps: DataFrame, s: DataFrame): Long = {
-      val sym = ps.union(ps.select(col("dst").as("src"), col("src").as("dst")))
-      val at = sym.join(broadcast(s.select(col("id").as("c"))),
-          col("src") === col("c"))
-        .select(col("c"), col("dst").as("w"))
-      val wedges = at.select(col("c"), col("w").as("w1"))
-        .join(at.select(col("c"), col("w").as("w2")), Seq("c"))
-        .filter(col("w1") < col("w2"))
-      val closed = wedges.join(
-        ps.select(col("src").as("w1"), col("dst").as("w2")),
-        Seq("w1", "w2"), "left_semi")
-      closed.select(array_sort(array(col("c"), col("w1"), col("w2"))).as("t"))
-        .distinct().count()
-    }
+    def triAt(ps: DataFrame, s: DataFrame): Long =
+      trianglesAt(ps, s).count()
     // initial count: one full oriented count of the base snapshot (zero
     // for the empty-base streaming-ingest entry above)
     var tri: Long =
@@ -2042,6 +2064,126 @@ object EventStream extends Serializable {
         round(when(col("n_wedges") === 0L, lit(0.0))
           .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 8)
           .as("global_cc"))
+  }
+
+  /** X20: INCREMENTAL PER-VERTEX local clustering coefficients over the
+    * streaming edge feed — the per-vertex refinement of X19 and the exact
+    * output shape of the reference STINGER's streaming
+    * clustering-coefficients algorithm (Ediger et al.): STINGER maintains
+    * each vertex's triangle count under insertions/deletions and reports
+    * local coefficients, not just the global scalar.
+    *
+    * The maintained state is the (id, n_tri) table of per-vertex triangle
+    * counts. Per batch the SAME before/after snapshot trick as X19 makes
+    * same-batch multi-side inserts exact with no multiplicity
+    * bookkeeping — but as triple SETS, not counts: created = T(G_new,V_B)
+    * ∖ T(G_old,V_B) and destroyed = the reverse; each changed triangle
+    * contributes ±1 to its three member vertices, and only those delta
+    * ids are merged into the state (the state holds rows ONLY for
+    * vertices currently carrying triangles, so the per-batch merge writes
+    * a triangled-vertex-bounded table, never |V|). Drained result joins
+    * the final degree table: local_cc(v) = 2·n_tri(v)/(deg(v)·(deg(v)−1))
+    * at the 8dp ratio contract (0.0 below degree 2), one row per vertex
+    * in the final edge set — hash-checked against the DuckDB corner-count
+    * oracle.
+    */
+  def incrementalLocalClusteringStream(spark: SparkSession, dir: String,
+      batches: Int = IncrementalBatches): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight")
+    incrementalLocalClusteringStreamFrom(spark, Graph(empty),
+      EdgeUpdates.userPairActions(spark, dir), batches,
+      stagedDir = Some(stagedUserFeed(spark, dir, batches)))
+  }
+
+  /** [[incrementalLocalClusteringStream]] over an arbitrary base graph +
+    * action log (X19's canonical-pair contract).
+    *
+    * @param batchCounts when set, receives the maintained per-vertex
+    *   counts after every micro-batch (fixture-sized collect) — the
+    *   mid-stream exactness hook.
+    */
+  def incrementalLocalClusteringStreamFrom(spark: SparkSession, base: Graph,
+      actions: DataFrame, batches: Int,
+      batchCounts: Option[scala.collection.mutable.ArrayBuffer[
+        Map[Long, Long]]] = None,
+      stagedDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val staging = stagedDir.getOrElse(
+      stageByChunks(actions, "action_id", batches))
+    var edgeState = maintainedBase(base).edges
+    var pairs = edgeState.select(col("src"), col("dst"))
+    // initial per-vertex counts: one oriented enumeration of the base
+    // snapshot (empty for the streaming-ingest entry above)
+    var triCnt: DataFrame =
+      if (base.edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("id", "n_tri").localCheckpoint(true)
+      else graft.graph.Triangles.orientedTriangles(
+          pairs.select(col("src").as("u"), col("dst").as("v")))
+        .select(explode(array(col("a"), col("x"), col("y"))).as("id"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_tri"))
+        .localCheckpoint(true)
+    val stream = spark.readStream.schema(actions.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = mergeIngestBatch(edgeState, batch)
+          .localCheckpoint(eager = false)
+        edgeState = merged.filter(col("weight") > 0L)
+          .select(col("src"), col("dst"), col("weight"))
+        val flips = merged
+          .filter((col("weight_old") > 0L) =!= (col("weight") > 0L))
+          .select(col("src"), col("dst"), (col("weight") > 0L).as("on"))
+        val vB = flips
+          .select(explode(array(col("src"), col("dst"))).as("id"))
+          .distinct().localCheckpoint(eager = false)
+        val pairsNew = pairs
+          .join(broadcast(flips.filter(!col("on"))
+            .select(col("src"), col("dst"))), Seq("src", "dst"), "left_anti")
+          .union(flips.filter(col("on")).select(col("src"), col("dst")))
+          .localCheckpoint(eager = false)
+        // changed triangles as SETS on consistent before/after snapshots
+        val tripNew = trianglesAt(pairsNew, vB)
+          .localCheckpoint(eager = false)
+        val tripOld = trianglesAt(pairs, vB)
+          .localCheckpoint(eager = false)
+        val delta = tripNew.exceptAll(tripOld)
+          .select(explode(col("t")).as("id"), lit(1L).as("d"))
+          .union(tripOld.exceptAll(tripNew)
+            .select(explode(col("t")).as("id"), lit(-1L).as("d")))
+          .groupBy(col("id")).agg(sum(col("d")).as("d"))
+        // merge only the delta ids; rows exist only for vertices carrying
+        // triangles, so the write is triangled-vertex-bounded, not |V|
+        triCnt = triCnt.join(delta, Seq("id"), "full_outer")
+          .select(col("id"),
+            (coalesce(col("n_tri"), lit(0L)) +
+              coalesce(col("d"), lit(0L))).as("n_tri"))
+          .filter(col("n_tri") > 0L)
+          .localCheckpoint(eager = false)
+        pairs = pairsNew
+        // the batch's one materializing job pulls the lazy merge/vB/pairs/
+        // triple-set/state chain
+        triCnt.count()
+        batchCounts.foreach(_ += triCnt.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      }
+      .start()
+    q.awaitTermination()
+    // drained: join the final degree table — one aggregate over the final
+    // pair state, the same drain shape as X19's wedge count
+    val degs = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    degs.join(triCnt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        col("deg"),
+        round(when(col("deg") < 2L, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1L)))), 8).as("local_cc"))
   }
 
 }

@@ -537,4 +537,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == 3L && streamed.head().getLong(0) == batch,
       s"drained != batch oriented count ($batch)")
   }
+
+  test("incremental per-vertex triangle counts are exact after every " +
+      "batch and drain to the batch local clustering coefficients") {
+    // same fixture as the global-count test — per-vertex hand-derived:
+    // after chunk 1 ({1,2,3},{2,3,4}): 1→1 2→2 3→2 4→1;
+    // after chunk 2 (+{1,2,4},{1,3,4},{7,8,9}): 1→3 2→3 3→3 4→3 7,8,9→1;
+    // after chunk 3 (−{1,2,3},−{2,3,4},+{4,5,6},−{7,8,9}; final triangles
+    // {1,2,4},{1,3,4},{4,5,6}): 1→2 2→1 3→1 4→3 5→1 6→1
+    import org.apache.spark.sql.functions._
+    import graft.graph.{Graph, Triangles}
+    import spark.implicits._
+    val base = Graph(Seq((1L, 2L), (2L, 3L))
+      .toDF("src", "dst").withColumn("weight", lit(1L)))
+    val actions = Seq(
+      (1L, 3L, false, 1L), (2L, 4L, false, 2L),
+      (3L, 4L, false, 3L), (4L, 5L, false, 4L),
+      (1L, 4L, false, 5L), (7L, 8L, false, 6L),
+      (8L, 9L, false, 7L), (7L, 9L, false, 8L),
+      (2L, 3L, true, 9L), (5L, 6L, false, 10L),
+      (4L, 6L, false, 11L), (8L, 9L, true, 12L))
+      .toDF("src", "dst", "is_del", "action_id")
+    val perBatch =
+      scala.collection.mutable.ArrayBuffer[Map[Long, Long]]()
+    val streamed = EventStream.incrementalLocalClusteringStreamFrom(
+      spark, base, actions, batches = 3, batchCounts = Some(perBatch))
+    assert(perBatch.toSeq == Seq(
+      Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L),
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 7L -> 1L, 8L -> 1L,
+        9L -> 1L),
+      Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 1L, 6L -> 1L)),
+      s"per-batch per-vertex counts wrong: $perBatch")
+    // drained == batch G16 recomputed over the updated pair set, at the
+    // drained query's own (id, n_tri, deg, local_cc) shape
+    val upd = EdgeUpdates(base.edges, actions).select(col("src"), col("dst"))
+    val degs = upd.union(upd.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val corners = Triangles.orientedTriangles(
+        upd.select(col("src").as("u"), col("dst").as("v")))
+      .select(explode(array(col("a"), col("x"), col("y"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    val expect = degs.join(corners, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        col("deg"),
+        round(when(col("deg") < 2L, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1L)))), 8).as("local_cc"))
+    assert(streamed.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(streamed).count() == 0,
+      "drained per-vertex clustering diverged from batch G16 recompute")
+  }
 }
