@@ -594,4 +594,27 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(outT == replay(symT, 5), "TPC-H-graph LPA disagrees with replay")
   }
+
+  test("converged-distance memos: session-memoized graphs reuse the " +
+      "instance, ad-hoc graphs never enter the cache") {
+    // the r8 contract behind the incremental streams' init reuse: the
+    // memoized graph's converged BFS/weighted/landmark tables come back
+    // REFERENCE-identical on repeat calls (same checkpointed frame, no
+    // recompute), while an ad-hoc fixture graph builds privately each
+    // time (caching it would pin a checkpoint per construction forever —
+    // Graph.memoizeAnalytics's leak contract)
+    val g = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val src = g.cachedUndirected.agg(min(col("src"))).head().getLong(0)
+    assert(ShortestPaths(g, src) eq ShortestPaths(g, src))
+    assert(WeightedShortestPaths(g, src) eq WeightedShortestPaths(g, src))
+    assert(LandmarkDistances(g, k = 2) eq LandmarkDistances(g, k = 2))
+    // fromMinVertex fills the SAME memo the explicit-source call reads
+    assert(ShortestPaths.fromMinVertex(g) eq ShortestPaths(g, src))
+    val adhoc = mkGraph((1L, 2L), (2L, 3L))
+    assert(!(ShortestPaths(adhoc, 1L) eq ShortestPaths(adhoc, 1L)))
+    // and the memoized result is still the right table
+    val d = ShortestPaths(g, src).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(src) == 0L && d.values.max > 0L)
+  }
 }
