@@ -11,6 +11,26 @@ import org.apache.spark.sql.SparkSession
   * live state for live sessions only.
   */
 object SessionCaches {
+  /** Monotonic count of session-memo HITS (converged analytics, memoized
+    * graph instances, verified pair sets). Bench samples it around each
+    * query and flags rows whose runtime rode state computed by an EARLIER
+    * query — without the flag, a drain-time memo hit (e.g.
+    * `stream_sssp_incremental` reusing the converged distances
+    * `graph_update_sssp` already computed) makes cross-round timing
+    * comparisons session-order-dependent with no way to tell from the
+    * artifact.
+    */
+  val memoHits = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** [[scala.collection.concurrent.TrieMap.getOrElseUpdate]] that counts a
+    * [[memoHits]] hit when the key was already present.
+    */
+  def countingGet[K, V](cache: scala.collection.concurrent.TrieMap[K, V],
+      key: K)(build: => V): V =
+    cache.get(key) match {
+      case Some(v) => memoHits.incrementAndGet(); v
+      case None => cache.getOrElseUpdate(key, build)
+    }
   /** Remove every entry whose owning session has been stopped. */
   def sweep[K, V](cache: scala.collection.concurrent.TrieMap[K, V])(
       session: K => SparkSession): Unit =
@@ -59,6 +79,6 @@ object SessionCaches {
     cache.keys.foreach { case (k, f) =>
       if (k == key && f != fp) cache.remove((k, f))
     }
-    cache.getOrElseUpdate((key, fp), build)
+    countingGet(cache, (key, fp))(build)
   }
 }

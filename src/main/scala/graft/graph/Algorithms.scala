@@ -79,7 +79,7 @@ object ConnectedComponents {
       broadcastVertices: Boolean = true): DataFrame =
     if (g.memoizeAnalytics) {
       graft.core.SessionCaches.sweep(labelCache)(_._1.edges.sparkSession)
-      labelCache.getOrElseUpdate((g, maxIter, broadcastVertices),
+      graft.core.SessionCaches.countingGet(labelCache, (g, maxIter, broadcastVertices))(
         run(g, maxIter, broadcastVertices))
     } else run(g, maxIter, broadcastVertices)
 
@@ -406,7 +406,8 @@ object ShortestPaths {
       broadcastState: Boolean = true): DataFrame =
     if (g.memoizeAnalytics) {
       graft.core.SessionCaches.sweep(distCache)(_._1.edges.sparkSession)
-      distCache.getOrElseUpdate((g, source, maxIter, broadcastState),
+      graft.core.SessionCaches.countingGet(distCache,
+        (g, source, maxIter, broadcastState))(
         run(g, g.cachedUndirected, source, maxIter, broadcastState)
           .localCheckpoint(true))
     } else run(g, g.cachedUndirected, source, maxIter, broadcastState)
@@ -527,7 +528,8 @@ object WeightedShortestPaths {
       broadcastState: Boolean = true): DataFrame =
     if (g.memoizeAnalytics) {
       graft.core.SessionCaches.sweep(distCache)(_._1.edges.sparkSession)
-      distCache.getOrElseUpdate((g, source, maxIter, broadcastState),
+      graft.core.SessionCaches.countingGet(distCache,
+        (g, source, maxIter, broadcastState))(
         run(g, source, maxIter, broadcastState).localCheckpoint(true))
     } else run(g, source, maxIter, broadcastState)
 
@@ -630,7 +632,8 @@ object LandmarkDistances {
       broadcastState: Boolean = true): DataFrame =
     if (g.memoizeAnalytics) {
       graft.core.SessionCaches.sweep(distCache)(_._1.edges.sparkSession)
-      distCache.getOrElseUpdate((g, k, maxIter, broadcastState),
+      graft.core.SessionCaches.countingGet(distCache,
+        (g, k, maxIter, broadcastState))(
         run(g, k, maxIter, broadcastState).localCheckpoint(true))
     } else run(g, k, maxIter, broadcastState)
 

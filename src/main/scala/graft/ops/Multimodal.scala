@@ -94,20 +94,28 @@ object Multimodal {
     var rate = -1L
     var byteRate = -1L
     var dataBytes = -1L
-    var o = 12
+    // the cursor is a Long: u32 chunk sizes near Int.MaxValue must not wrap
+    // the advance negative (that turned a malformed container into an
+    // uncaught StringIndexOutOfBounds instead of the documented None)
+    var o = 12L
     while (o + 8 <= p.length && (channels < 0 || dataBytes < 0)) {
-      val id = new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = u32(o + 4)
-      if (id == "fmt " && size >= 16 && o + 8 + 16 <= p.length) {
-        channels = u16(o + 8 + 2).toLong
-        rate = u32(o + 8 + 4)
-        byteRate = u32(o + 8 + 8)
+      val oi = o.toInt // safe: o + 8 <= p.length <= Int.MaxValue
+      val id = new String(p, oi, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(oi + 4)
+      val remaining = p.length - o - 8
+      if (id == "fmt " && size >= 16 && remaining >= 16) {
+        channels = u16(oi + 8 + 2).toLong
+        rate = u32(oi + 8 + 4)
+        byteRate = u32(oi + 8 + 8)
       } else if (id == "data") {
         // the data chunk may legally extend to EOF; clamp to what's here
-        dataBytes = math.min(size, (p.length - o - 8).toLong)
+        dataBytes = math.min(size, remaining)
+      } else if (size > remaining) {
+        // any OTHER chunk claiming more bytes than the payload holds is a
+        // malformed container -> synthetic-meta fallback, never a task death
+        return None
       }
-      o += 8 + size.toInt + (size.toInt & 1) // chunks pad to even sizes
-      if (size > Int.MaxValue - 16) return None
+      o += 8 + size + (size & 1L) // chunks pad to even sizes; Long math
     }
     if (channels <= 0 || rate <= 0 || byteRate <= 0 || dataBytes < 0) None
     else Some((channels, rate, dataBytes * 1000L / byteRate))

@@ -61,8 +61,8 @@ object EventStream extends Serializable {
   private def maintainedBase(base: Graph): MaintainedBase =
     if (base.memoizeAnalytics) {
       graft.core.SessionCaches.sweep(baseMemo)(_._1)
-      baseMemo.getOrElseUpdate((base.edges.sparkSession, base),
-        new MaintainedBase(base))
+      graft.core.SessionCaches.countingGet(baseMemo,
+        (base.edges.sparkSession, base))(new MaintainedBase(base))
     } else new MaintainedBase(base)
 
   /** Session-shared staged action feed: the six incremental maintainers
@@ -102,18 +102,32 @@ object EventStream extends Serializable {
       .distinct()
   }
 
-  /** One micro-batch of actions merged into the edge state. Micro-batches
-    * are ingest-sized by the maintainers' contract (at most one staged
-    * chunk), so the SHJ-hint gate needs no count job — [[EdgeUpdates
-    * .applyAnnotated]]'s checkpoint+count of the action log exists for
-    * unbounded ad-hoc logs, and paying it per micro-batch was one eager
-    * job per batch for a fact the harness already guarantees. The
-    * un-checkpointed batch re-scan behind the merge's window+aggregate is
-    * one staged parquet file.
+  /** Largest staged-chunk row count per staging dir, read from the staged
+    * parquet FOOTERS at staging time (local metadata, zero Spark jobs) —
+    * the SHJ-hint gate for [[mergeIngestBatch]]. A missing entry (ad-hoc
+    * feed not staged by [[stageByChunks]]) conservatively reads as
+    * unbounded, so the hint is only ever asserted for chunks measured
+    * small enough.
     */
-  private def mergeIngestBatch(state: DataFrame, batch: DataFrame): DataFrame =
+  private val chunkRowBound =
+    scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** One micro-batch of actions merged into the edge state. The SHJ-hint
+    * gate needs no count job — the staged chunk's row count was read from
+    * its parquet footers at staging time ([[chunkRowBound]]), so the gate
+    * enforces the same [[EdgeUpdates.BroadcastableActions]] bound as
+    * [[EdgeUpdates.applyAnnotated]] without paying its per-batch
+    * checkpoint+count. Chunks above the bound (e.g. tier-scale logs driven
+    * through a 2-batch stage) fall through unhinted and let AQE/SMJ decide.
+    * The un-checkpointed batch re-scan behind the merge's window+aggregate
+    * is one staged parquet file.
+    */
+  private def mergeIngestBatch(state: DataFrame, batch: DataFrame,
+      staging: String): DataFrame =
     EdgeUpdates.applyAnnotatedPath(state, batch,
-      broadcastDelta = false, shjHint = true)
+      broadcastDelta = false,
+      shjHint = chunkRowBound.getOrElse(staging, Long.MaxValue) <=
+        EdgeUpdates.BroadcastableActions)
 
   /** Session-shared staged USER-PAIR feed (X19/X20's triangle-bearing
     * stream, [[EdgeUpdates.userPairActions]]) — same contract as
@@ -187,8 +201,11 @@ object EventStream extends Serializable {
           floor((col(orderCol) - lit(lo)) / lit(step)).cast("int"))
         .repartition(batches, col("__chunk"))
         .write.partitionBy("__chunk").parquet(raw.toString)
+      val hconf = df.sparkSession.sessionState.newHadoopConf()
+      var maxChunkRows = 0L
       (0 until batches).foreach { i =>
         val d = raw.resolve(s"__chunk=$i")
+        var chunkRows = 0L
         if (Files.isDirectory(d)) {
           val listed = Files.list(d)
           val parts = try {
@@ -202,9 +219,17 @@ object EventStream extends Serializable {
             val dst = staging.resolve(s"chunk-$i-$j.parquet")
             Files.move(p, dst, StandardCopyOption.ATOMIC_MOVE)
             pin(dst, i)
+            // footer row count: local metadata read, zero Spark jobs —
+            // feeds the SHJ-hint gate (chunkRowBound) for mergeIngestBatch
+            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(dst.toUri), hconf))
+            try chunkRows += rdr.getRecordCount finally rdr.close()
           }
         }
+        maxChunkRows = math.max(maxChunkRows, chunkRows)
       }
+      chunkRowBound.put(staging.toString, maxChunkRows)
       // raw/ keeps only _SUCCESS + empty dirs; hidden files (_-prefixed)
       // are ignored by the file source, but drop the dir for cleanliness
       def rm(p: Path): Unit = {
@@ -794,7 +819,7 @@ object EventStream extends Serializable {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        state = mergeIngestBatch(state, batch)
+        state = mergeIngestBatch(state, batch, staging)
           .filter(col("weight") > 0L)
           .select(col("src"), col("dst"), col("weight"))
           .localCheckpoint(true)
@@ -847,7 +872,7 @@ object EventStream extends Serializable {
         // old-vs-new weight, so presence flips come out of the same scan —
         // no separate before/after probes, no excepts. Two jobs per batch
         // (merge checkpoint + degree-state checkpoint), each one scan.
-        val merged = mergeIngestBatch(edgeState, batch)
+        val merged = mergeIngestBatch(edgeState, batch, staging)
           .localCheckpoint(true)
         edgeState = merged.filter(col("weight") > 0L)
           .select(col("src"), col("dst"), col("weight"))
@@ -993,10 +1018,15 @@ object EventStream extends Serializable {
             .join(dirtyComps, Seq("component"), "left_semi")
             .select(col("src"), col("dst"))
           val sg = Graph(sub)
+          // all counters ACCUMULATE (one repair per drain, several per
+          // stream under eagerSplitRepair) — each pass's sub < total, so
+          // summed invariants like subEdges < totalEdges compose across
+          // passes; `repairs` counts passes so per-pass means stay readable
           repairStats.foreach { m =>
+            m("repairs") = m.getOrElse("repairs", 0L) + 1L
             m("dirtyComps") = m.getOrElse("dirtyComps", 0L) + dirtyComps.count()
             m("subEdges") = m.getOrElse("subEdges", 0L) + sub.count()
-            m("totalEdges") = edgeState.count()
+            m("totalEdges") = m.getOrElse("totalEdges", 0L) + edgeState.count()
           }
           val fresh = graft.graph.ConnectedComponents(sg)
           val clean = labels.join(dirtyComps, Seq("component"), "left_anti")
@@ -1023,7 +1053,7 @@ object EventStream extends Serializable {
         // within one batch never flips, so it neither merges nor schedules
         // a repair — last-action-wins is resolved inside the merge). No
         // before/after probes, no separate insert-survivor probe.
-        val merged = mergeIngestBatch(edgeState, batch)
+        val merged = mergeIngestBatch(edgeState, batch, staging)
           .localCheckpoint(true)
         edgeState = merged.filter(col("weight") > 0L)
           .select(col("src"), col("dst"), col("weight"))
@@ -1307,7 +1337,7 @@ object EventStream extends Serializable {
         // is the batch's one early materializing job — it persists the
         // merge and the dSet checkpoint in the same pass instead of
         // paying three eager barriers (r8 streaming-floor pass)
-        val merged = mergeIngestBatch(edgeState, batch)
+        val merged = mergeIngestBatch(edgeState, batch, staging)
           .localCheckpoint(eager = false)
         lap("  b merge-ckpt")
         edgeState = merged.filter(col("weight") > 0L)
@@ -1491,7 +1521,7 @@ object EventStream extends Serializable {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // ONE edge-state pass: the same single-pass flips X6/X7/X15 read
-        val merged = mergeIngestBatch(edgeState, batch)
+        val merged = mergeIngestBatch(edgeState, batch, staging)
           .localCheckpoint(true)
         edgeState = merged.filter(col("weight") > 0L)
           .select(col("src"), col("dst"), col("weight"))
@@ -1664,7 +1694,7 @@ object EventStream extends Serializable {
         // ONE edge-state pass: the same single-pass merge X6/X7/X15/X16
         // read; `changed` = presence flips OR weight changes (an insert
         // on an existing pair INCREMENTS its weight — a lengthening)
-        val merged = mergeIngestBatch(edgeState, batch)
+        val merged = mergeIngestBatch(edgeState, batch, staging)
           .localCheckpoint(true)
         edgeState = merged.filter(col("weight") > 0L)
           .select(col("src"), col("dst"), col("weight"))
@@ -1837,7 +1867,7 @@ object EventStream extends Serializable {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // ONE edge-state pass: the same single-pass flips X6/X7/X15/X16 read
-        val merged = mergeIngestBatch(edgeState, batch)
+        val merged = mergeIngestBatch(edgeState, batch, staging)
           .localCheckpoint(true)
         edgeState = merged.filter(col("weight") > 0L)
           .select(col("src"), col("dst"), col("weight"))
@@ -2023,7 +2053,7 @@ object EventStream extends Serializable {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val merged = mergeIngestBatch(edgeState, batch)
+        val merged = mergeIngestBatch(edgeState, batch, staging)
           .localCheckpoint(eager = false)
         edgeState = merged.filter(col("weight") > 0L)
           .select(col("src"), col("dst"), col("weight"))
@@ -2131,7 +2161,7 @@ object EventStream extends Serializable {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val merged = mergeIngestBatch(edgeState, batch)
+        val merged = mergeIngestBatch(edgeState, batch, staging)
           .localCheckpoint(eager = false)
         edgeState = merged.filter(col("weight") > 0L)
           .select(col("src"), col("dst"), col("weight"))

@@ -770,6 +770,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).getString(2) == "binary")
   }
 
+  test("multimodal decode: malformed RIFF chunk sizes fall back, never throw") {
+    // r8 ADVICE (medium): a >=44-byte RIFF payload whose chunk size sits in
+    // (Int.MaxValue-37, Int.MaxValue-16] used to wrap the Int cursor
+    // negative and die in new String(...) instead of the documented
+    // None -> syntheticMeta fallback. Build exactly that payload: a valid
+    // RIFF/WAVE prologue, then a junk chunk declaring a near-Int.MaxValue
+    // size.
+    def wrapPayload(chunkSize: Long): Array[Byte] = {
+      val p = new Array[Byte](64)
+      "RIFF".getBytes.copyToArray(p, 0)
+      "WAVE".getBytes.copyToArray(p, 8)
+      "JUNK".getBytes.copyToArray(p, 12)
+      var s = chunkSize
+      (0 until 4).foreach { i => p(16 + i) = (s & 0xff).toByte; s >>= 8 }
+      p
+    }
+    val sizes = Seq(Int.MaxValue - 30L, Int.MaxValue - 16L,
+      Int.MaxValue.toLong, 0xffffffffL, 1000L)
+    sizes.foreach { sz =>
+      assert(Multimodal.decodeWav(wrapPayload(sz)).isEmpty,
+        s"chunk size $sz must read as malformed (None), not throw")
+    }
+    // and the total pipeline lands on the synthetic 'binary' shape
+    assert(Multimodal.decodeMeta(9L, wrapPayload(Int.MaxValue - 20L))
+      .media_type == "binary")
+  }
+
   test("multimodal features: resize + grayscale pool separates dark/light halves") {
     import spark.implicits._
     val rows = Seq(
