@@ -202,7 +202,13 @@ object SparkEntry {
     "stream_triangles_incremental" -> ((s, d) =>
       EventStream.incrementalTrianglesStream(s, d)),
     "stream_local_cc_incremental" -> ((s, d) =>
-      EventStream.incrementalLocalClusteringStream(s, d)))
+      EventStream.incrementalLocalClusteringStream(s, d)),
+    "stream_betweenness_incremental" -> ((s, d) =>
+      EventStream.incrementalBetweennessStream(s, d)),
+    "stream_kcore_incremental" -> ((s, d) =>
+      EventStream.incrementalKcoreStream(s, d)),
+    "stream_ktruss_incremental" -> ((s, d) =>
+      EventStream.incrementalKtrussStream(s, d)))
 
   /** DuckDB-equivalent SQL per query key (same column names, types, and
     * rounding as the Spark result — the driver hash-compares).
@@ -369,5 +375,13 @@ object SparkEntry {
     "stream_wsssp_incremental" -> EdgeUpdates.updatedWssspSql(),
     "stream_landmark_incremental" -> EdgeUpdates.updatedLandmarkSql(),
     "stream_triangles_incremental" -> EdgeUpdates.updatedUserTrianglesSql,
-    "stream_local_cc_incremental" -> EdgeUpdates.updatedUserLocalCcSql)
+    "stream_local_cc_incremental" -> EdgeUpdates.updatedUserLocalCcSql,
+    // X21 drains to exactly the batch G22 result over the updated graph
+    "stream_betweenness_incremental" ->
+      Betweenness.unrolledSql(4, 8, EdgeUpdates.updatedUndirectedCte),
+    // X22 drains to exactly the batch G13 result over the updated graph
+    "stream_kcore_incremental" ->
+      KCore.unrolledSql(32, 8, EdgeUpdates.updatedUndirectedCte),
+    // X23 drains the maintained triangle list into G18's truss peel
+    "stream_ktruss_incremental" -> EdgeUpdates.updatedUserKtrussSql())
 }

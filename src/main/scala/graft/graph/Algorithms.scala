@@ -1293,9 +1293,39 @@ object KCore {
     *   the unrolled oracle fails with a clear message instead of a bare
     *   hash mismatch (the Spark side is exact; the truncated oracle isn't).
     */
+  /** Peeled (id, core_degree) + convergence rounds + converged flag,
+    * memoized per (graph, params) for session-memoized graphs
+    * ([[ConnectedComponents]] labelCache contract) — the incremental
+    * k-core maintainer (X22) seeds its membership state from the same
+    * peel the batch query computed.
+    */
+  private val coreCache = scala.collection.concurrent.TrieMap[
+    (Graph, Int, Int, Boolean), (DataFrame, Int, Boolean)]()
+
   def apply(g: Graph, k: Int, maxIter: Int = 100,
       broadcastVertices: Boolean = true,
       oracleRounds: Option[Int] = None): DataFrame = {
+    val (res, i, converged) =
+      if (g.memoizeAnalytics) {
+        graft.core.SessionCaches.sweep(coreCache)(_._1.edges.sparkSession)
+        graft.core.SessionCaches.countingGet(coreCache,
+          (g, k, maxIter, broadcastVertices))(
+          runPeel(g, k, maxIter, broadcastVertices))
+      } else runPeel(g, k, maxIter, broadcastVertices)
+    if (!converged)
+      System.err.println(s"[graft] WARN KCore: fixpoint not reached after " +
+        s"$maxIter rounds — result may contain sub-$k vertices")
+    oracleRounds.foreach { r =>
+      if (!converged || i > r) throw new IllegalStateException(
+        s"k-core peel converged in $i rounds but the unrolled SQL oracle " +
+          s"only has $r: raise `rounds` in KCore.unrolledSql for this SF " +
+          "(the truncated oracle would hash-mismatch the exact Spark result)")
+    }
+    res
+  }
+
+  private def runPeel(g: Graph, k: Int, maxIter: Int,
+      broadcastVertices: Boolean): (DataFrame, Int, Boolean) = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
     var edges = g.cachedUndirected.select(col("src"), col("dst"))
     var prev = edges.count()
@@ -1318,16 +1348,8 @@ object KCore {
       edges = pruned
       i += 1
     }
-    if (!converged)
-      System.err.println(s"[graft] WARN KCore: fixpoint not reached after " +
-        s"$maxIter rounds — result may contain sub-$k vertices")
-    oracleRounds.foreach { r =>
-      if (!converged || i > r) throw new IllegalStateException(
-        s"k-core peel converged in $i rounds but the unrolled SQL oracle " +
-          s"only has $r: raise `rounds` in KCore.unrolledSql for this SF " +
-          "(the truncated oracle would hash-mismatch the exact Spark result)")
-    }
-    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+    (edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree")),
+      i, converged)
   }
 
   /** DuckDB oracle: `rounds` unrolled peel steps (idempotent past the
@@ -1843,6 +1865,14 @@ object LabelPropagation {
   * and 6 dp on the emitted score ([[unrolledSql]]).
   */
 object Betweenness {
+  /** Forward σ levels memoized per (graph, params) for session-memoized
+    * graphs ([[ConnectedComponents]] labelCache contract) — the
+    * incremental betweenness maintainer (X21) seeds from the same forward
+    * state the batch query computed; each level is localCheckpoint'd.
+    */
+  private val fwdCache = scala.collection.concurrent.TrieMap[
+    (Graph, Int, Int, Boolean), Seq[DataFrame]]()
+
   /** @param broadcastState disable at billion-vertex scale (frontier,
     *   level, and dependency tables are ≤ k·|V| rows).
     */
@@ -1851,14 +1881,33 @@ object Betweenness {
     val edges = g.cachedUndirected
     val spark = edges.sparkSession
     import spark.implicits._
-    def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
     val allv = edges.select(col("src").as("id")).distinct()
     val lms = allv.orderBy(col("id")).limit(k)
       .collect().map(_.getLong(0)).toSeq
     if (lms.isEmpty)
       return Seq.empty[(Long, Double)].toDF("id", "betweenness")
-    // forward: fused multi-source BFS with path counting — level ℓ's σ is
-    // the sum of predecessor σ over edges from level ℓ−1
+    val levels = forward(g, lms, k, maxIter, broadcastState)
+    backward(edges, allv, levels, broadcastState)
+  }
+
+  /** Forward pass: fused multi-source BFS with path counting — level ℓ's
+    * σ is the sum of predecessor σ over edges from level ℓ−1. Memoized
+    * per (graph, k) for session-memoized graphs.
+    */
+  def forward(g: Graph, lms: Seq[Long], k: Int, maxIter: Int = 64,
+      broadcastState: Boolean = true): Seq[DataFrame] =
+    if (g.memoizeAnalytics) {
+      graft.core.SessionCaches.sweep(fwdCache)(_._1.edges.sparkSession)
+      graft.core.SessionCaches.countingGet(fwdCache,
+        (g, k, maxIter, broadcastState))(
+        runForward(g.cachedUndirected, lms, maxIter, broadcastState))
+    } else runForward(g.cachedUndirected, lms, maxIter, broadcastState)
+
+  private def runForward(edges: DataFrame, lms: Seq[Long], maxIter: Int,
+      broadcastState: Boolean): Seq[DataFrame] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
     val levels = scala.collection.mutable.ArrayBuffer(
       lms.map(l => (l, l, 1L)).toDF("lm", "id", "sigma")
         .localCheckpoint(true))
@@ -1887,9 +1936,19 @@ object Betweenness {
     if (depth >= maxIter)
       System.err.println(s"[graft] WARN Betweenness: frontier still " +
         s"non-empty after $maxIter hops — dependencies beyond the cap missing")
-    // backward: δ per level, deepest first; δ(v) sums over successors w
-    // (adjacent, one level deeper) σ(v)/σ(w)·(1+δ(w)), 9 dp-pinned so the
-    // float drift cannot compound across levels between engines
+    levels.toSeq
+  }
+
+  /** Backward pass: δ per level, deepest first; δ(v) sums over successors
+    * w (adjacent, one level deeper) σ(v)/σ(w)·(1+δ(w)), 9 dp-pinned so
+    * the float drift cannot compound across levels between engines.
+    * `levels` are the forward pass's per-level (lm, id, sigma) parts
+    * (from [[forward]] or reconstructed from maintained incremental
+    * state); `edges` the symmetrized view they were computed over.
+    */
+  def backward(edges: DataFrame, allv: DataFrame, levels: Seq[DataFrame],
+      broadcastState: Boolean = true): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
     var delta: DataFrame = null
     val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (l <- levels.size - 2 to 1 by -1) {

@@ -112,6 +112,16 @@ object EdgeUpdates {
        |             ELSE 3.0 * n_triangles / n_wedges END, 8) AS global_cc
        |FROM tri, wed""".stripMargin
 
+  /** Oracle for X23: the k-truss peel over the drained user-pair edge set
+    * ([[Triangles.kTrussSql]]'s unrolled rounds composed over `uupd` —
+    * validated convergent by round 3 at sf0.1, round 6 at sf0.01, so 8
+    * idempotent rounds cover both).
+    */
+  def updatedUserKtrussSql(k: Int = 4, rounds: Int = 8): String =
+    Triangles.kTrussSql(k, rounds,
+      s"""$userPairUpdCte,
+         |pe AS MATERIALIZED (SELECT src AS u, dst AS v FROM uupd)""".stripMargin)
+
   /** Oracle for X20: per-vertex triangle counts + local clustering
     * coefficients over the drained user-pair edge set (corner counts from
     * the oriented triangle join; G16's Watts-Strogatz ratio at 8dp).

@@ -336,7 +336,22 @@ object Triangles {
     * identity; rounds must be ≥ the fixpoint depth at the checked SF,
     * measured 4 at sf0.01 / 9 at sf0.1 for k=5).
     */
-  def kTrussSql(k: Int = 5, rounds: Int = 12): String = {
+  /** Part co-occurrence canonical pair CTE (ends in `pe(u, v)`) — the
+    * default graph the truss oracle peels.
+    */
+  val partPeCte: String =
+    """pe AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |)""".stripMargin
+
+  /** @param peCte CTE chain ending in `pe(u, v)` — canonical (u < v)
+    *   pairs; swap in another graph's chain to compose the truss oracle
+    *   over it (X23 uses the updated user-pair set).
+    */
+  def kTrussSql(k: Int = 5, rounds: Int = 12,
+      peCte: String = partPeCte): String = {
     def pairs(t: String): String =
       s"""SELECT a AS u, b AS v FROM $t UNION ALL
          |    SELECT a, c FROM $t UNION ALL
@@ -351,11 +366,7 @@ object Triangles {
          |    AND EXISTS (SELECT 1 FROM e$r WHERE u = t.a AND v = t.c)
          |    AND EXISTS (SELECT 1 FROM e$r WHERE u = t.b AND v = t.c))""".stripMargin
     }.mkString(",\n")
-    s"""WITH pe AS MATERIALIZED (
-       |  SELECT DISTINCT a.l_partkey::BIGINT AS u, b.l_partkey::BIGINT AS v
-       |  FROM lineitem a JOIN lineitem b
-       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-       |),
+    s"""WITH $peCte,
        |tri0 AS MATERIALIZED (
        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
        |  FROM pe e1 JOIN pe e2 ON e1.v = e2.u

