@@ -91,7 +91,7 @@ object Bench {
     "stream_wsssp_incremental", "stream_landmark_incremental",
     "stream_triangles_incremental", "stream_local_cc_incremental",
     "stream_betweenness_incremental", "stream_kcore_incremental",
-    "stream_ktruss_incremental")
+    "stream_ktruss_incremental", "stream_lpa_incremental")
 
   /** First-trial seconds above which a query is not re-trialed (it
     * amortizes its own warmup, and re-running it would double suite

@@ -208,7 +208,9 @@ object SparkEntry {
     "stream_kcore_incremental" -> ((s, d) =>
       EventStream.incrementalKcoreStream(s, d)),
     "stream_ktruss_incremental" -> ((s, d) =>
-      EventStream.incrementalKtrussStream(s, d)))
+      EventStream.incrementalKtrussStream(s, d)),
+    "stream_lpa_incremental" -> ((s, d) =>
+      EventStream.incrementalLpaStream(s, d)))
 
   /** DuckDB-equivalent SQL per query key (same column names, types, and
     * rounding as the Spark result — the driver hash-compares).
@@ -383,5 +385,8 @@ object SparkEntry {
     "stream_kcore_incremental" ->
       KCore.unrolledSql(32, 8, EdgeUpdates.updatedUndirectedCte),
     // X23 drains the maintained triangle list into G18's truss peel
-    "stream_ktruss_incremental" -> EdgeUpdates.updatedUserKtrussSql())
+    "stream_ktruss_incremental" -> EdgeUpdates.updatedUserKtrussSql(),
+    // X24 drains to exactly the batch G14 result over the updated graph
+    "stream_lpa_incremental" ->
+      LabelPropagation.unrolledSql(5, EdgeUpdates.updatedUndirectedCte))
 }

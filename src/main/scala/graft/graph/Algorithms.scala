@@ -1805,12 +1805,36 @@ object GraphColoring {
   */
 object LabelPropagation {
   def apply(g: Graph, rounds: Int = 5,
-      broadcastVertices: Boolean = true): DataFrame = {
+      broadcastVertices: Boolean = true): DataFrame =
+    roundTables(g, rounds, broadcastVertices).last
+      .select(col("id"), col("lbl").as("label"))
+
+  /** Per-round label tables L_0..L_rounds, memoized per (graph, params)
+    * for session-memoized graphs ([[ConnectedComponents]] labelCache
+    * contract) — the incremental LPA maintainer (X24) maintains exactly
+    * these tables, so its stream init reuses what the batch query
+    * computed. Each is localCheckpoint'd.
+    */
+  private val roundsCache = scala.collection.concurrent.TrieMap[
+    (Graph, Int, Boolean), Seq[DataFrame]]()
+
+  def roundTables(g: Graph, rounds: Int,
+      broadcastVertices: Boolean = true): Seq[DataFrame] =
+    if (g.memoizeAnalytics) {
+      graft.core.SessionCaches.sweep(roundsCache)(_._1.edges.sparkSession)
+      graft.core.SessionCaches.countingGet(roundsCache,
+        (g, rounds, broadcastVertices))(
+        runRounds(g, rounds, broadcastVertices))
+    } else runRounds(g, rounds, broadcastVertices)
+
+  private def runRounds(g: Graph, rounds: Int,
+      broadcastVertices: Boolean): Seq[DataFrame] = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
     val edges = g.cachedUndirected.select(col("src"), col("dst"))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
+    val acc = scala.collection.mutable.ArrayBuffer(labels)
     for (_ <- 1 to rounds) {
       labels = edges.join(bc(labels), col("src") === col("id"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -1818,8 +1842,9 @@ object LabelPropagation {
         .groupBy(col("dst").as("id"))
         .agg(expr("max_by(lbl, struct(c, -lbl))").as("lbl"))
         .localCheckpoint(true)
+      acc += labels
     }
-    labels.select(col("id"), col("lbl").as("label"))
+    acc.toSeq
   }
 
   /** DuckDB oracle: the same synchronous rounds unrolled; the argmax is a

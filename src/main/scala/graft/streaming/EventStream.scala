@@ -2598,6 +2598,136 @@ object EventStream extends Serializable {
     graft.graph.Triangles.kTrussFrom(lst, k, oracleRounds = oracleRounds)
   }
 
+  /** X24: INCREMENTAL label-propagation communities over the streaming
+    * edge feed — the streaming twin of G14
+    * ([[graft.graph.LabelPropagation]]), the last batch analytic without
+    * one. Fixed-round synchronous LPA is a pure `rounds`-stage dataflow
+    * (L_r(v) = deterministic argmax over the neighbor multiset of
+    * L_{r−1}), so unlike the fixpoint analytics it maintains EXACTLY
+    * under inserts AND deletes with no dirty flag and no drain repair:
+    *
+    *  - State: the per-round label tables L_0..L_rounds (what the batch
+    *    query computes; the stream init reuses its session memo,
+    *    [[graft.graph.LabelPropagation.roundTables]]).
+    *  - Per batch, with T = flipped-pair endpoints: L_0 changes only at T
+    *    (identity labels; appeared vertices join, vanished ones drop).
+    *    Round r recomputes labels for A_r = T ∪ neighbors(changed_{r−1})
+    *    — v's round-r input changes iff v's own edge set changed (v ∈ T)
+    *    or an adjacent label from round r−1 changed; a vanished
+    *    neighbor's edges were all deleted, so its former neighbors are
+    *    in T. changed_r = recomputed rows whose label differs (or
+    *    appeared/vanished). Work per batch ∝ the flips' ≤ rounds-hop
+    *    changed region — the recompute aggregates run on
+    *    candidate-edge sets probed with the batch-ball broadcast, never
+    *    |E|.
+    *
+    * Drained L_rounds equals batch G14 over the updated graph by
+    * induction on rounds, hash-checked against the same unrolled
+    * synchronous-rounds oracle composed over the updated edge set
+    * ([[graft.graph.LabelPropagation.unrolledSql]] with
+    * [[EdgeUpdates.updatedUndirectedCte]]).
+    */
+  def incrementalLpaStream(spark: SparkSession, dir: String,
+      batches: Int = IncrementalBatches, rounds: Int = 5): DataFrame =
+    incrementalLpaStreamFrom(spark, Graph.fromTpch(spark, dir),
+      EdgeUpdates.actionsFromEvents(spark, dir), batches, rounds,
+      stagedDir = Some(stagedActionFeed(spark, dir, batches)))
+
+  /** [[incrementalLpaStream]] over an arbitrary base graph + action log
+    * ([[EdgeUpdates.applyAnnotated]]'s one-directed-row-per-pair
+    * contract).
+    */
+  def incrementalLpaStreamFrom(spark: SparkSession, base: Graph,
+      actions: DataFrame, batches: Int, rounds: Int,
+      broadcastState: Boolean = true,
+      stagedDir: Option[String] = None): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
+    val staging = stagedDir.getOrElse(
+      stageByChunks(actions, "action_id", batches))
+    val mb = maintainedBase(base)
+    var edgeState = mb.edges
+    var und = mb.und
+    // per-round label tables from the base (session memo for memoized
+    // graphs — the batch graph_lpa query computed exactly these)
+    val lbls: Array[DataFrame] = graft.graph.LabelPropagation
+      .roundTables(base, rounds, broadcastVertices = broadcastState)
+      .toArray
+    val stream = spark.readStream.schema(actions.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = mergeIngestBatch(edgeState, batch, staging)
+          .localCheckpoint(true)
+        edgeState = merged.filter(col("weight") > 0L)
+          .select(col("src"), col("dst"), col("weight"))
+        val flips = merged
+          .filter((col("weight_old") > 0L) =!= (col("weight") > 0L))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"),
+            (col("weight") > 0L).as("on"))
+          .localCheckpoint(true)
+        val flips2 = flips.select(explode(when(col("a") === col("b"),
+            array(struct(col("a").as("src"), col("b").as("dst"))))
+          .otherwise(array(
+            struct(col("a").as("src"), col("b").as("dst")),
+            struct(col("b").as("src"), col("a").as("dst"))))).as("e"),
+          col("on"))
+          .select(col("e.src"), col("e.dst"), col("on"))
+        val off2 = flips2.filter(!col("on")).select(col("src"), col("dst"))
+        val on2 = flips2.filter(col("on")).select(col("src"), col("dst"))
+        und = und.join(bc(off2), Seq("src", "dst"), "left_anti")
+          .union(on2).localCheckpoint(eager = false)
+        val t = flips.select(explode(array(col("a"), col("b"))).as("id"))
+          .distinct().localCheckpoint(eager = false)
+        // L_0: identity labels over the present vertices of T (appeared
+        // vertices join, vanished ones drop out)
+        val presentT = und.select(col("src").as("id"))
+          .join(bc(t), Seq("id"), "left_semi").distinct()
+        lbls(0) = lbls(0).join(bc(t), Seq("id"), "left_anti")
+          .union(presentT.select(col("id"), col("id").as("lbl")))
+          .localCheckpoint(eager = false)
+        var changed = t // round-0 changes are covered by T itself
+        for (r <- 1 to rounds) {
+          val nbrs = und
+            .join(bc(changed.select(col("id").as("fid"))),
+              col("src") === col("fid"))
+            .select(col("dst").as("id")).distinct()
+          val aR = t.union(nbrs).distinct().localCheckpoint(eager = false)
+          // recompute round r for A_r: candidate edges probed with the
+          // ball broadcast, labels read from the (immutable this round)
+          // L_{r-1} table
+          val cands = und
+            .join(bc(aR.select(col("id").as("vid"))),
+              col("dst") === col("vid"))
+            .select(col("src"), col("vid"))
+          val newLab = lbls(r - 1)
+            .join(bc(cands), col("id") === col("src"))
+            .groupBy(col("vid"), col("lbl")).agg(count(lit(1)).as("c"))
+            .groupBy(col("vid").as("id"))
+            .agg(expr("max_by(lbl, struct(c, -lbl))").as("lbl"))
+            .localCheckpoint(eager = false)
+          val oldR = lbls(r)
+          changed = newLab
+            .join(oldR.select(col("id"), col("lbl").as("olbl")),
+              Seq("id"), "left")
+            .filter(col("olbl").isNull || col("lbl") =!= col("olbl"))
+            .select(col("id"))
+            .localCheckpoint(eager = false)
+          lbls(r) = oldR.join(bc(aR), Seq("id"), "left_anti")
+            .union(newLab)
+            .localCheckpoint(eager = false)
+        }
+        // one materializing job pulls the whole lazy chain of this batch
+        lbls(rounds).count(): Unit
+      }
+      .start()
+    q.awaitTermination()
+    lbls(rounds).select(col("id"), col("lbl").as("label"))
+  }
+
   /** X22: INCREMENTAL k-CORE maintenance over the streaming edge feed —
     * the streaming twin of G13 ([[graft.graph.KCore]]): coreness
     * membership under edge flips without ever re-peeling the full graph.

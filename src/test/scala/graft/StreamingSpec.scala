@@ -641,6 +641,37 @@ class StreamingSpec extends AnyFunSuite {
       s"drained != batch oriented count ($batch)")
   }
 
+  test("incremental LPA stream is exact through inserts, deletes, and " +
+      "vertex churn") {
+    // fixed-round sync LPA is a pure dataflow, so the maintainer must be
+    // exact with NO drain repair on any mix: the fixture splits a
+    // community (delete), bridges two (insert), grows a fresh vertex, and
+    // vanishes one (all its edges deleted) — drained labels must equal
+    // batch G14 over the updated graph
+    import org.apache.spark.sql.functions._
+    import graft.graph.{EdgeUpdates, Graph, LabelPropagation}
+    import spark.implicits._
+    val base = Graph(Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),          // triangle community
+      (10L, 11L), (11L, 12L), (10L, 12L),    // second triangle
+      (3L, 10L),                             // bridge
+      (20L, 21L))                            // pendant pair
+      .toDF("src", "dst").withColumn("weight", lit(1L)))
+    val actions = Seq(
+      (3L, 10L, true, 1L),    // cut the bridge
+      (12L, 20L, false, 2L),  // new bridge to the pendant pair
+      (21L, 22L, false, 3L),  // fresh vertex grows on
+      (20L, 21L, true, 4L),   // rewire the pendant pair
+      (1L, 4L, false, 5L), (2L, 4L, false, 6L)) // vertex joins community 1
+      .toDF("src", "dst", "is_del", "action_id")
+    val streamed = EventStream.incrementalLpaStreamFrom(
+      spark, base, actions, batches = 3, rounds = 5)
+    val batch = LabelPropagation(Graph(EdgeUpdates(base.edges, actions)))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "incremental LPA labels diverged from batch G14")
+  }
+
   test("incremental k-truss stream drains the maintained triangle list " +
       "to the batch G18 peel") {
     // X19's corner-case fixture (multi-side same-batch inserts, mixed
