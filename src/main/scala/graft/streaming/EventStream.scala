@@ -2680,48 +2680,73 @@ object EventStream extends Serializable {
         val on2 = flips2.filter(col("on")).select(col("src"), col("dst"))
         und = und.join(bc(off2), Seq("src", "dst"), "left_anti")
           .union(on2).localCheckpoint(eager = false)
+        // EAGER checkpoints on every node consumed by 2+ broadcasts: an
+        // un-materialized lazy plan is recomputed by EACH broadcast build
+        // (the r8 graph-coloring lesson), and here the chains would
+        // compound across the 5 rounds
         val t = flips.select(explode(array(col("a"), col("b"))).as("id"))
-          .distinct().localCheckpoint(eager = false)
+          .distinct().localCheckpoint(true)
         // L_0: identity labels over the present vertices of T (appeared
         // vertices join, vanished ones drop out)
         val presentT = und.select(col("src").as("id"))
           .join(bc(t), Seq("id"), "left_semi").distinct()
         lbls(0) = lbls(0).join(bc(t), Seq("id"), "left_anti")
           .union(presentT.select(col("id"), col("id").as("lbl")))
-          .localCheckpoint(eager = false)
+          .localCheckpoint(true)
+        val nV = lbls(0).count()
         var changed = t // round-0 changes are covered by T itself
+        // dense-batch flip (X15's r7 precedent): when the changed ball
+        // covers most of the graph — this harness's feed churns well over
+        // half the pairs per batch — the scoped merge machinery (ball
+        // broadcasts, anti/union folds) costs more than it saves; flip to
+        // the batch query's one-agg full round, which is always exact.
+        // Once dense, stay dense: later rounds' balls only reflect this
+        // one's. Sparse batches keep the scoped path (the fixture-proved
+        // 100 TB shape).
+        var dense = false
         for (r <- 1 to rounds) {
-          val nbrs = und
-            .join(bc(changed.select(col("id").as("fid"))),
-              col("src") === col("fid"))
-            .select(col("dst").as("id")).distinct()
-          val aR = t.union(nbrs).distinct().localCheckpoint(eager = false)
-          // recompute round r for A_r: candidate edges probed with the
-          // ball broadcast, labels read from the (immutable this round)
-          // L_{r-1} table
-          val cands = und
-            .join(bc(aR.select(col("id").as("vid"))),
-              col("dst") === col("vid"))
-            .select(col("src"), col("vid"))
-          val newLab = lbls(r - 1)
-            .join(bc(cands), col("id") === col("src"))
-            .groupBy(col("vid"), col("lbl")).agg(count(lit(1)).as("c"))
-            .groupBy(col("vid").as("id"))
-            .agg(expr("max_by(lbl, struct(c, -lbl))").as("lbl"))
-            .localCheckpoint(eager = false)
-          val oldR = lbls(r)
-          changed = newLab
-            .join(oldR.select(col("id"), col("lbl").as("olbl")),
-              Seq("id"), "left")
-            .filter(col("olbl").isNull || col("lbl") =!= col("olbl"))
-            .select(col("id"))
-            .localCheckpoint(eager = false)
-          lbls(r) = oldR.join(bc(aR), Seq("id"), "left_anti")
-            .union(newLab)
-            .localCheckpoint(eager = false)
+          if (!dense) {
+            val nbrs = und
+              .join(bc(changed.select(col("id").as("fid"))),
+                col("src") === col("fid"))
+              .select(col("dst").as("id")).distinct()
+            val aR = t.union(nbrs).distinct().localCheckpoint(true)
+            dense = aR.count() * 2 >= nV
+            if (!dense) {
+              // recompute round r for A_r: candidate edges probed with
+              // the ball broadcast, labels read from the (immutable this
+              // round) L_{r-1} table
+              val cands = und
+                .join(bc(aR.select(col("id").as("vid"))),
+                  col("dst") === col("vid"))
+                .select(col("src"), col("vid"))
+              val newLab = lbls(r - 1)
+                .join(bc(cands), col("id") === col("src"))
+                .groupBy(col("vid"), col("lbl")).agg(count(lit(1)).as("c"))
+                .groupBy(col("vid").as("id"))
+                .agg(expr("max_by(lbl, struct(c, -lbl))").as("lbl"))
+                .localCheckpoint(true)
+              val oldR = lbls(r)
+              changed = newLab
+                .join(oldR.select(col("id"), col("lbl").as("olbl")),
+                  Seq("id"), "left")
+                .filter(col("olbl").isNull || col("lbl") =!= col("olbl"))
+                .select(col("id"))
+                .localCheckpoint(eager = false)
+              lbls(r) = oldR.join(bc(aR), Seq("id"), "left_anti")
+                .union(newLab)
+                .localCheckpoint(true)
+            }
+          }
+          if (dense) {
+            // full round over the maintained view — G14's exact plan
+            lbls(r) = und.join(bc(lbls(r - 1)), col("src") === col("id"))
+              .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+              .groupBy(col("dst").as("id"))
+              .agg(expr("max_by(lbl, struct(c, -lbl))").as("lbl"))
+              .localCheckpoint(true)
+          }
         }
-        // one materializing job pulls the whole lazy chain of this batch
-        lbls(rounds).count(): Unit
       }
       .start()
     q.awaitTermination()
