@@ -70,7 +70,7 @@ object RmatTier {
     */
   final case class TierRun(tier: String, buildSec: Double, svSec: Double,
       ssspSec: Double, prSec: Double, updSec: Double, rate: Double,
-      nv: Long, ne: Long, na: Long) {
+      nv: Long, ne: Long, na: Long, warmSec: Double = 0.0) {
     def metrics: Seq[(String, Double)] = Seq(
       "rmat_build" -> buildSec, "rmat_sv" -> svSec, "rmat_sssp" -> ssspSec,
       "rmat_pr" -> prSec, "rmat_update" -> updSec)
@@ -163,11 +163,13 @@ object RmatTier {
     // build was benchmarking the disk, not the engine (r8 judge item #1 —
     // the r8 artifact's 42.5 s build vs 20.5 s for the same code two runs
     // later, same JVM).
-    locally {
+    val warmSec = locally {
       val t0 = System.nanoTime()
       spark.read.parquet(edgesPath)
         .agg(sum(col("src") + col("dst"))).head()
-      System.err.println(f"[bench] rmat page-cache warm (untimed): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val s = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] rmat page-cache warm (untimed): $s%.1f s")
+      s
     }
     val (g, buildSec) = timed("build") {
       val graph = Graph.fromRawEdges(spark.read.parquet(edgesPath))
@@ -229,7 +231,7 @@ object RmatTier {
       case None => g.cachedUndirected.unpersist(blocking = false)
     }
     TierRun(tier, buildSec, svSec, ssspSec, prSec, updSec, rate,
-      nv, ne, naActual)
+      nv, ne, naActual, warmSec)
   }
 
   /** Write the reference-format run file for `chosen`, noting every run of
@@ -256,6 +258,11 @@ object RmatTier {
           s"most per-workload same-class bars met (${barsMet(chosen)}/5) " +
           s"then lowest total; $runs"
       }
+    // cross-round / cross-engine comparisons that want a COLD definition
+    // of build: first run of the session (coldest JIT) plus that run's
+    // untimed warm scan (the disk read a cold build would have paid)
+    val first = session.headOption.getOrElse(chosen)
+    val buildCold = first.buildSec + first.warmSec
     val json =
       s"""{
          |  "mem": $memKb,
@@ -263,11 +270,13 @@ object RmatTier {
          |  "ne": ${chosen.ne},
          |  "nv": ${chosen.nv},
          |  "type": "$pkg",
+         |  "build_cold": $buildCold,
          |  "notes": {
          |    "graph": "self-generated R-MAT SCALE=$scale EF=8 (ref README tier '${chosen.tier}'), ne = distinct symmetrized edges",
          |    "update": "actions/sec over the isolated update-apply step (inputs pre-materialized); timed BEFORE pr so pr's shuffle activity cannot evict its page cache",
          |    "mem": "$memHow at end of the session, whole JVM (driver+executors: local mode is one process, like the single-node reference engines); covers every run of the session",
          |    "build": "raw edge list from parquet to the weighted symmetrized adjacency cache; input pages warmed untimed before the timer (the reference harness reads the freshly generated graph, so its builds rode warm OS caches too)",
+         |    "build_cold": "first run of the session's build + that run's untimed warm-scan seconds (= the disk read a cold build pays); use this for comparisons against rounds before the warm policy (r9+)",
          |    "session": "$sessionNote"
          |  },
          |  "results": {

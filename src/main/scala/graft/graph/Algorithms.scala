@@ -1896,7 +1896,7 @@ object Betweenness {
     * state the batch query computed; each level is localCheckpoint'd.
     */
   private val fwdCache = scala.collection.concurrent.TrieMap[
-    (Graph, Int, Int, Boolean), Seq[DataFrame]]()
+    (Graph, Seq[Long], Int, Int, Boolean), Seq[DataFrame]]()
 
   /** @param broadcastState disable at billion-vertex scale (frontier,
     *   level, and dependency tables are ≤ k·|V| rows).
@@ -1923,8 +1923,10 @@ object Betweenness {
       broadcastState: Boolean = true): Seq[DataFrame] =
     if (g.memoizeAnalytics) {
       graft.core.SessionCaches.sweep(fwdCache)(_._1.edges.sparkSession)
+      // lms is part of the key: two callers passing different landmark
+      // sets for the same (graph, k) must never share σ levels
       graft.core.SessionCaches.countingGet(fwdCache,
-        (g, k, maxIter, broadcastState))(
+        (g, lms, k, maxIter, broadcastState))(
         runForward(g.cachedUndirected, lms, maxIter, broadcastState))
     } else runForward(g.cachedUndirected, lms, maxIter, broadcastState)
 

@@ -107,10 +107,13 @@ object EventStream extends Serializable {
     * the SHJ-hint gate for [[mergeIngestBatch]]. A missing entry (ad-hoc
     * feed not staged by [[stageByChunks]]) conservatively reads as
     * unbounded, so the hint is only ever asserted for chunks measured
-    * small enough.
+    * small enough. Keyed by (session, path) and swept with the session
+    * ([[graft.core.SessionCaches.sweep]] contract) so long-lived JVMs
+    * cycling sessions don't accumulate entries, and a path re-staged
+    * under a NEW session can never read the old session's bound.
     */
-  private val chunkRowBound =
-    scala.collection.concurrent.TrieMap[String, Long]()
+  private val chunkRowBound = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), Long]()
 
   /** One micro-batch of actions merged into the edge state. The SHJ-hint
     * gate needs no count job — the staged chunk's row count was read from
@@ -126,7 +129,8 @@ object EventStream extends Serializable {
       staging: String): DataFrame =
     EdgeUpdates.applyAnnotatedPath(state, batch,
       broadcastDelta = false,
-      shjHint = chunkRowBound.getOrElse(staging, Long.MaxValue) <=
+      shjHint = chunkRowBound.getOrElse(
+        (state.sparkSession, staging), Long.MaxValue) <=
         EdgeUpdates.BroadcastableActions)
 
   /** Session-shared staged USER-PAIR feed (X19/X20's triangle-bearing
@@ -229,7 +233,8 @@ object EventStream extends Serializable {
         }
         maxChunkRows = math.max(maxChunkRows, chunkRows)
       }
-      chunkRowBound.put(staging.toString, maxChunkRows)
+      graft.core.SessionCaches.sweep(chunkRowBound)(_._1)
+      chunkRowBound.put((df.sparkSession, staging.toString), maxChunkRows)
       // raw/ keeps only _SUCCESS + empty dirs; hidden files (_-prefixed)
       // are ignored by the file source, but drop the dir for cleanliness
       def rm(p: Path): Unit = {
@@ -2161,6 +2166,11 @@ object EventStream extends Serializable {
               .select(col("lm"), col("id"), col("nd").as("dist"))
               .localCheckpoint(true)
           }
+          // a tripped guard means the relaxation may be incomplete (σ=0
+          // placeholders / stale distances in fwd) — flag dirty so the
+          // drain runs the full G22 repair instead of reading the
+          // maintained state as exact
+          if (guard >= 10000) dirty = true
           // phase 2: σ sweep — seeds are distance-changed pairs plus
           // same-length new DAG edges; process lowest level first
           val distChanged =
@@ -2180,7 +2190,7 @@ object EventStream extends Serializable {
               Seq("lm", "id"), "left_semi")
             .localCheckpoint(true)
           guard = 0
-          while (pend.limit(1).count() > 0 && guard < 10000) {
+          while (!dirty && pend.limit(1).count() > 0 && guard < 10000) {
             guard += 1
             val mins = pend.groupBy(col("lm")).agg(min(col("dist")).as("md"))
             val cur = pend.join(bc(mins), Seq("lm"))
@@ -2236,6 +2246,8 @@ object EventStream extends Serializable {
               .union(succAt).distinct()
               .localCheckpoint(true)
           }
+          // same contract for the σ sweep's own guard
+          if (guard >= 10000) dirty = true
         }
       }
       .start()
