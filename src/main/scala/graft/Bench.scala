@@ -56,7 +56,8 @@ object Bench {
     "graph_update_cc", "graph_update_pagerank5", "graph_update_sssp",
     "graph_update_sssp_weighted",
     "graph_triangles", "graph_triangles_scale", "graph_clustering_coeff",
-    "graph_kcore", "graph_lpa", "graph_ktruss", "graph_mis",
+    "graph_kcore", "graph_coreness", "graph_multicontract",
+    "graph_lpa", "graph_ktruss", "graph_mis",
     "graph_coloring",
     "rmat_gen", "rmat_actions",
     "q1_agg", "q3_revenue", "q5_nation_revenue",
@@ -91,7 +92,11 @@ object Bench {
     "stream_wsssp_incremental", "stream_landmark_incremental",
     "stream_triangles_incremental", "stream_local_cc_incremental",
     "stream_betweenness_incremental", "stream_kcore_incremental",
-    "stream_ktruss_incremental", "stream_lpa_incremental")
+    "stream_ktruss_incremental", "stream_lpa_incremental",
+    "stream_ann_ivf_incremental",
+    // AFTER the X23 stream: the batch twin reads the stream-published
+    // triangle-list memo (memo_hits flags the coupling in the artifact)
+    "graph_ktruss_updated")
 
   /** First-trial seconds above which a query is not re-trialed (it
     * amortizes its own warmup, and re-running it would double suite

@@ -65,6 +65,11 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) =>
       KCore(Graph.fromTpch(s, d), k = 32,
         oracleRounds = if (d.contains("sf0.01")) Some(8) else None)),
+    "graph_coreness" -> ((s, d) =>
+      Coreness(Graph.fromTpch(s, d),
+        oracleRounds = if (d.contains("sf0.01")) Some(6) else None)),
+    "graph_multicontract" -> ((s, d) =>
+      MultiContract(Graph.fromTpch(s, d), rounds = 4, jumps = 4)),
     "graph_lpa" -> ((s, d) => LabelPropagation(Graph.fromTpch(s, d), rounds = 5)),
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
     // the three part-co-occurrence queries share one memoized enumeration
@@ -73,6 +78,9 @@ object SparkEntry {
     "graph_triangles_scale" -> ((s, d) => Triangles.partTrianglesScale(s, d)),
     "graph_clustering_coeff" -> ((s, d) => Triangles.partClustering(s, d)),
     "graph_ktruss" -> ((s, d) => Triangles.partKTruss(s, d)),
+    // G18b: batch twin of X23's drain — shares one session-memoized
+    // triangle list with the stream maintainer in either order
+    "graph_ktruss_updated" -> ((s, d) => Triangles.updatedKTruss(s, d)),
     "graph_mis" -> ((s, d) =>
       MaximalIndependentSet(Graph.fromTpch(s, d),
         oracleRounds = if (d.contains("sf0.01")) Some(8) else None)),
@@ -179,6 +187,11 @@ object SparkEntry {
       EventStream.eventsHourlyWatermarkedFinal(s, d)),
     "stream_dedup_exact" -> ((s, d) => EventStream.dedupExactStream(s, d)),
     "stream_dedup_minhash" -> ((s, d) => EventStream.minhashLshStream(s, d)),
+    // X25: probabilistic like ann_ivf (rows-only, declared); the
+    // exhaustive twin (nProbe = nLists) is hash-checked below
+    "stream_ann_ivf_incremental" -> ((s, d) => EventStream.annIvfStream(s, d)),
+    "stream_ann_ivf_exhaustive" -> ((s, d) =>
+      EventStream.annIvfStream(s, d, nProbe = 16)),
     "stream_events_hopping" -> ((s, d) => EventStream.eventsHopping(s, d)),
     "stream_cms_sketch" -> ((s, d) => EventStream.cmsSketchStream(s, d)),
     "stream_purchase_click_join" -> ((s, d) =>
@@ -271,6 +284,8 @@ object SparkEntry {
       PageRank.unrolledSql(5, EdgeUpdates.updatedUndirectedCte),
     "graph_update_sssp" -> EdgeUpdates.updatedSsspSql,
     "graph_kcore" -> KCore.unrolledSql(k = 32, rounds = 8),
+    "graph_coreness" -> Coreness.unrolledSql(rounds = 6),
+    "graph_multicontract" -> MultiContract.unrolledSql(rounds = 4, jumps = 4),
     "graph_mis" -> MaximalIndependentSet.unrolledSql(rounds = 8),
     "graph_coloring" -> GraphColoring.unrolledSql(rounds = 10),
     "graph_lpa" -> LabelPropagation.unrolledSql(rounds = 5),
@@ -278,6 +293,7 @@ object SparkEntry {
     "graph_triangles_scale" -> Triangles.partTrianglesSql,
     "graph_clustering_coeff" -> Triangles.partClusteringSql,
     "graph_ktruss" -> Triangles.kTrussSql(),
+    "graph_ktruss_updated" -> EdgeUpdates.updatedUserKtrussSql(),
     "rmat_gen" -> RMat.unrolledSql(RMat.Params(scale = 10)),
     "rmat_actions" -> RMat.actionsUnrolledSql(RMat.Params(scale = 10), na = 20000L),
     "q1_agg" -> Relational.q1Sql,
@@ -326,6 +342,7 @@ object SparkEntry {
     "embeddings_kmeans" -> Similarity.kmeansSql(),
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),
     "ann_ivf_exhaustive" -> Similarity.annTopKSql(),
+    "stream_ann_ivf_exhaustive" -> Similarity.annTopKSql(),
     "ann_pq_exhaustive" -> Similarity.annTopKSql(),
     "ann_graph_exhaustive" -> Similarity.annTopKSql(),
     "ann_pq_build" -> Similarity.annPqBuildSql(),

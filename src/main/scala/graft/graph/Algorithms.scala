@@ -1374,6 +1374,101 @@ object KCore {
   }
 }
 
+/** Full coreness decomposition: every vertex's core NUMBER (the largest k
+  * such that it belongs to the k-core) — the reference's own kcore output
+  * shape (ref: tests/stinger/src/alg/static_kcore.c:12-58, `labels[v]`
+  * carries the level at which v peels), generalizing [[KCore]]'s fixed-k
+  * membership.
+  *
+  * NOT the level-by-level peel: Matula–Beck peeling needs one barrier per
+  * peel round and measured 94 rounds on the sf0.01 graph. Instead the
+  * h-operator iteration of Lü et al. ("The H-index of a network node and
+  * its relation to degree and coreness", Nature Communications 2016):
+  * init est(v) = degree(v); each round est'(v) = H(est of v's neighbors)
+  * where H is the Hirsch index (largest h with ≥ h neighbors of value
+  * ≥ h). The sequence is monotone non-increasing and its fixpoint is
+  * exactly the coreness — measured 4 rounds to fixpoint on the same graph
+  * (DuckDB cross-check: 0 mismatches vs the exact peel), a 20×+ barrier
+  * cut that also makes the unrolled SQL oracle small.
+  *
+  * Spark-first shape: per round ONE |2E|-row exchange — the window's
+  * hash(src) partitioning is reused by the following aggregate
+  * (EnsureRequirements sees it satisfied), so row_number + max(least(rn,
+  * est)) cost a single shuffle; the |V|-row estimate table broadcasts
+  * (disable at billion-vertex scale and the join shuffles on the
+  * pre-partitioned vertex key). Per-round state is lazily checkpointed
+  * and materialized by the convergence-count job. The h computation is
+  * sort-based (window), not collect_list-based, so a hub's
+  * degree-sized neighbor list never materializes as one array — skew
+  * lands on the sort, AQE's case.
+  */
+object Coreness {
+  /** @param oracleRounds assert the observed convergence depth fits the
+    *   unrolled oracle ([[KCore.apply]] contract): the iteration is
+    *   idempotent past the fixpoint, so an oracle unrolled deeper than
+    *   convergence hashes identically, but a shallower one must fail
+    *   loudly instead of as a bare hash mismatch.
+    */
+  def apply(g: Graph, maxIter: Int = 100,
+      broadcastVertices: Boolean = true,
+      oracleRounds: Option[Int] = None): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    val spark = g.edges.sparkSession
+    val sym = g.cachedUndirected.select(col("src"), col("dst"))
+    var est = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("est")).localCheckpoint(true)
+    var changed = est.limit(1).count() // 0 on an empty graph
+    var i = 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("est").desc)
+    while (changed > 0 && i < maxIter) {
+      val nxt = sym
+        .join(bc(est.select(col("id").as("dst"), col("est"))), Seq("dst"))
+        .select(col("src"), col("est"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("src").as("id"))
+        .agg(max(least(col("rn"), col("est").cast("bigint"))).as("est"))
+        .localCheckpoint(eager = false)
+      // the change count materializes the round's lazy checkpoint
+      changed = nxt.join(est.select(col("id"), col("est").as("prev")),
+          Seq("id"))
+        .filter(col("est") =!= col("prev")).count()
+      est = nxt
+      i += 1
+    }
+    if (changed > 0)
+      System.err.println(s"[graft] WARN Coreness: fixpoint not reached " +
+        s"after $maxIter rounds")
+    oracleRounds.foreach { r =>
+      if (changed > 0 || i > r) throw new IllegalStateException(
+        s"coreness h-iteration converged in $i rounds but the unrolled " +
+          s"SQL oracle has $r: raise `rounds` in Coreness.unrolledSql " +
+          "for this SF")
+    }
+    est.select(col("id"), col("est").as("coreness"))
+  }
+
+  /** DuckDB oracle: `rounds` unrolled h-operator steps (idempotent past
+    * the fixpoint), materialized per round. The same window + aggregate
+    * shape as the Spark plan.
+    */
+  def unrolledSql(rounds: Int,
+      edgesCte: String = Graph.undirectedCte): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""est$r AS MATERIALIZED (
+         |  SELECT src AS id, max(least(rn, est)) AS est FROM (
+         |    SELECT e.src, n.est,
+         |      row_number() OVER (PARTITION BY e.src ORDER BY n.est DESC) AS rn
+         |    FROM edges e JOIN est${r - 1} n ON e.dst = n.id) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |est0 AS MATERIALIZED (
+       |  SELECT src AS id, count(*) AS est FROM edges GROUP BY 1),
+       |$steps
+       |SELECT id, est AS coreness FROM est$rounds""".stripMargin
+  }
+}
+
 /** G19: maximal independent set via Luby's algorithm (Luby 1986, "A
   * Simple Parallel Algorithm for the Maximal Independent Set Problem"),
   * made deterministic for oracle checking: the random per-round priority
@@ -1603,9 +1698,21 @@ object GraphColoring {
     */
   val OracleColorCap = 64
 
+  /** @param lazyRoundState r10: the round's three derived frames (sel, u,
+    *   undU) are LAZY localCheckpoints materialized together by the
+    *   round's one remaining-count job — 2 jobs/round instead of 5. Only
+    *   `tent` stays eager: it feeds two broadcast probes, and a broadcast
+    *   over an un-materialized lazy checkpoint recomputes the chain once
+    *   per build (the confirmed X24/r8 trigger — the r8 lazy-chain
+    *   rejection tested exactly that shape; this one never broadcasts an
+    *   unmaterialized frame: u is materialized by its own count before
+    *   its three broadcast consumers run). `false` = the pre-r10 shape,
+    *   kept for A/B (tools/ColoringAb).
+    */
   def apply(g: Graph, maxIter: Int = 40,
       broadcastVertices: Boolean = true,
-      oracleRounds: Option[Int] = None): DataFrame = {
+      oracleRounds: Option[Int] = None,
+      lazyRoundState: Boolean = true): DataFrame = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
     val spark = g.edges.sparkSession
     import spark.implicits._
@@ -1613,6 +1720,21 @@ object GraphColoring {
     // are by construction OUTSIDE the shrinking uncolored-induced set)
     val e0 = g.cachedUndirected.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).localCheckpoint(true)
+    // Welsh–Powell largest-degree-first priority (r10): hubs win their
+    // conflict class immediately instead of waiting out ~deg(v) rounds of
+    // md5 coin flips — on the bipartite customer–supplier graph the whole
+    // supplier side colors in round 0 and the round count collapsed from
+    // 14 to 2-3 at sf0.1 (the pre-r10 tail spent ~10 driver-synchronized
+    // rounds coloring < 500 leftover hub-adjacent vertices). Same mex +
+    // conflict machinery; the priority string just leads with the
+    // zero-padded degree complement so lexicographic min = (deg desc,
+    // md5 asc).
+    val degs = e0.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val maxDeg = degs.agg(max(col("deg"))).head().getLong(0)
+    require(maxDeg < 100000000L,
+      s"GraphColoring: max degree $maxDeg overflows the 9-digit priority " +
+        "pad — widen the lpad in apply() and unrolledSql together")
     var undU = e0
     var u = g.cachedUndirected.select(col("src").as("id")).distinct()
       .localCheckpoint(true)
@@ -1627,8 +1749,11 @@ object GraphColoring {
     val prof = sys.env.contains("GRAFT_MIS_PROF")
     def parts: Int = math.max(2, math.min(
       spark.sparkContext.defaultParallelism, (n / 20000L).toInt + 1))
+    // round-state checkpoint: lazy ones persist inside the count job
+    def ckptRound(df: DataFrame): DataFrame =
+      df.coalesce(parts).localCheckpoint(!lazyRoundState)
     while (n > 0 && i < maxIter) {
-      if (prof) System.err.println(s"[coloring] round $i uncolored=$n")
+      val roundT0 = System.nanoTime()
       // 1. tentative color for EVERY uncolored vertex: mex over its
       // colored neighbors — mex(used) = min(sequence(0, max(used)+1) \u2216
       // used), exact integer set algebra, deterministic, hash-oracle-safe
@@ -1646,35 +1771,43 @@ object GraphColoring {
               sequence(lit(0L), coalesce(array_max(col("used")), lit(-1L)) + 1),
               coalesce(col("used"), array().cast("array<bigint>")))),
             lit(0L)).as("tent"))
-        .withColumn("pri",
-          md5(concat(col("id").cast("string"), lit(s":$i"))))
+        .join(bc(degs), Seq("id"))
+        .withColumn("pri", concat(
+          lpad((lit(100000000L) - col("deg")).cast("string"), 9, "0"),
+          md5(concat(col("id").cast("string"), lit(s":$i")))))
+        .select(col("id"), col("tent"), col("pri"))
         .coalesce(parts).localCheckpoint(true)
       // 2. conflict resolution: keep a tentative color iff the vertex's
       // priority strictly precedes every SAME-TENTATIVE uncolored
       // neighbor's (adjacent same-round winners are therefore impossible)
+      // both probes project the SAME (id, tent, pri) columns from the
+      // eager tent checkpoint, so the two broadcast exchanges canonicalize
+      // identically and ReuseExchange builds the hash relation once
+      val probe = tent.select(col("id"), col("tent"), col("pri"))
       val conf = undU
-        .join(bc(tent.select(col("id").as("nid"), col("tent").as("ntent"),
-            col("pri").as("npri"))),
+        .join(bc(probe.toDF("nid", "ntent", "npri")),
           col("src") === col("nid"))
-        .join(bc(tent.select(col("id").as("mid"), col("tent").as("mtent"))),
+        .join(bc(probe.toDF("mid", "mtent", "mpri")),
           col("dst") === col("mid"))
         .filter(col("ntent") === col("mtent"))
         .groupBy(col("mid").as("id")).agg(min(col("npri")).as("minp"))
-      val sel = tent.join(conf, Seq("id"), "left")
+      val sel = ckptRound(tent.join(conf, Seq("id"), "left")
         .filter(col("minp").isNull || col("pri") < col("minp"))
-        .select(col("id"), col("tent").as("color"))
-        .coalesce(parts).localCheckpoint(true)
+        .select(col("id"), col("tent").as("color")))
       colored = colored.union(fresh(sel))
-      u = u.join(sel.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"))
-        .coalesce(parts).localCheckpoint(true)
-      undU = undU
+      u = ckptRound(u.join(sel.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id")))
+      undU = ckptRound(undU
         .join(bc(u.select(col("id").as("ks"))),
           col("src") === col("ks"), "left_semi")
         .join(bc(u.select(col("id").as("kd"))),
-          col("dst") === col("kd"), "left_semi")
-        .coalesce(parts).localCheckpoint(true)
+          col("dst") === col("kd"), "left_semi"))
+      // materializes this round's sel and u checkpoints (and, through
+      // conf's probe side, the PREVIOUS round's lazy undU) in ONE job
+      val n0 = n
       n = u.count()
+      if (prof) System.err.println(f"[coloring] round $i uncolored=$n0 " +
+        f"-> $n  ${(System.nanoTime() - roundT0) / 1e9}%6.2f s")
       i += 1
     }
     if (n > 0)
@@ -1743,7 +1876,10 @@ object GraphColoring {
   def unrolledSql(rounds: Int,
       edgesCte: String = Graph.undirectedCte): String = {
     val steps = (1 to rounds).map { r =>
-      val pri = s"md5(CAST(x.id AS VARCHAR) || ':${r - 1}')"
+      // Welsh–Powell priority: zero-padded degree complement, then md5 —
+      // lexicographic min = (degree desc, md5 asc), mirroring apply()
+      val pri = "lpad(CAST(100000000 - d.d AS VARCHAR), 9, '0') || " +
+        s"md5(CAST(x.id AS VARCHAR) || ':${r - 1}')"
       s"""used$r AS MATERIALIZED (
          |  SELECT e.dst AS id, c.color FROM e0 e
          |  JOIN col${r - 1} c ON e.src = c.id
@@ -1752,9 +1888,10 @@ object GraphColoring {
          |  SELECT x.id, min(x.k) AS tent, $pri AS pri FROM (
          |    SELECT uu.id, t.k FROM u${r - 1} uu
          |    CROSS JOIN range(0, $OracleColorCap) t(k)) x
+         |  JOIN deg d ON d.id = x.id
          |  LEFT JOIN used$r z ON z.id = x.id AND z.color = x.k
          |  WHERE z.color IS NULL
-         |  GROUP BY x.id),
+         |  GROUP BY x.id, d.d),
          |conf$r AS MATERIALIZED (
          |  SELECT b.id, min(a.pri) AS minp
          |  FROM eu${r - 1} e
@@ -1778,6 +1915,7 @@ object GraphColoring {
     s"""WITH $edgesCte,
        |u0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
        |e0 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src <> dst),
+       |deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
        |eu0 AS MATERIALIZED (SELECT src, dst FROM e0),
        |col0 AS MATERIALIZED (
        |  SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS color
@@ -1898,6 +2036,13 @@ object Betweenness {
   private val fwdCache = scala.collection.concurrent.TrieMap[
     (Graph, Seq[Long], Int, Int, Boolean), Seq[DataFrame]]()
 
+  /** Per-landmark δ memo (r10): the batch query's backward pass, stored
+    * PER (lm, id) so X21's drain can reuse exactly the landmarks whose
+    * DAG the stream left untouched. Key mirrors [[fwdCache]].
+    */
+  private val bwdCache = scala.collection.concurrent.TrieMap[
+    (Graph, Seq[Long], Int, Int, Boolean), DataFrame]()
+
   /** @param broadcastState disable at billion-vertex scale (frontier,
     *   level, and dependency tables are ≤ k·|V| rows).
     */
@@ -1911,8 +2056,22 @@ object Betweenness {
       .collect().map(_.getLong(0)).toSeq
     if (lms.isEmpty)
       return Seq.empty[(Long, Double)].toDF("id", "betweenness")
-    val levels = forward(g, lms, k, maxIter, broadcastState)
-    backward(edges, allv, levels, broadcastState)
+    sumScores(allv, perLmDeltas(g, lms, k, maxIter, broadcastState))
+  }
+
+  /** Memoized per-landmark δ over g's own (base) edge set — the forward
+    * levels come from [[forward]]'s memo, so a second consumer in the
+    * session (X21's drain reusing unchanged landmarks) pays neither pass.
+    */
+  def perLmDeltas(g: Graph, lms: Seq[Long], k: Int, maxIter: Int = 64,
+      broadcastState: Boolean = true): DataFrame = {
+    def run() = backwardPerLm(g.cachedUndirected,
+      forward(g, lms, k, maxIter, broadcastState), broadcastState)
+    if (g.memoizeAnalytics) {
+      graft.core.SessionCaches.sweep(bwdCache)(_._1.edges.sparkSession)
+      graft.core.SessionCaches.countingGet(bwdCache,
+        (g, lms, k, maxIter, broadcastState))(run())
+    } else run()
   }
 
   /** Forward pass: fused multi-source BFS with path counting — level ℓ's
@@ -1974,7 +2133,19 @@ object Betweenness {
     * state); `edges` the symmetrized view they were computed over.
     */
   def backward(edges: DataFrame, allv: DataFrame, levels: Seq[DataFrame],
+      broadcastState: Boolean = true): DataFrame =
+    sumScores(allv, backwardPerLm(edges, levels, broadcastState))
+
+  /** The per-(lm, id) accumulated δ — a vertex appears at exactly one
+    * level per landmark, so the union over levels is one row per reached
+    * (lm, id). Split out (r10) so X21's drain can recompute δ for the
+    * CHANGED landmarks only and union the memoized base rows for the
+    * rest; values are level-rounded to 9 dp exactly as before.
+    */
+  def backwardPerLm(edges: DataFrame, levels: Seq[DataFrame],
       broadcastState: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
     var delta: DataFrame = null
     val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1997,14 +2168,18 @@ object Betweenness {
         .localCheckpoint(true)
       acc += delta
     }
-    val summed =
-      if (acc.isEmpty) allv.withColumn("s", lit(0.0))
-      else allv.join(acc.reduce(_ union _)
-          .groupBy(col("id")).agg(sum(col("delta")).as("s")),
-        Seq("id"), "left")
-    summed.select(col("id"),
-      round(coalesce(col("s"), lit(0.0)), 6).as("betweenness"))
+    if (acc.isEmpty) Seq.empty[(Long, Long, Double)].toDF("lm", "id", "delta")
+    else acc.reduce(_ union _)
   }
+
+  /** Final emission: Σ over landmarks of δ per vertex, 6 dp, zero-filled
+    * over the vertex universe `allv`.
+    */
+  def sumScores(allv: DataFrame, perLm: DataFrame): DataFrame =
+    allv.join(perLm.groupBy(col("id")).agg(sum(col("delta")).as("s")),
+        Seq("id"), "left")
+      .select(col("id"),
+        round(coalesce(col("s"), lit(0.0)), 6).as("betweenness"))
 
   /** DuckDB oracle: per landmark, `levels` forward σ steps (BFS layers
     * with path counts) then the backward δ chain, unrolled as CTEs;

@@ -1,0 +1,280 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Checkpoints.freshStats
+
+/** Multi-contraction (agglomerative) community clustering — the
+  * reference's second community algorithm beside connected components
+  * (ref: tests/stinger/src/alg/static_multicontract_clustering.c:260,
+  * `static_multi_contract_clustering`: per round, score every edge, each
+  * vertex matches its best-scoring neighbor, low-outlier matches are
+  * filtered, match chains are climbed to roots, and matched edges are
+  * CONTRACTED — intra-cluster weight folds into the supernode's vertex
+  * weight, cross-cluster edges re-aggregate; the classic heavy-edge
+  * matching + coarsening building block of METIS/Louvain-family methods).
+  *
+  * Same WHAT, re-derived deterministic semantics (the reference's OpenMP
+  * loops are racy on ties and its edge-iteration order is storage-
+  * dependent):
+  *
+  *  - score(u→v) = w(u,v)/(vol/2) − 2·wt(u)·wt(v)/vol² — the reference's
+  *    modularity-gain score. Ordering and sign are INVARIANT under the
+  *    positive rescale S = score·vol²/2 = w·vol − wt(u)·wt(v), an exact
+  *    BIGINT — every comparison (argmax, S>0, the s0 tie rule) is
+  *    integer-exact in both engines; floats appear only in the one
+  *    threshold constant.
+  *  - best match m1(u) = argmax_{S>0} (S desc, v asc) — the id tie-break
+  *    replaces the reference's storage-order "first max wins".
+  *  - threshold: mean − 1.5·stddev over all directed-edge scores with the
+  *    reference's nv denominator (static_multicontract_clustering.c:
+  *    filter_scores). When the variance term goes NEGATIVE (degenerate —
+  *    the common case early on, since the denominator is |V| while the
+  *    sum ranges over edges), the reference's sqrt yields NaN and its C
+  *    `score < NaN` comparisons are all FALSE, disabling the filter; SQL
+  *    NaN ordering would flip that, so the threshold is explicitly
+  *    conditional: no filtering when variance < 0. The surviving float
+  *    comparison (S_best < thr·vol²/2) is computed from exact integer
+  *    sums by the IDENTICAL expression tree in Spark and DuckDB, so both
+  *    engines land on the same double.
+  *  - the reference's "remove my match's own match when it matches on a
+  *    lower-or-equal-scoring edge" rule (filter_scores else-branch) makes
+  *    surviving chains STRICTLY score-increasing — so the match forest is
+  *    acyclic by construction (mutual equal-score pairs both unmatch) and
+  *    the tree_climb resolves with bounded pointer-jumping.
+  *
+  * Spark-first shape: per round the |2E|-row scored view joins two
+  * broadcast |V|-row weight tables, one map-side-combined argmax
+  * aggregate, one exact decimal stats aggregate, |V|-bounded match
+  * fix-up joins, `jumps` pointer-jump self-joins (lazy checkpoints,
+  * chain depth 1, materialized by the acyclicity-guard count), and the
+  * contraction re-aggregation — edges shrink geometrically (sf0.01:
+  * 1600 → 194 → 8 → 2 supernodes in three rounds). At billion-vertex
+  * scale disable the vertex broadcasts and the joins fall back to the
+  * pre-partitioned vertex key, as everywhere here.
+  */
+object MultiContract {
+  /** Largest volume whose score rescale stays exact in BIGINT:
+    * |S| ≤ vol², so vol must stay under √Long.Max. Past it (≈3.0e9 total
+    * edge weight — a ~100 TB corpus graph), switch the S column and the
+    * wt products to DECIMAL(38,0): same ordering semantics, ~2× the agg
+    * cost, no other change.
+    */
+  val ExactVolumeBound = 3037000499L
+
+  /** (id, community) for every original vertex after `rounds` contraction
+    * rounds (community = contraction-tree root; rounds past the fixpoint
+    * are idempotent).
+    *
+    * @param jumps pointer-jump count for the match-chain climb: resolves
+    *   chains up to 2^jumps (the guard fails loudly if any chain is
+    *   longer, telling the caller to raise it — chains are strictly
+    *   score-increasing so real graphs stay shallow).
+    */
+  def apply(g: Graph, rounds: Int = 4, jumps: Int = 4,
+      broadcastVertices: Boolean = true): DataFrame = {
+    def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val e = g.edges.select(col("src"), col("dst"), col("weight"))
+    // weight-summed symmetric view (PageRank.unrolledWeightedSql's wedges)
+    var sym = e.select(col("src").as("u"), col("dst").as("v"),
+        col("weight").as("w"))
+      .union(e.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("u"), col("src").as("v"),
+          col("weight").as("w")))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    val vol = sym.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0)
+    if (vol == 0L)
+      return Seq.empty[(Long, Long)].toDF("id", "community")
+    require(vol < ExactVolumeBound,
+      s"MultiContract: volume $vol overflows the exact BIGINT score " +
+        "rescale — switch S to DECIMAL(38,0) for this scale " +
+        "(see ExactVolumeBound)")
+    var map = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("c")).localCheckpoint(true)
+    val n0 = map.count()
+    var wt = Seq.empty[(Long, Long)].toDF("c", "wt").localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val scored = sym
+        .join(bc(wt.toDF("u", "wtu")), Seq("u"), "left")
+        .join(bc(wt.toDF("v", "wtv")), Seq("v"), "left")
+        .select(col("u"), col("v"), col("w"),
+          (col("w") * lit(vol) -
+            coalesce(col("wtu"), lit(0L)) * coalesce(col("wtv"), lit(0L)))
+            .as("S"))
+        .localCheckpoint(eager = false)
+      val best = scored.filter(col("S") > 0)
+        .groupBy(col("u").as("c"))
+        .agg(max(struct(col("S"), (-col("v")).as("nv"))).as("b"))
+        .select(col("c"), (-col("b.nv")).as("m1"), col("b.S").as("sbest"))
+      // exact integer sums; the only floats below derive from these via
+      // the same expression tree the oracle SQL uses
+      val st = scored.agg(
+        sum(col("S").cast(DecimalType(38, 0))).as("s1"),
+        sum(col("S").cast(DecimalType(19, 0)) *
+          col("S").cast(DecimalType(19, 0))).as("s2")).head()
+      val s1 = Option(st.getDecimal(0)).fold(0.0)(_.doubleValue)
+      val s2 = Option(st.getDecimal(1)).fold(0.0)(_.doubleValue)
+      val mean = s1 / n0.toDouble
+      val varv = s2 / n0.toDouble - mean * mean
+      val thrOpt = if (varv >= 0) Some(mean - 1.5 * math.sqrt(varv)) else None
+      val nodes = map.select(col("c")).distinct()
+      val mf = nodes.join(best, Seq("c"), "left")
+        .select(col("c"),
+          when(col("sbest").isNull, col("c"))
+            .when(thrOpt.map(t => col("sbest").cast("double") < lit(t))
+              .getOrElse(lit(false)), col("c"))
+            .otherwise(col("m1")).as("mf"),
+          coalesce(col("sbest"), lit(0L)).as("s0"))
+        .localCheckpoint(eager = false)
+      // reference filter_scores else-branch: a match target whose own
+      // best score is <= a pointer's loses its match (becomes a root)
+      val tgt = mf.select(col("c"), col("s0"))
+        .join(mf.select(col("mf").as("c"), col("c").as("yc"),
+          col("s0").as("ys0")), Seq("c"))
+        .filter(col("yc") =!= col("c") && col("s0") <= col("ys0"))
+        .select(col("c")).distinct()
+      // freshStats on every jump-chain checkpoint: a localCheckpoint
+      // INHERITS the pre-checkpoint plan's sizeInBytes, and each pointer
+      // jump JOINS TWO DESCENDANTS of the same state table — the S7
+      // stats-squaring pathology (Checkpoints.freshStats scaladoc); the
+      // un-reset chain measured minutes of driver BigInteger time at
+      // sf0.01 where the data itself is milliseconds
+      var m3 = freshStats(
+        mf.join(bc(tgt.withColumn("unm", lit(true))), Seq("c"), "left")
+          .select(col("c"),
+            when(col("unm"), col("c")).otherwise(col("mf")).as("m"))
+          .localCheckpoint(eager = false))
+      for (_ <- 1 to jumps)
+        m3 = freshStats(m3.join(m3.toDF("m", "m2"), Seq("m"))
+          .select(col("c"), col("m2").as("m"))
+          .localCheckpoint(eager = false))
+      // acyclicity/convergence guard; its count job also materializes the
+      // whole lazy m3 jump chain before m3's broadcast consumers build
+      val unresolved = m3.join(m3.toDF("m", "mm"), Seq("m"))
+        .filter(col("mm") =!= col("m")).count()
+      if (unresolved > 0) throw new IllegalStateException(
+        s"MultiContract: $unresolved match chains longer than 2^$jumps — " +
+          "raise `jumps` (and the oracle unroll) for this graph")
+      map = freshStats(map.join(bc(m3), Seq("c"))
+        .select(col("id"), col("m").as("c"))
+        .localCheckpoint(eager = false))
+      val mapped = scored.select(col("u"), col("v"), col("w"))
+        .join(bc(m3.toDF("u", "mu")), Seq("u"))
+        .join(bc(m3.toDF("v", "mv")), Seq("v"))
+      // intra-cluster weight folds into the supernode weight (both
+      // directions, matching the reference's per-directed-edge increment)
+      wt = wt.join(bc(m3), Seq("c"))
+        .select(col("m").as("c"), col("wt"))
+        .union(mapped.filter(col("mu") === col("mv"))
+          .select(col("mu").as("c"), col("w").as("wt")))
+        .groupBy(col("c")).agg(sum(col("wt")).as("wt"))
+        .localCheckpoint(true)
+      wt = freshStats(wt)
+      sym = freshStats(mapped.filter(col("mu") =!= col("mv"))
+        .groupBy(col("mu").as("u"), col("mv").as("v"))
+        .agg(sum(col("w")).as("w"))
+        .localCheckpoint(eager = false))
+    }
+    map.select(col("id"), col("c").as("community"))
+  }
+
+  /** DuckDB oracle: `rounds` contraction rounds × `jumps` pointer jumps,
+    * fully unrolled and materialized per step — the same exact-integer
+    * score rescale and the same conditional-threshold expression tree as
+    * the Spark plan, so the single float comparison lands on identical
+    * doubles in both engines.
+    */
+  def unrolledSql(rounds: Int = 4, jumps: Int = 4,
+      weightedEdgesSql: String = Graph.tpchEdgesSql): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH base AS MATERIALIZED (
+         |${weightedEdgesSql.linesIterator.map("  " + _).mkString("\n")}
+         |),
+         |sym0 AS MATERIALIZED (
+         |  SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT src AS u, dst AS v, weight AS w FROM base
+         |    UNION ALL
+         |    SELECT dst, src, weight FROM base WHERE src <> dst
+         |  ) GROUP BY 1, 2),
+         |vv AS (SELECT CAST(sum(w) AS BIGINT) AS vol FROM sym0),
+         |nv AS (SELECT count(DISTINCT u) AS n FROM sym0),
+         |map0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS c FROM sym0),
+         |wt0 AS (SELECT CAST(NULL AS BIGINT) AS c, CAST(NULL AS BIGINT) AS wt WHERE 1 = 0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(",\n")
+      sb.append(
+        s"""scored$r AS MATERIALIZED (
+           |  SELECT s.u, s.v, s.w,
+           |    s.w * (SELECT vol FROM vv)
+           |      - coalesce(wu.wt, 0) * coalesce(wv.wt, 0) AS S
+           |  FROM sym$p s LEFT JOIN wt$p wu ON s.u = wu.c
+           |    LEFT JOIN wt$p wv ON s.v = wv.c),
+           |best$r AS MATERIALIZED (
+           |  SELECT u AS c, v AS m1, S AS sbest FROM (
+           |    SELECT u, v, S,
+           |      row_number() OVER (PARTITION BY u ORDER BY S DESC, v ASC) AS rn
+           |    FROM scored$r WHERE S > 0) WHERE rn = 1),
+           |stats$r AS (
+           |  SELECT coalesce(sum(CAST(S AS HUGEINT)), 0) AS s1,
+           |         coalesce(sum(CAST(S AS HUGEINT) * S), 0) AS s2
+           |  FROM scored$r),
+           |thr$r AS (
+           |  SELECT CASE WHEN v >= 0 THEN m - 1.5 * sqrt(v) END AS t FROM (
+           |    SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+           |      CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+           |        - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           |          * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS v
+           |    FROM stats$r, nv)),
+           |mf$r AS MATERIALIZED (
+           |  SELECT n.c,
+           |    CASE WHEN b.sbest IS NULL THEN n.c
+           |         WHEN t.t IS NOT NULL AND CAST(b.sbest AS DOUBLE) < t.t THEN n.c
+           |         ELSE b.m1 END AS mf,
+           |    coalesce(b.sbest, 0) AS s0
+           |  FROM (SELECT DISTINCT c FROM map$p) n
+           |    LEFT JOIN best$r b ON n.c = b.c CROSS JOIN thr$r t),
+           |m${r}_0 AS MATERIALIZED (
+           |  SELECT x.c, CASE WHEN EXISTS (
+           |      SELECT 1 FROM mf$r y
+           |      WHERE y.mf = x.c AND y.c <> x.c AND x.s0 <= y.s0)
+           |    THEN x.c ELSE x.mf END AS m
+           |  FROM mf$r x)""".stripMargin)
+      for (j <- 1 to jumps) {
+        sb.append(",\n")
+        sb.append(
+          s"""m${r}_$j AS MATERIALIZED (
+             |  SELECT a.c, b.m FROM m${r}_${j - 1} a
+             |    JOIN m${r}_${j - 1} b ON a.m = b.c)""".stripMargin)
+      }
+      sb.append(",\n")
+      sb.append(
+        s"""map$r AS MATERIALIZED (
+           |  SELECT mp.id, mm.m AS c FROM map$p mp
+           |    JOIN m${r}_$jumps mm ON mp.c = mm.c),
+           |wt$r AS MATERIALIZED (
+           |  SELECT c, CAST(sum(wt) AS BIGINT) AS wt FROM (
+           |    SELECT mm.m AS c, w0.wt FROM wt$p w0
+           |      JOIN m${r}_$jumps mm ON w0.c = mm.c
+           |    UNION ALL
+           |    SELECT a.m, s.w FROM scored$r s
+           |      JOIN m${r}_$jumps a ON s.u = a.c
+           |      JOIN m${r}_$jumps b ON s.v = b.c
+           |    WHERE a.m = b.m) GROUP BY 1),
+           |sym$r AS MATERIALIZED (
+           |  SELECT a.m AS u, b.m AS v, CAST(sum(s.w) AS BIGINT) AS w
+           |  FROM scored$r s
+           |    JOIN m${r}_$jumps a ON s.u = a.c
+           |    JOIN m${r}_$jumps b ON s.v = b.c
+           |  WHERE a.m <> b.m GROUP BY 1, 2)""".stripMargin)
+    }
+    sb.append(s"\nSELECT id, c AS community FROM map$rounds")
+    sb.toString
+  }
+}

@@ -62,6 +62,22 @@ object EdgeUpdates {
       col("event_id").as("action_id"))
   }
 
+  /** The surviving user-pair edge set under [[userPairActions]]'
+    * last-delete-wins semantics (empty base) — the Spark twin of
+    * [[userPairUpdCte]]: a pair survives iff it has an insert after its
+    * last delete. One window + one distinct, both shuffling only action
+    * rows on the pair key.
+    */
+  def updatedUserPairs(spark: SparkSession, dir: String): DataFrame = {
+    val a = userPairActions(spark, dir)
+    val w = Window.partitionBy(col("src"), col("dst"))
+    a.withColumn("last_del",
+        max(when(col("is_del"), col("action_id"))).over(w))
+      .filter(!col("is_del") &&
+        (col("last_del").isNull || col("action_id") > col("last_del")))
+      .select(col("src"), col("dst")).distinct()
+  }
+
   /** DuckDB CTE for the surviving user-pair edge set under
     * [[userPairActions]]' last-delete-wins semantics (empty base). */
   val userPairUpdCte: String =

@@ -403,6 +403,51 @@ object Triangles {
     }
   }
 
+  /** Memoized per (session, dir): the triangle list of the UPDATED
+    * user-pair graph ([[EdgeUpdates.updatedUserPairs]]) — the graph the
+    * X19/X20/X23 stream family maintains. The batch consumer
+    * (`graph_ktruss_updated`) pays the O(m^1.5) enumeration when the memo
+    * is cold; when the X23 stream drained FIRST in the session it
+    * PUBLISHES its stream-maintained list here instead
+    * ([[publishUpdatedUserTriangles]]) and the batch query skips the
+    * enumeration entirely — the STINGER one-graph-many-algorithms model:
+    * a maintained index serving later batch analytics. Staleness and
+    * sweep contract as [[partTriCached]].
+    */
+  private val userTriCache = scala.collection.concurrent.TrieMap[
+    ((SparkSession, String), Long), DataFrame]()
+
+  def updatedUserTriangles(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.SessionCaches.sweep(userTriCache)(_._1._1)
+    graft.core.SessionCaches.freshOrUpdate(userTriCache, (spark, dir), dir) {
+      val pairs = EdgeUpdates.updatedUserPairs(spark, dir)
+        .localCheckpoint(true)
+      canonicalTriangleList(
+        pairs.select(col("src").as("u"), col("dst").as("v")))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** X23's drain hands its stream-maintained list over for batch reuse —
+    * a no-op when the batch side already enumerated (first-in wins; both
+    * sides hold the same exact triangle set, X19's consistent-snapshot
+    * argument).
+    */
+  def publishUpdatedUserTriangles(spark: SparkSession, dir: String,
+      list: DataFrame): Unit = {
+    graft.core.SessionCaches.sweep(userTriCache)(_._1._1)
+    graft.core.SessionCaches.freshOrUpdate(
+      userTriCache, (spark, dir), dir)(list): Unit
+  }
+
+  /** `graph_ktruss_updated` (G18b): the truss peel over the updated
+    * user-pair graph — the batch twin of X23's drain, sharing one
+    * session-memoized triangle list with it in either order.
+    */
+  def updatedKTruss(spark: SparkSession, dir: String): DataFrame =
+    kTrussFrom(updatedUserTriangles(spark, dir), k = 4,
+      oracleRounds = Some(8))
+
   /** `graph_triangles_scale`: count over the memoized list. */
   def partTrianglesScale(spark: SparkSession, dir: String): DataFrame =
     partTriCached(spark, dir)._2.groupBy()

@@ -19,7 +19,7 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
@@ -177,18 +177,26 @@ object Similarity {
     slice(array_sort(array(scored: _*)), 1, n)
   }
 
-  def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 20,
-      nLists: Int = 16, nProbe: Int = 10, seed: Long = 42L,
-      trainSample: Int = 100000): DataFrame = {
-    val e = vectors(spark, dir)
-    val centroids = kmeansCentroids(e, nLists, seed, trainSample)
-    def nearestLists(v: Column, n: Int): Column =
-      Similarity.nearestLists(centroids, v, n)
-    val assigned = e.withColumn("list_id",
-      element_at(nearestLists(col("v"), 1), 1).getField("list_id"))
-    val q = e.filter(col("vec_id") < nQueries)
+  /** Coarse-quantizer assignment: one codegen'd projection over the
+    * vector rows — no shuffle, no join; the per-batch cost unit of the
+    * X25 stream maintainer.
+    */
+  def ivfAssign(centroids: Seq[(Long, Seq[Double])],
+      df: DataFrame): DataFrame =
+    df.withColumn("list_id",
+      element_at(nearestLists(centroids, col("v"), 1), 1)
+        .getField("list_id"))
+
+  /** The exact IVF probe + rank tail over an already-assigned inverted
+    * index — shared by batch [[annIvf]] and the X25 stream maintainer's
+    * drain, so "drained search ≡ batch at the same centroids" is equality
+    * of code paths over equal inputs, not an argument.
+    */
+  def ivfSearchFrom(assigned: DataFrame, queries: DataFrame,
+      centroids: Seq[(Long, Seq[Double])], k: Int, nProbe: Int): DataFrame = {
+    val q = queries
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        explode(transform(nearestLists(col("v"), nProbe),
+        explode(transform(nearestLists(centroids, col("v"), nProbe),
           s => s.getField("list_id"))).as("list_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("neighbor_id").asc)
@@ -200,6 +208,15 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("c"), 6).as("cos"), col("rank"))
+  }
+
+  def annIvf(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 20,
+      nLists: Int = 16, nProbe: Int = 10, seed: Long = 42L,
+      trainSample: Int = 100000): DataFrame = {
+    val e = vectors(spark, dir)
+    val centroids = kmeansCentroids(e, nLists, seed, trainSample)
+    ivfSearchFrom(ivfAssign(centroids, e),
+      e.filter(col("vec_id") < nQueries), centroids, k, nProbe)
   }
 
   /** Unit-normalized embeddings (vec_id, vh), elements rounded to 9 dp so

@@ -617,4 +617,76 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d(src) == 0L && d.values.max > 0L)
   }
+
+  test("coreness: planted fixture and a sequential level-peel replay") {
+    // triangle {1,2,3} = 2-core; 3-4-5 tail peels at level 1
+    val g = mkGraph((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val out = Coreness(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L),
+      s"got $out")
+    // real graph: h-iteration fixpoint equals the exact sequential
+    // Matula-Beck level peel (coreness = level at which a vertex peels)
+    val gt = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val dist = Coreness(gt).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var adj = gt.undirected.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    var k = 1
+    val seq = scala.collection.mutable.Map.empty[Long, Long]
+    while (adj.nonEmpty && k < 1000) {
+      val peel = adj.collect { case (v, ns) if ns.size < k => v }.toSet
+      if (peel.isEmpty) k += 1
+      else {
+        peel.foreach(v => seq(v) = (k - 1).toLong)
+        adj = adj.collect { case (v, ns) if !peel(v) =>
+          v -> (ns -- peel) }.toMap
+      }
+    }
+    assert(dist == seq.toMap, "h-iteration disagrees with level peel")
+    // consistency with fixed-k membership: coreness >= k iff in the k-core
+    val k16 = KCore(gt, 16).collect().map(_.getLong(0)).toSet
+    assert(dist.filter(_._2 >= 16L).keySet == k16)
+  }
+
+  test("multicontract: chain climb, mutual-pair unmatch, contraction") {
+    // weighted path 1-2 (10), 2-3 (20), 3-4 (30): 3<->4 are a mutual
+    // equal-score best pair (both unmatch, the reference filter_scores
+    // semantics), 1->2->3 is a strictly score-increasing chain that
+    // climbs to root 3 and contracts; fixpoint by round 2
+    val g = Graph(Seq((1L, 2L, 10L), (2L, 3L, 20L), (3L, 4L, 30L))
+      .toDF("src", "dst", "weight"))
+    val out = MultiContract(g, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L), s"got $out")
+    // real graph: a partition of the vertex set, deterministic, and
+    // idempotent past the fixpoint (extra rounds change nothing)
+    val gt = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val r4 = MultiContract(gt, rounds = 4).localCheckpoint(true)
+    val nv = gt.cachedUndirected.select(col("src")).distinct().count()
+    assert(r4.count() == nv)
+    assert(r4.select(col("id")).distinct().count() == nv)
+    assert(r4.select(col("community")).distinct().count() < nv,
+      "no contraction happened on the real graph")
+    val r6 = MultiContract(gt, rounds = 6)
+    assert(r4.exceptAll(r6).count() == 0 && r6.exceptAll(r4).count() == 0,
+      "rounds past the fixpoint are not idempotent")
+    // every community is connected in the original graph: contraction
+    // only ever merges along edges
+    val adj = gt.undirected.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val comm = r4.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comm.groupBy(_._2).foreach { case (c, members) =>
+      val mset = members.keySet
+      val seen = scala.collection.mutable.Set(mset.head)
+      var frontier = Set(mset.head)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj(_)).intersect(mset) -- seen
+        seen ++= frontier
+      }
+      assert(seen == mset, s"community $c is disconnected")
+    }
+  }
 }
