@@ -93,7 +93,7 @@ object Bench {
     "stream_triangles_incremental", "stream_local_cc_incremental",
     "stream_betweenness_incremental", "stream_kcore_incremental",
     "stream_ktruss_incremental", "stream_lpa_incremental",
-    "stream_ann_ivf_incremental",
+    "stream_coreness_incremental", "stream_ann_ivf_incremental",
     // AFTER the X23 stream: the batch twin reads the stream-published
     // triangle-list memo (memo_hits flags the coupling in the artifact)
     "graph_ktruss_updated")

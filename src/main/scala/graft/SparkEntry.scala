@@ -220,6 +220,8 @@ object SparkEntry {
       EventStream.incrementalBetweennessStream(s, d)),
     "stream_kcore_incremental" -> ((s, d) =>
       EventStream.incrementalKcoreStream(s, d)),
+    "stream_coreness_incremental" -> ((s, d) =>
+      EventStream.incrementalCorenessStream(s, d)),
     "stream_ktruss_incremental" -> ((s, d) =>
       EventStream.incrementalKtrussStream(s, d)),
     "stream_lpa_incremental" -> ((s, d) =>
@@ -401,6 +403,10 @@ object SparkEntry {
     // X22 drains to exactly the batch G13 result over the updated graph
     "stream_kcore_incremental" ->
       KCore.unrolledSql(32, 8, EdgeUpdates.updatedUndirectedCte),
+    // X26 drains to exactly the batch G13b result over the updated graph
+    // (measured 9 cold rounds at sf0.01; 12 idempotent rounds unrolled)
+    "stream_coreness_incremental" ->
+      Coreness.unrolledSql(12, EdgeUpdates.updatedUndirectedCte),
     // X23 drains the maintained triangle list into G18's truss peel
     "stream_ktruss_incremental" -> EdgeUpdates.updatedUserKtrussSql(),
     // X24 drains to exactly the batch G14 result over the updated graph

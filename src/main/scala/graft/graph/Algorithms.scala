@@ -1403,6 +1403,14 @@ object KCore {
   * lands on the sort, AQE's case.
   */
 object Coreness {
+  /** Converged (result, rounds, converged) memoized per (graph, params)
+    * for session-memoized graphs ([[KCore]]'s coreCache contract) — the
+    * X26 incremental coreness maintainer warm-starts its drain from the
+    * same decomposition the batch query computed.
+    */
+  private val corenessCache = scala.collection.concurrent.TrieMap[
+    (Graph, Int, Boolean), (DataFrame, Int, Boolean)]()
+
   /** @param oracleRounds assert the observed convergence depth fits the
     *   unrolled oracle ([[KCore.apply]] contract): the iteration is
     *   idempotent past the fixpoint, so an oracle unrolled deeper than
@@ -1412,23 +1420,36 @@ object Coreness {
   def apply(g: Graph, maxIter: Int = 100,
       broadcastVertices: Boolean = true,
       oracleRounds: Option[Int] = None): DataFrame = {
+    val (res, i, converged) =
+      if (g.memoizeAnalytics) {
+        graft.core.SessionCaches.sweep(corenessCache)(
+          _._1.edges.sparkSession)
+        graft.core.SessionCaches.countingGet(corenessCache,
+          (g, maxIter, broadcastVertices))(
+          run(g, maxIter, broadcastVertices))
+      } else run(g, maxIter, broadcastVertices)
+    if (!converged)
+      System.err.println(s"[graft] WARN Coreness: fixpoint not reached " +
+        s"after $maxIter rounds")
+    oracleRounds.foreach { r =>
+      if (!converged || i > r) throw new IllegalStateException(
+        s"coreness h-iteration converged in $i rounds but the unrolled " +
+          s"SQL oracle has $r: raise `rounds` in Coreness.unrolledSql " +
+          "for this SF")
+    }
+    res
+  }
+
+  private def run(g: Graph, maxIter: Int,
+      broadcastVertices: Boolean): (DataFrame, Int, Boolean) = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
-    val spark = g.edges.sparkSession
     val sym = g.cachedUndirected.select(col("src"), col("dst"))
     var est = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("est")).localCheckpoint(true)
     var changed = est.limit(1).count() // 0 on an empty graph
     var i = 0
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("est").desc)
     while (changed > 0 && i < maxIter) {
-      val nxt = sym
-        .join(bc(est.select(col("id").as("dst"), col("est"))), Seq("dst"))
-        .select(col("src"), col("est"))
-        .withColumn("rn", row_number().over(w))
-        .groupBy(col("src").as("id"))
-        .agg(max(least(col("rn"), col("est").cast("bigint"))).as("est"))
-        .localCheckpoint(eager = false)
+      val nxt = hPass(sym, bc(est)).localCheckpoint(eager = false)
       // the change count materializes the round's lazy checkpoint
       changed = nxt.join(est.select(col("id"), col("est").as("prev")),
           Seq("id"))
@@ -1436,16 +1457,23 @@ object Coreness {
       est = nxt
       i += 1
     }
-    if (changed > 0)
-      System.err.println(s"[graft] WARN Coreness: fixpoint not reached " +
-        s"after $maxIter rounds")
-    oracleRounds.foreach { r =>
-      if (changed > 0 || i > r) throw new IllegalStateException(
-        s"coreness h-iteration converged in $i rounds but the unrolled " +
-          s"SQL oracle has $r: raise `rounds` in Coreness.unrolledSql " +
-          "for this SF")
-    }
-    est.select(col("id"), col("est").as("coreness"))
+    (est.select(col("id"), col("est").as("coreness")), i, changed == 0)
+  }
+
+  /** One h-operator application over every src of `sym`: h(v) = the
+    * Hirsch index of v's neighbors' current estimates. The window's
+    * hash(src) partitioning is reused by the aggregate — ONE exchange.
+    * Shared by the batch iteration and X26's full/scoped drain rounds.
+    */
+  def hPass(sym: DataFrame, est: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("est").desc)
+    sym
+      .join(est.select(col("id").as("dst"), col("est")), Seq("dst"))
+      .select(col("src"), col("est"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("src").as("id"))
+      .agg(max(least(col("rn"), col("est").cast("bigint"))).as("est"))
   }
 
   /** DuckDB oracle: `rounds` unrolled h-operator steps (idempotent past

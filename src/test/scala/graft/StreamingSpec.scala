@@ -828,6 +828,56 @@ class StreamingSpec extends AnyFunSuite {
       "drained per-vertex clustering diverged from batch G16 recompute")
   }
 
+  test("incremental coreness: untouched vertices rise (path -> cycle)") {
+    // the fixture that kills any under-bumped warm start: closing the
+    // path 1-2-3-4 into a cycle raises EVERY vertex's coreness 1 -> 2,
+    // including interior vertices 2 and 3 that no action touched — the
+    // est0 = least(deg, core_base + B) bound must reach them
+    import org.apache.spark.sql.functions._
+    import graft.graph.{Coreness, EdgeUpdates, Graph}
+    import spark.implicits._
+    val base = Graph(Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst").withColumn("weight", lit(1L)))
+    val actions = Seq((1L, 4L, false, 1L))
+      .toDF("src", "dst", "is_del", "action_id")
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val streamed = EventStream.incrementalCorenessStreamFrom(
+      spark, base, actions, batches = 2, stats = Some(stats))
+    val out = streamed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L), s"got $out")
+    assert(stats("insertsB") == 1L, s"one surviving insert: $stats")
+  }
+
+  test("incremental coreness drain equals batch G13b under churn") {
+    // inserts + deletes + an appearing and a vanishing vertex; drained
+    // decomposition must equal the batch h-iteration over the updated
+    // graph, and the drain must be warm (few full rounds + scoped tail)
+    import org.apache.spark.sql.functions._
+    import graft.graph.{Coreness, EdgeUpdates, Graph, RMat}
+    import spark.implicits._
+    val base = Graph(RMat.edges(spark, RMat.Params(scale = 10, seed = 5))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight")))
+    val actions = RMat.actions(spark, RMat.Params(scale = 10, seed = 5),
+        na = 3000L, pDelete = 0.3)
+      .select(col("action_id"),
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("is_del"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val stats = scala.collection.mutable.Map.empty[String, Long]
+    val streamed = EventStream.incrementalCorenessStreamFrom(
+      spark, base, actions, batches = 3, stats = Some(stats))
+    val batch = Coreness(Graph(EdgeUpdates(base.edges, actions)))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "drained coreness diverged from batch G13b over the updated graph")
+    System.err.println(s"[test] coreness drain stats: $stats")
+    assert(stats("fullRounds") >= 1L && stats("scopedRounds") >= 0L)
+  }
+
   test("incremental IVF stream: drained search equals batch ann_ivf") {
     val streamed = EventStream.annIvfStream(spark, sf)
     val batch = graft.ops.Similarity.annIvf(spark, sf)
