@@ -2940,12 +2940,14 @@ object EventStream extends Serializable {
       batches: Int = IncrementalBatches): DataFrame =
     incrementalCorenessStreamFrom(spark, Graph.fromTpch(spark, dir),
       EdgeUpdates.actionsFromEvents(spark, dir), batches,
-      stagedDir = Some(stagedActionFeed(spark, dir, batches)))
+      stagedDir = Some(stagedActionFeed(spark, dir, batches)),
+      drainBase = Some(() => EdgeUpdates.updatedGraph(spark, dir)))
 
   def incrementalCorenessStreamFrom(spark: SparkSession, base: Graph,
       actions: DataFrame, batches: Int,
       broadcastState: Boolean = true,
       stagedDir: Option[String] = None,
+      drainBase: Option[() => Graph] = None,
       stats: Option[scala.collection.mutable.Map[String, Long]] = None)
       : DataFrame = {
     def bc(df: DataFrame) = if (broadcastState) broadcast(df) else df
@@ -2994,6 +2996,22 @@ object EventStream extends Serializable {
     val sym = und.localCheckpoint(true)
     val deg = sym.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
+    // bump saturation (the X15/X24 dense-flip): with B ≥ max degree the
+    // upper bound est0 = least(deg, core_base + B) is deg EVERYWHERE —
+    // the warm start IS the cold start, so run the batch G13b over the
+    // declared drain-graph identity (session-memoized; the X16/X17/X18
+    // drain shortcut) instead of paying the scoped machinery for
+    // nothing. From-variant fixtures pass no drainBase and always
+    // exercise the warm+scoped path.
+    val maxDeg = deg.agg(coalesce(max(col("deg")), lit(0L)))
+      .head().getLong(0)
+    if (insertsB >= maxDeg && drainBase.isDefined) {
+      stats.foreach { m =>
+        m("denseFlip") = 1L; m("fullRounds") = 0L; m("scopedRounds") = 0L
+      }
+      return graft.graph.Coreness(drainBase.get(),
+        broadcastVertices = broadcastState)
+    }
     // est0 = least(deg_new, core_base + B); appeared vertices cap at deg
     var est = deg.join(baseCore.select(col("id"),
         col("coreness").as("core0")), Seq("id"), "left")
