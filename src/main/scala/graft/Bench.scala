@@ -94,6 +94,7 @@ object Bench {
     "stream_betweenness_incremental", "stream_kcore_incremental",
     "stream_ktruss_incremental", "stream_lpa_incremental",
     "stream_coreness_incremental", "stream_ann_ivf_incremental",
+    "stream_ann_ivfpq_incremental",
     // AFTER the X23 stream: the batch twin reads the stream-published
     // triangle-list memo (memo_hits flags the coupling in the artifact)
     "graph_ktruss_updated")

@@ -68,8 +68,13 @@ object SparkEntry {
     "graph_coreness" -> ((s, d) =>
       Coreness(Graph.fromTpch(s, d),
         oracleRounds = if (d.contains("sf0.01")) Some(6) else None)),
+    // rounds is a convergence CAP (r11): the loop early-stops at the
+    // match fixpoint, so a cap above the productive depth never changes
+    // the result — the oracle stays unrolled at 4 (≥ the sf0.01
+    // productive depth, guarded below)
     "graph_multicontract" -> ((s, d) =>
-      MultiContract(Graph.fromTpch(s, d), rounds = 4, jumps = 4)),
+      MultiContract(Graph.fromTpch(s, d), rounds = 8, jumps = 4,
+        oracleRounds = if (d.contains("sf0.01")) Some(4) else None)),
     "graph_lpa" -> ((s, d) => LabelPropagation(Graph.fromTpch(s, d), rounds = 5)),
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
     // the three part-co-occurrence queries share one memoized enumeration
@@ -192,6 +197,12 @@ object SparkEntry {
     "stream_ann_ivf_incremental" -> ((s, d) => EventStream.annIvfStream(s, d)),
     "stream_ann_ivf_exhaustive" -> ((s, d) =>
       EventStream.annIvfStream(s, d, nProbe = 16)),
+    // X27: probabilistic like ann_ivfpq (rows-only, declared); the
+    // exhaustive twin (nProbe = nLists, rerank ≥ corpus) is hash-checked
+    "stream_ann_ivfpq_incremental" -> ((s, d) =>
+      EventStream.annIvfPqStream(s, d)),
+    "stream_ann_ivfpq_exhaustive" -> ((s, d) =>
+      EventStream.annIvfPqStream(s, d, nProbe = 16, rerank = Int.MaxValue)),
     "stream_events_hopping" -> ((s, d) => EventStream.eventsHopping(s, d)),
     "stream_cms_sketch" -> ((s, d) => EventStream.cmsSketchStream(s, d)),
     "stream_purchase_click_join" -> ((s, d) =>
@@ -221,7 +232,8 @@ object SparkEntry {
     "stream_kcore_incremental" -> ((s, d) =>
       EventStream.incrementalKcoreStream(s, d)),
     "stream_coreness_incremental" -> ((s, d) =>
-      EventStream.incrementalCorenessStream(s, d)),
+      EventStream.incrementalCorenessStream(s, d,
+        oracleRounds = if (d.contains("sf0.01")) Some(12) else None)),
     "stream_ktruss_incremental" -> ((s, d) =>
       EventStream.incrementalKtrussStream(s, d)),
     "stream_lpa_incremental" -> ((s, d) =>
@@ -345,6 +357,7 @@ object SparkEntry {
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),
     "ann_ivf_exhaustive" -> Similarity.annTopKSql(),
     "stream_ann_ivf_exhaustive" -> Similarity.annTopKSql(),
+    "stream_ann_ivfpq_exhaustive" -> Similarity.annTopKSql(),
     "ann_pq_exhaustive" -> Similarity.annTopKSql(),
     "ann_graph_exhaustive" -> Similarity.annTopKSql(),
     "ann_pq_build" -> Similarity.annPqBuildSql(),

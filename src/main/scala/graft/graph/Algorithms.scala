@@ -1428,11 +1428,13 @@ object Coreness {
           (g, maxIter, broadcastVertices))(
           run(g, maxIter, broadcastVertices))
       } else run(g, maxIter, broadcastVertices)
-    if (!converged)
-      System.err.println(s"[graft] WARN Coreness: fixpoint not reached " +
-        s"after $maxIter rounds")
+    // run() throws on non-convergence (exactness is the contract — the
+    // X26 drain warm-starts from these labels and its squeeze bound only
+    // holds against the TRUE coreness; r10 ADVICE), so converged is
+    // always true here and nothing unconverged ever reaches the memo.
+    assert(converged)
     oracleRounds.foreach { r =>
-      if (!converged || i > r) throw new IllegalStateException(
+      if (i > r) throw new IllegalStateException(
         s"coreness h-iteration converged in $i rounds but the unrolled " +
           s"SQL oracle has $r: raise `rounds` in Coreness.unrolledSql " +
           "for this SF")
@@ -1457,6 +1459,10 @@ object Coreness {
       est = nxt
       i += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"Coreness: h-iteration did not converge within $maxIter rounds — " +
+        "an unconverged estimate must never be returned (or memoized): " +
+        "downstream warm starts (X26) assume exact coreness. Raise maxIter.")
     (est.select(col("id"), col("est").as("coreness")), i, changed == 0)
   }
 
@@ -1799,9 +1805,15 @@ object GraphColoring {
               sequence(lit(0L), coalesce(array_max(col("used")), lit(-1L)) + 1),
               coalesce(col("used"), array().cast("array<bigint>")))),
             lit(0L)).as("tent"))
-        .join(bc(degs), Seq("id"))
+        // LEFT join: a vertex whose only incident edges are self-loops
+        // has no e0 row, so no degs row — inner-joining here would drop
+        // it from tent forever and burn all maxIter rounds (r10 ADVICE).
+        // Degree 0 is the correct Welsh–Powell weight for it: self-loops
+        // impose no coloring constraint.
+        .join(bc(degs), Seq("id"), "left")
         .withColumn("pri", concat(
-          lpad((lit(100000000L) - col("deg")).cast("string"), 9, "0"),
+          lpad((lit(100000000L) - coalesce(col("deg"), lit(0L)))
+            .cast("string"), 9, "0"),
           md5(concat(col("id").cast("string"), lit(s":$i")))))
         .select(col("id"), col("tent"), col("pri"))
         .coalesce(parts).localCheckpoint(true)
@@ -1906,7 +1918,7 @@ object GraphColoring {
     val steps = (1 to rounds).map { r =>
       // Welsh–Powell priority: zero-padded degree complement, then md5 —
       // lexicographic min = (degree desc, md5 asc), mirroring apply()
-      val pri = "lpad(CAST(100000000 - d.d AS VARCHAR), 9, '0') || " +
+      val pri = "lpad(CAST(100000000 - coalesce(d.d, 0) AS VARCHAR), 9, '0') || " +
         s"md5(CAST(x.id AS VARCHAR) || ':${r - 1}')"
       s"""used$r AS MATERIALIZED (
          |  SELECT e.dst AS id, c.color FROM e0 e
@@ -1916,7 +1928,7 @@ object GraphColoring {
          |  SELECT x.id, min(x.k) AS tent, $pri AS pri FROM (
          |    SELECT uu.id, t.k FROM u${r - 1} uu
          |    CROSS JOIN range(0, $OracleColorCap) t(k)) x
-         |  JOIN deg d ON d.id = x.id
+         |  LEFT JOIN deg d ON d.id = x.id
          |  LEFT JOIN used$r z ON z.id = x.id AND z.color = x.k
          |  WHERE z.color IS NULL
          |  GROUP BY x.id, d.d),
@@ -2192,7 +2204,17 @@ object Betweenness {
         .select(col("lm"), col("id"),
           (col("sigma") / col("wsig") * (lit(1.0) + col("wdelta"))).as("c"))
         .groupBy(col("lm"), col("id"))
-        .agg(round(sum(col("c")), 9).as("delta"))
+        // exact-decimal accumulation (r11): a double sum's value depends
+        // on partition/merge ORDER, and when the true sum sits at a 9 dp
+        // rounding boundary that ulp of order noise flips the rounded
+        // digit between runs/engines (the r11 gate caught exactly one
+        // such row at 6 dp downstream). Each term is quantized once at
+        // 18 dp (deterministic: nearest-decimal of an exact IEEE value),
+        // summed exactly, THEN rounded — order-independent in both
+        // engines; the oracle mirrors the same cast.
+        .agg(round(sum(col("c")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18))), 9)
+          .cast("double").as("delta"))
         .localCheckpoint(true)
       acc += delta
     }
@@ -2204,10 +2226,15 @@ object Betweenness {
     * over the vertex universe `allv`.
     */
   def sumScores(allv: DataFrame, perLm: DataFrame): DataFrame =
-    allv.join(perLm.groupBy(col("id")).agg(sum(col("delta")).as("s")),
+    // the landmark sum is exact-decimal too (see backwardPerLm): the
+    // 9 dp-rounded δ doubles recover their exact decimals under the
+    // scale-9 cast, so the sum and the 6 dp round are order-independent
+    allv.join(perLm.groupBy(col("id")).agg(sum(col("delta")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 9))).as("s")),
         Seq("id"), "left")
       .select(col("id"),
-        round(coalesce(col("s"), lit(0.0)), 6).as("betweenness"))
+        coalesce(round(col("s"), 6).cast("double"), lit(0.0))
+          .as("betweenness"))
 
   /** DuckDB oracle: per landmark, `levels` forward σ steps (BFS layers
     * with path counts) then the backward δ chain, unrolled as CTEs;
@@ -2235,7 +2262,7 @@ object Betweenness {
       for (l <- levels - 1 to 1 by -1) {
         parts +=
           s"""del${i}_$l AS MATERIALIZED (
-             |  SELECT v.id, round(sum((v.sigma / w.sigma) * (1 + coalesce(dw.delta, 0))), 9) AS delta
+             |  SELECT v.id, CAST(round(sum(CAST((v.sigma / w.sigma) * (1 + coalesce(dw.delta, 0)) AS DECIMAL(38,18))), 9) AS DOUBLE) AS delta
              |  FROM s${i}_$l v JOIN edges e ON v.id = e.src
              |  JOIN s${i}_${l + 1} w ON e.dst = w.id
              |  LEFT JOIN del${i}_${l + 1} dw ON w.id = dw.id
@@ -2248,7 +2275,7 @@ object Betweenness {
     parts += "allv AS (SELECT DISTINCT src AS id FROM edges)"
     s"""WITH $edgesCte,
        |${parts.mkString(",\n")}
-       |SELECT a.id, round(coalesce(sum(d.delta), 0), 6) AS betweenness
+       |SELECT a.id, coalesce(CAST(round(sum(CAST(d.delta AS DECIMAL(38,9))), 6) AS DOUBLE), 0.0) AS betweenness
        |FROM allv a LEFT JOIN deltas d ON a.id = d.id
        |GROUP BY 1""".stripMargin
   }

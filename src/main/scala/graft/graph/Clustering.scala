@@ -58,23 +58,46 @@ import graft.core.Checkpoints.freshStats
 object MultiContract {
   /** Largest volume whose score rescale stays exact in BIGINT:
     * |S| ≤ vol², so vol must stay under √Long.Max. Past it (≈3.0e9 total
-    * edge weight — a ~100 TB corpus graph), switch the S column and the
-    * wt products to DECIMAL(38,0): same ordering semantics, ~2× the agg
-    * cost, no other change.
+    * edge weight — a ~100 TB corpus graph), [[apply]] auto-switches the S
+    * column and the wt products to DECIMAL(38,0): every ORDERING
+    * comparison (argmax, S>0, the s0 tie rule) stays integer-exact
+    * (|S| ≤ vol² < 8.6e37 fits DECIMAL(38,0) for any BIGINT volume) at
+    * ~2× the agg cost. Only the threshold STATISTICS change
+    * representation on the scale path: Σ S² reaches ~vol⁴ ≈ 1e75 — no
+    * fixed 128-bit type holds it (DuckDB's HUGEINT included, so no SQL
+    * oracle can exist there either) — so s1/s2 accumulate in double,
+    * which is faithful to the reference (its score sums are racy OpenMP
+    * doubles: static_multicontract_clustering.c filter_scores).
     */
   val ExactVolumeBound = 3037000499L
 
-  /** (id, community) for every original vertex after `rounds` contraction
-    * rounds (community = contraction-tree root; rounds past the fixpoint
-    * are idempotent).
+  /** (id, community) for every original vertex: contraction rounds run
+    * until the match fixpoint (a round in which no vertex matches
+    * outside its own root — the reference's run-to-stability outer loop,
+    * static_multicontract_clustering.c:260) with `rounds` as a loud CAP.
+    * Rounds past the fixpoint are idempotent, so a fixed-depth oracle
+    * unrolled ≥ the productive depth hashes identically to the
+    * early-stopped result.
     *
+    * @param rounds convergence cap: if the fixpoint is not detected
+    *   within `rounds` rounds the operator throws (naming the cap)
+    *   rather than return a partial contraction.
     * @param jumps pointer-jump count for the match-chain climb: resolves
     *   chains up to 2^jumps (the guard fails loudly if any chain is
     *   longer, telling the caller to raise it — chains are strictly
     *   score-increasing so real graphs stay shallow).
+    * @param exactBound test seam for the DECIMAL path: production always
+    *   passes [[ExactVolumeBound]]; the equivalence spec forces it low to
+    *   run the scale path on a gate-sized graph.
+    * @param oracleRounds assert the productive contraction depth fits the
+    *   unrolled oracle (the [[graft.graph.Coreness.apply]] contract):
+    *   idempotence makes a deeper unroll hash identically, but a
+    *   shallower one must fail loudly, not as a bare hash mismatch.
     */
   def apply(g: Graph, rounds: Int = 4, jumps: Int = 4,
-      broadcastVertices: Boolean = true): DataFrame = {
+      broadcastVertices: Boolean = true,
+      exactBound: Long = ExactVolumeBound,
+      oracleRounds: Option[Int] = None): DataFrame = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
     val spark = g.edges.sparkSession
     import spark.implicits._
@@ -90,35 +113,64 @@ object MultiContract {
     val vol = sym.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0)
     if (vol == 0L)
       return Seq.empty[(Long, Long)].toDF("id", "community")
-    require(vol < ExactVolumeBound,
-      s"MultiContract: volume $vol overflows the exact BIGINT score " +
-        "rescale — switch S to DECIMAL(38,0) for this scale " +
-        "(see ExactVolumeBound)")
+    val exact = vol < exactBound
+    // DECIMAL(19,0) factors multiply into DECIMAL(38,0) products — wide
+    // enough for |S| ≤ vol² < 8.6e37 at any BIGINT volume
+    val d19 = DecimalType(19, 0)
+    val zeroS =
+      if (exact) lit(0L) else lit(0L).cast(d19) * lit(0L).cast(d19)
     var map = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("c")).localCheckpoint(true)
     val n0 = map.count()
     var wt = Seq.empty[(Long, Long)].toDF("c", "wt").localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var converged = false
+    var round = 0
+    while (!converged && round < rounds) {
+      round += 1
+      val sExpr =
+        if (exact)
+          col("w") * lit(vol) -
+            coalesce(col("wtu"), lit(0L)) * coalesce(col("wtv"), lit(0L))
+        else
+          col("w").cast(d19) * lit(vol).cast(d19) -
+            coalesce(col("wtu"), lit(0L)).cast(d19) *
+              coalesce(col("wtv"), lit(0L)).cast(d19)
       val scored = sym
         .join(bc(wt.toDF("u", "wtu")), Seq("u"), "left")
         .join(bc(wt.toDF("v", "wtv")), Seq("v"), "left")
-        .select(col("u"), col("v"), col("w"),
-          (col("w") * lit(vol) -
-            coalesce(col("wtu"), lit(0L)) * coalesce(col("wtv"), lit(0L)))
-            .as("S"))
+        .select(col("u"), col("v"), col("w"), sExpr.as("S"))
         .localCheckpoint(eager = false)
       val best = scored.filter(col("S") > 0)
         .groupBy(col("u").as("c"))
         .agg(max(struct(col("S"), (-col("v")).as("nv"))).as("b"))
         .select(col("c"), (-col("b.nv")).as("m1"), col("b.S").as("sbest"))
-      // exact integer sums; the only floats below derive from these via
-      // the same expression tree the oracle SQL uses
-      val st = scored.agg(
-        sum(col("S").cast(DecimalType(38, 0))).as("s1"),
-        sum(col("S").cast(DecimalType(19, 0)) *
-          col("S").cast(DecimalType(19, 0))).as("s2")).head()
-      val s1 = Option(st.getDecimal(0)).fold(0.0)(_.doubleValue)
-      val s2 = Option(st.getDecimal(1)).fold(0.0)(_.doubleValue)
+      // exact path: exact integer sums — the only floats below derive
+      // from them via the same expression tree the oracle SQL uses.
+      // scale path: double accumulation (see ExactVolumeBound scaladoc).
+      val (s1, s2) =
+        if (exact) {
+          val st = scored.agg(
+            sum(col("S").cast(DecimalType(38, 0))).as("s1"),
+            sum(col("S").cast(DecimalType(19, 0)) *
+              col("S").cast(DecimalType(19, 0))).as("s2")).head()
+          // scored is never empty here (vol > 0), so a null sum is a
+          // silent DECIMAL(38,0) overflow — Spark nulls where DuckDB's
+          // HUGEINT errors loudly, i.e. engine divergence (r10 ADVICE).
+          // Σ S² can overflow with just two near-bound terms even though
+          // each term fits.
+          if (st.isNullAt(0) || st.isNullAt(1)) throw new IllegalStateException(
+            s"MultiContract: exact threshold stats overflowed DECIMAL(38,0) " +
+              s"at volume $vol (round $round) — the corpus is too close to " +
+              "ExactVolumeBound for exact Σ S²; lower exactBound to take " +
+              "the DECIMAL scale path (double-accumulated threshold)")
+          (st.getDecimal(0).doubleValue, st.getDecimal(1).doubleValue)
+        } else {
+          val st = scored.agg(
+            sum(col("S").cast("double")).as("s1"),
+            sum(col("S").cast("double") * col("S").cast("double")).as("s2"))
+            .head()
+          (st.getDouble(0), st.getDouble(1))
+        }
       val mean = s1 / n0.toDouble
       val varv = s2 / n0.toDouble - mean * mean
       val thrOpt = if (varv >= 0) Some(mean - 1.5 * math.sqrt(varv)) else None
@@ -129,7 +181,7 @@ object MultiContract {
             .when(thrOpt.map(t => col("sbest").cast("double") < lit(t))
               .getOrElse(lit(false)), col("c"))
             .otherwise(col("m1")).as("mf"),
-          coalesce(col("sbest"), lit(0L)).as("s0"))
+          coalesce(col("sbest"), zeroS).as("s0"))
         .localCheckpoint(eager = false)
       // reference filter_scores else-branch: a match target whose own
       // best score is <= a pointer's loses its match (becomes a root)
@@ -160,25 +212,44 @@ object MultiContract {
       if (unresolved > 0) throw new IllegalStateException(
         s"MultiContract: $unresolved match chains longer than 2^$jumps — " +
           "raise `jumps` (and the oracle unroll) for this graph")
-      map = freshStats(map.join(bc(m3), Seq("c"))
-        .select(col("id"), col("m").as("c"))
-        .localCheckpoint(eager = false))
-      val mapped = scored.select(col("u"), col("v"), col("w"))
-        .join(bc(m3.toDF("u", "mu")), Seq("u"))
-        .join(bc(m3.toDF("v", "mv")), Seq("v"))
-      // intra-cluster weight folds into the supernode weight (both
-      // directions, matching the reference's per-directed-edge increment)
-      wt = wt.join(bc(m3), Seq("c"))
-        .select(col("m").as("c"), col("wt"))
-        .union(mapped.filter(col("mu") === col("mv"))
-          .select(col("mu").as("c"), col("w").as("wt")))
-        .groupBy(col("c")).agg(sum(col("wt")).as("wt"))
-        .localCheckpoint(true)
-      wt = freshStats(wt)
-      sym = freshStats(mapped.filter(col("mu") =!= col("mv"))
-        .groupBy(col("mu").as("u"), col("mv").as("v"))
-        .agg(sum(col("w")).as("w"))
-        .localCheckpoint(eager = false))
+      // fixpoint = a round in which no vertex matched outside its own
+      // root: map/wt/sym would pass through unchanged, so stop — the
+      // reference's run-to-stability outer loop, with the early stop
+      // provably identical to running the remaining capped rounds
+      val matchedN = m3.filter(col("m") =!= col("c")).count()
+      if (matchedN == 0L) converged = true
+      else {
+        map = freshStats(map.join(bc(m3), Seq("c"))
+          .select(col("id"), col("m").as("c"))
+          .localCheckpoint(eager = false))
+        val mapped = scored.select(col("u"), col("v"), col("w"))
+          .join(bc(m3.toDF("u", "mu")), Seq("u"))
+          .join(bc(m3.toDF("v", "mv")), Seq("v"))
+        // intra-cluster weight folds into the supernode weight (both
+        // directions, matching the reference's per-directed-edge increment)
+        wt = wt.join(bc(m3), Seq("c"))
+          .select(col("m").as("c"), col("wt"))
+          .union(mapped.filter(col("mu") === col("mv"))
+            .select(col("mu").as("c"), col("w").as("wt")))
+          .groupBy(col("c")).agg(sum(col("wt")).as("wt"))
+          .localCheckpoint(true)
+        wt = freshStats(wt)
+        sym = freshStats(mapped.filter(col("mu") =!= col("mv"))
+          .groupBy(col("mu").as("u"), col("mv").as("v"))
+          .agg(sum(col("w")).as("w"))
+          .localCheckpoint(eager = false))
+      }
+    }
+    if (!converged) throw new IllegalStateException(
+      s"MultiContract: match fixpoint not reached within the rounds cap " +
+        s"($rounds) — raise `rounds`; the early stop is idempotent, so a " +
+        "higher cap never changes a converged result")
+    oracleRounds.foreach { u =>
+      val productive = round - 1
+      if (productive > u) throw new IllegalStateException(
+        s"MultiContract: $productive productive contraction rounds but " +
+          s"the unrolled SQL oracle has $u: raise the unroll in " +
+          "MultiContract.unrolledSql for this SF")
     }
     map.select(col("id"), col("c").as("community"))
   }

@@ -226,10 +226,17 @@ object Similarity {
     * ulp noise and well below the 6 dp the distance comparisons use).
     * The norm is computed once per row, not per element.
     */
-  def unitVectors(spark: SparkSession, dir: String): DataFrame = {
+  def unitVectors(spark: SparkSession, dir: String): DataFrame =
+    unitize(vectors(spark, dir))
+
+  /** The [[unitVectors]] normalization over an arbitrary (vec_id, v)
+    * frame — the X27 stream maintainer normalizes each arriving
+    * micro-batch with this exact expression, so per-row arithmetic is
+    * identical to the batch index build.
+    */
+  def unitize(e: DataFrame): DataFrame = {
     import graft.functions.ArrayDot.dot
-    vectors(spark, dir)
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    e.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .select(col("vec_id"),
         transform(col("v"), x => round(x / col("nrm"), 9)).as("vh"))
   }
@@ -592,25 +599,53 @@ object Similarity {
   def annIvfPq(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 20, nLists: Int = 16, nProbe: Int = 10, m: Int = 8,
       codebookK: Int = 32, rerank: Int = 192, iters: Int = 2): DataFrame = {
-    import graft.functions.ArrayDot.dot
-    val e = vectors(spark, dir)
-    val eh = unitVectors(spark, dir)
-    val dim = eh.select(size(col("vh"))).head().getInt(0)
-    val subLen = dim / m
     val (coarse, books) = ivfPqBooks(spark, dir, nLists, m, codebookK, iters)
-    def residOf(vh: Column, listId: Column): Column =
-      zip_with(vh, codewordOf(coarse, listId), (a, b) => a - b)
-    // index: (vec_id, list_id, c0..c{m-1}) — one codegen projection
+    val codes = ivfPqEncode(coarse, books, unitVectors(spark, dir))
+      .localCheckpoint(true)
+    ivfPqSearchFrom(codes, spark, dir, coarse, books, k, nQueries,
+      nProbe, rerank)
+  }
+
+  /** The residual-PQ index encode: one codegen'd projection from unit
+    * vectors to (vec_id, list_id, c0..c{m-1}) — no join, no shuffle
+    * (coarse centroids and residual codewords are inlined literals).
+    * Shared by batch [[annIvfPq]] and the X27 stream maintainer, whose
+    * per-batch cost unit this is (the X25 `ivfAssign` contract extended
+    * to the residual-coded index).
+    */
+  def ivfPqEncode(coarse: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[(Long, Seq[Double])]], eh: DataFrame): DataFrame = {
+    import graft.functions.ArrayDot.dot
+    val m = books.size
+    val subLen = books.head.head._2.size
     val withResid = eh
       .withColumn("n2", dot(col("vh"), col("vh")))
       .withColumn("list_id", nearestCodeword(coarse, col("vh"), col("n2")))
-      .withColumn("resid", residOf(col("vh"), col("list_id")))
-    val codes = withResid.select(
+      .withColumn("resid", zip_with(col("vh"),
+        codewordOf(coarse, col("list_id")), (a, b) => a - b))
+    withResid.select(
       (col("vec_id") +: col("list_id") +: (0 until m).map { j =>
         val sv = slice(col("resid"), j * subLen + 1, subLen)
         nearestCodeword(books(j), sv, dot(sv, sv)).as(s"c$j")
       }): _*)
-      .localCheckpoint(true)
+  }
+
+  /** The exact IVF-PQ probe + ADC + re-rank tail over an already-encoded
+    * index — shared by batch [[annIvfPq]] and the X27 stream drain, so
+    * "drained search ≡ batch at the same codebooks" is equality of code
+    * paths over equal inputs (the [[ivfSearchFrom]] contract).
+    */
+  def ivfPqSearchFrom(codes: DataFrame, spark: SparkSession, dir: String,
+      coarse: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[(Long, Seq[Double])]], k: Int, nQueries: Int,
+      nProbe: Int, rerank: Int): DataFrame = {
+    import graft.functions.ArrayDot.dot
+    val m = books.size
+    val subLen = books.head.head._2.size
+    val e = vectors(spark, dir)
+    val eh = unitVectors(spark, dir)
+    def residOf(vh: Column, listId: Column): Column =
+      zip_with(vh, codewordOf(coarse, listId), (a, b) => a - b)
     // queries: nProbe nearest lists each; the query residual is
     // per-(query, probed list), its subspace slices feed the ADC lookups
     val q = e.join(eh, "vec_id").filter(col("vec_id") < nQueries)

@@ -689,4 +689,58 @@ class GraphSpec extends AnyFunSuite {
       assert(seen == mset, s"community $c is disconnected")
     }
   }
+
+  test("multicontract: DECIMAL scale path ≡ exact path, cap + unroll guards") {
+    val gt = Graph.fromTpch(spark, TestSpark.sfTiny)
+    // force the volume over the (test-seam) bound so the same gate-sized
+    // graph takes the DECIMAL(38,0) score path — every ordering
+    // comparison is still exact integer arithmetic, so the decomposition
+    // must be identical to the exact-BIGINT path
+    val exact = MultiContract(gt, rounds = 8).localCheckpoint(true)
+    val dec = MultiContract(gt, rounds = 8, exactBound = 1L)
+      .localCheckpoint(true)
+    assert(exact.exceptAll(dec).count() == 0 &&
+      dec.exceptAll(exact).count() == 0,
+      "DECIMAL scale path diverges from the exact path")
+    // rounds is a convergence CAP: a cap below the fixpoint depth fails
+    // loudly (naming the cap) instead of returning a partial contraction
+    val chain = Graph(Seq((1L, 2L, 10L), (2L, 3L, 20L), (3L, 4L, 30L))
+      .toDF("src", "dst", "weight"))
+    val capEx = intercept[IllegalStateException] {
+      MultiContract(chain, rounds = 1).collect()
+    }
+    assert(capEx.getMessage.contains("rounds cap (1)"), capEx.getMessage)
+    // oracle unroll-depth guard: productive depth > unroll throws loudly
+    val unrollEx = intercept[IllegalStateException] {
+      MultiContract(gt, rounds = 8, oracleRounds = Some(1)).collect()
+    }
+    assert(unrollEx.getMessage.contains("unrolled SQL oracle has 1"),
+      unrollEx.getMessage)
+    // and a deep-enough unroll passes (idempotence: early stop ≤ unroll)
+    val ok = MultiContract(gt, rounds = 8, oracleRounds = Some(8))
+    assert(ok.exceptAll(exact).count() == 0)
+  }
+
+  test("coloring: self-loop-only vertex is colored; coreness maxIter throws") {
+    // vertex 1's only incident edge is a self-loop: it must still be
+    // colored (degree 0 in the Welsh–Powell priority — self-loops impose
+    // no constraint); pre-r11 the inner degs join dropped it from tent
+    // and the loop burned all rounds (r10 ADVICE)
+    val g = Graph(Seq((1L, 1L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "weight"))
+    val colored = GraphColoring(g, oracleRounds = Some(4))
+      .localCheckpoint(true)
+    val got = colored.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"incomplete coloring: $got")
+    assert(got(2L) != got(3L) && got(3L) != got(4L), s"improper: $got")
+    // an unconverged coreness estimate must never be returned or
+    // memoized — h-iteration cut short throws (r10 ADVICE)
+    val gt = Graph.fromTpch(spark, TestSpark.sfTiny)
+    val ex = intercept[IllegalStateException] {
+      Coreness(gt, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+    // and the converged run still succeeds afterwards (no poisoned memo)
+    assert(Coreness(gt).count() > 0)
+  }
 }
