@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Checkpoints.freshStats
 import graft.core.Tables
 
 /** Triangle counting (SURVEY §2 G12, extension beyond the reference's four
@@ -197,8 +198,22 @@ object Triangles {
     * for the operator contract — this entry point lets the memoized part
     * graph list be shared with the count/clustering consumers).
     */
+  /** Live pair sets above this never take the serial local tail (the
+    * single task's hash maps would not fit executor memory) — the
+    * distributed decrement rounds continue instead. ~8M pairs ≈ 1.5 GB
+    * of boxed map entries, comfortable under the bench/driver heaps.
+    */
+  val LocalTailMaxPairs = 8000000L
+
+  /** @param wedgeThreshold dropped-set size at or below which the peel
+    *   finishes with the serial local tail (gated by
+    *   [[LocalTailMaxPairs]]); 50000 chosen by the tools/KtrussAb sweep
+    *   (sf0.1: 5.0-5.8 s vs 6.7-6.9 at 5000 vs 10.1-10.9 never-local;
+    *   ≥200k is jitter-indistinguishable from 50k). 0 disables the tail.
+    */
   def kTrussFrom(triangleList: DataFrame, k: Int = 5,
-      maxIter: Int = 30, oracleRounds: Option[Int] = None): DataFrame = {
+      maxIter: Int = 30, oracleRounds: Option[Int] = None,
+      wedgeThreshold: Long = 50000L): DataFrame = {
     def pairs(t: DataFrame): DataFrame = t.select(explode(array(
         struct(col("u1").as("u"), col("v1").as("v")),
         struct(col("u2").as("u"), col("v2").as("v")),
@@ -223,97 +238,146 @@ object Triangles {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("support"))
       .localCheckpoint(true))
     var converged = false
-    var wedgeMode = false
+    var liveN = -1L
     var i = 0
     while (!converged && i < maxIter) {
       // lazy: a map-only filter over the in-memory sup checkpoint — its
-      // three consumers re-run the filter rather than paying one more
+      // consumers re-run the filter rather than paying one more
       // materialization per round (the count below is the only action)
       val dropped = sup.filter(col("support") < k - 2)
         .select(col("u"), col("v"))
-      val nDropped = dropped.count()
+      val nDropped = timed(s"  count $i")(dropped.count())
       if (prof) System.err.println(s"[ktruss] round $i dropped $nDropped")
       if (nDropped == 0) converged = true
-      else timed(s"round $i") {
-        // thin-tail rounds switch to WEDGE PROBING: the removed triangles
-        // of a small dropped set are recovered from the dropped endpoints'
-        // neighborhoods (N(u) ∩ N(v) over round-start edges = sup's keys)
-        // instead of a full pass over the triangle list — per-round work
-        // becomes O(|dropped| · deg), and the list needn't be maintained
-        // once every later round is also below the threshold (cascades
-        // only shrink). The switch is one-way: tri is stale afterwards.
-        if (!wedgeMode && nDropped <= 5000L) wedgeMode = true
-        val dec =
-          if (!wedgeMode) {
-            // dropped can be corpus-sized in the first rounds — size-gate
-            // the broadcast on the free checkpoint count (checkpointed
-            // frames carry no Catalyst stats; the static planner would
-            // SMJ them)
-            val d = if (nDropped <= 2000000L) broadcast(dropped) else dropped
-            // one pass over the list marks triangles losing any edge; the
-            // marked rows drive the decrements, the rest are the next list
-            val marked = tri
-              .join(d.select(col("u").as("u1"), col("v").as("v1"),
-                lit(1).as("m1")), Seq("u1", "v1"), "left")
-              .join(d.select(col("u").as("u2"), col("v").as("v2"),
-                lit(2).as("m2")), Seq("u2", "v2"), "left")
-              .join(d.select(col("u").as("u3"), col("v").as("v3"),
-                lit(3).as("m3")), Seq("u3", "v3"), "left")
-              .withColumn("m",
-                coalesce(col("m1"), col("m2"), col("m3")).isNotNull)
-              .select(col("u1"), col("v1"), col("u2"), col("v2"),
-                col("u3"), col("v3"), col("m"))
-              .localCheckpoint(true)
-            val out = pairs(marked.filter(col("m")))
-              .groupBy(col("u"), col("v"))
-              .agg(org.apache.spark.sql.functions.count(lit(1)).as("dec"))
-            // lazy: the surviving-list projection of the marked checkpoint
-            // materializes inside the NEXT round's marked job (or never,
-            // once wedge mode stops consuming the list) instead of paying
-            // its own barrier per round
-            tri = marked.filter(!col("m"))
-              .select(col("u1"), col("v1"), col("u2"), col("v2"),
-                col("u3"), col("v3"))
-              .localCheckpoint(eager = false)
-            out
-          } else {
-            val edges0 = sup.select(col("u"), col("v"))
-            val adjSym = edges0
-              .select(col("u").as("p"), col("v").as("q"))
-              .unionAll(edges0.select(col("v").as("p"), col("u").as("q")))
-            val ends = dropped.select(col("u").as("p"))
-              .unionAll(dropped.select(col("v").as("p"))).distinct()
-            // one map-only pass over the in-memory sup checkpoint: only
-            // the dropped endpoints' adjacency rows survive the semi-join
-            val nbrs = adjSym.join(broadcast(ends), Seq("p"), "left_semi")
-              .localCheckpoint(true)
-            val na = broadcast(dropped).join(nbrs, col("u") === col("p"))
-              .select(col("u"), col("v"), col("q").as("w"))
-            val nb = broadcast(dropped).join(nbrs, col("v") === col("p"))
-              .select(col("u").as("u2"), col("v").as("v2"),
-                col("q").as("w2"))
-            // a triangle holding TWO dropped edges is found through both —
-            // canonicalize and dedup so its third edge decrements once
-            val removedTri = na.join(nb, col("u") === col("u2") &&
-                col("v") === col("v2") && col("w") === col("w2"))
-              .select(sort_array(array(col("u"), col("v"), col("w"))).as("t"))
-              .distinct()
-            removedTri.select(explode(array(
-                struct(col("t")(0).as("u"), col("t")(1).as("v")),
-                struct(col("t")(0).as("u"), col("t")(2).as("v")),
-                struct(col("t")(1).as("u"), col("t")(2).as("v")))).as("e"))
-              .select(col("e.u").as("u"), col("e.v").as("v"))
-              .groupBy(col("u"), col("v"))
-              .agg(org.apache.spark.sql.functions.count(lit(1)).as("dec"))
+      else if (nDropped <= wedgeThreshold && {
+          // the live set only shrinks — one count decides the gate
+          if (liveN < 0) liveN = sup.count(); liveN <= LocalTailMaxPairs
+        }) timed(s"local tail $i") {
+        // LOCAL TAIL (r11, replacing the r9 wedge-probe rounds): once the
+        // dropped set is thin AND the live pair set fits one task, the
+        // remaining cascade is latency-bound, not throughput-bound — the
+        // distributed rounds were paying ~1 s of barrier + scan per round
+        // to remove a few hundred edges (bench prof receipts; the wedge
+        // A/B in tools/KtrussAb measured threshold-insensitive 10.5-13 s
+        // however the tail was probed). So finish the peel SERIALLY in a
+        // single mapPartitions task over the coalesced support table:
+        // hash-map adjacency + the textbook queue cascade, processed
+        // LEVEL-synchronously so the observed round depth (for the
+        // oracleRounds guard) is identical to the distributed schedule's.
+        // Exactness: any removal order reaches the unique k-truss, and a
+        // dying triangle decrements each surviving edge exactly once
+        // (when its FIRST dropped edge is processed, the others are still
+        // live) — the same once-only semantics the distributed rounds got
+        // from the marked/removedTri dedup. At 100 TB the gate simply
+        // never fires while the live set exceeds LocalTailMaxPairs and
+        // the decrement-maintained list rounds continue — the same
+        // size-gated local-phase trade AQE's coalesced readers make.
+        val spark = sup.sparkSession
+        import spark.implicits._
+        val acc = spark.sparkContext.longAccumulator("ktrussLocalLevels")
+        val kk = k
+        val res = sup.coalesce(1).mapPartitions { it =>
+          val thresh = (kk - 2).toLong
+          val supM = new java.util.HashMap[(Long, Long), Long]()
+          val adj =
+            new java.util.HashMap[Long, java.util.HashSet[java.lang.Long]]()
+          def nb(a: Long): java.util.HashSet[java.lang.Long] =
+            adj.computeIfAbsent(a,
+              _ => new java.util.HashSet[java.lang.Long]())
+          var level = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          while (it.hasNext) {
+            val r = it.next()
+            val (u, v, s) = (r.getLong(0), r.getLong(1), r.getLong(2))
+            supM.put((u, v), s)
+            nb(u).add(v); nb(v).add(u)
+            if (s < thresh) level += ((u, v))
           }
-        // lazy: the next round's dropped.count() (or the caller's first
-        // action after convergence) is the materializing job — one
-        // barrier per round, not two
-        sup = sup.filter(col("support") >= k - 2)
+          var levels = 0L
+          while (level.nonEmpty) {
+            levels += 1
+            val next = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            for ((u, v) <- level) {
+              supM.remove((u, v))
+              nb(u).remove(v); nb(v).remove(u)
+              // live triangles {u,v,w}: w adjacent to both survivors —
+              // iterate the smaller neighborhood
+              val (a, b) = if (nb(u).size <= nb(v).size) (u, v) else (v, u)
+              val itW = nb(a).iterator()
+              while (itW.hasNext) {
+                val w = itW.next().longValue()
+                if (nb(b).contains(w)) {
+                  // the dying triangle {u,v,w} decrements its two
+                  // surviving edges once each (both live right now)
+                  def dec1(x: Long): Unit = {
+                    val key = if (x < w) (x, w) else (w, x)
+                    val s1 = supM.get(key) - 1L
+                    supM.put(key, s1)
+                    // enqueue exactly on the ≥→< threshold crossing
+                    if (s1 == thresh - 1) next += key
+                  }
+                  dec1(u); dec1(v)
+                }
+              }
+            }
+            level = next
+          }
+          acc.add(levels)
+          val out =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          supM.forEach((key, s) => out += ((key._1, key._2, s)))
+          out.iterator
+        }.toDF("u", "v", "support").localCheckpoint(true)
+        sup = res
+        // the level count IS the synchronous round depth — fold it into
+        // i so the oracleRounds guard keeps its exact meaning
+        i += acc.value.toInt - 1
+        converged = true
+      }
+      else timed(s"round $i") {
+        // dropped can be corpus-sized in the first rounds — size-gate
+        // the broadcast on the free checkpoint count (checkpointed
+        // frames carry no Catalyst stats; the static planner would
+        // SMJ them)
+        val d = if (nDropped <= 2000000L) broadcast(dropped) else dropped
+        // one pass over the list marks triangles losing any edge; the
+        // marked rows drive the decrements, the rest are the next list
+        val marked = timed(s"  mark $i")(freshStats(tri
+          .join(d.select(col("u").as("u1"), col("v").as("v1"),
+            lit(1).as("m1")), Seq("u1", "v1"), "left")
+          .join(d.select(col("u").as("u2"), col("v").as("v2"),
+            lit(2).as("m2")), Seq("u2", "v2"), "left")
+          .join(d.select(col("u").as("u3"), col("v").as("v3"),
+            lit(3).as("m3")), Seq("u3", "v3"), "left")
+          .withColumn("m",
+            coalesce(col("m1"), col("m2"), col("m3")).isNotNull)
+          .select(col("u1"), col("v1"), col("u2"), col("v2"),
+            col("u3"), col("v3"), col("m"))
+          // lazy (r11): both consumers (this round's dec via the sup
+          // chain, next round's surviving tri) are materialized by
+          // the NEXT dropped-count job — one fewer barrier per round;
+          // nothing broadcasts marked, so the r8 lazy-bc trap can't fire
+          .localCheckpoint(eager = false)))
+        val dec = pairs(marked.filter(col("m")))
+          .groupBy(col("u"), col("v"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("dec"))
+        // lazy: the surviving-list projection of the marked checkpoint
+        // materializes inside the NEXT round's marked job instead of
+        // paying its own barrier per round
+        tri = freshStats(marked.filter(!col("m"))
+          .select(col("u1"), col("v1"), col("u2"), col("v2"),
+            col("u3"), col("v3"))
+          .localCheckpoint(eager = false))
+        // freshStats on every round-state checkpoint (r11): a lazy
+        // localCheckpoint INHERITS the pre-checkpoint plan's sizeInBytes,
+        // and each round joins descendants of the previous round's state
+        // — the stats digits compound and the driver's BigInteger stats
+        // walk grew to 1-2.4 s/round by the peel tail (the S7 pathology;
+        // receipts in tools/KtrussAb + the bench prof)
+        sup = freshStats(sup.filter(col("support") >= k - 2)
           .join(dec, Seq("u", "v"), "left")
           .select(col("u"), col("v"),
             (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = false))
       }
       i += 1
     }
