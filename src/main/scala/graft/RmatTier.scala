@@ -209,13 +209,14 @@ object RmatTier {
     val rate = naActual / updSec
     base.unpersist()
     System.err.println(f"[bench] rmat_update rate: $naActual actions / $updSec%.2f s = $rate%.0f act/s")
-    // pr: the swap-role broadcast path moves ZERO |E|-row exchange bytes
-    // per iteration (tools/PrLargeAb at SCALE 24: 225.8 s vs the shuffle
-    // path's 272.8 s over 10 fixed iterations, 2.5 GB total shuffle vs
-    // 36.5 GB, zero spill) — its per-iteration broadcast is a ~0.5 GB
-    // |V|-row relation, affordable exactly when the tier demanded a
-    // large heap anyway. Beyond 32M vertices even that relation stops
-    // fitting one heap: shuffle-path fallback, the same switch a
+    // pr: PageRank.converged prefers the CSR + broadcast-vector state
+    // path below PageRank.CsrDenseMaxId (r11 — tools/PrLargeAb at SCALE
+    // 24, same session: conv-csr 159.2 s / ZERO shuffle bytes vs
+    // conv-cheby 640.3 s / 12.3 GB; the per-iteration cost was the
+    // 530M-row probe+agg, not shuffle). Its |V|-double broadcast is the
+    // same memory class as the old bcswap BroadcastExchange; above the
+    // gate converged falls back to the join formulation, where bcPr
+    // picks the state side exactly as before — the same switch a
     // billion-vertex cluster run flips.
     val bcPr = bc || (maxHeapGb >= 48 && nv <= 32000000L)
     if (bcPr && !bc) System.err.println(

@@ -723,7 +723,8 @@ object PageRank {
     */
   def converged(g: Graph, tol: Double = 1e-8, maxIter: Int = 100,
       broadcastVertices: Boolean = true): DataFrame =
-    convergedCheby(g, tol, maxIter, broadcastVertices)
+    convergedCsr(g, tol, maxIter)
+      .getOrElse(convergedCheby(g, tol, maxIter, broadcastVertices))
 
   /** Chebyshev-accelerated converged PageRank (Golub & Varga 1961
     * semi-iterative method / second-order Richardson). The fixpoint solves
@@ -833,6 +834,204 @@ object PageRank {
         s"above tol=$tol after $maxIter iterations")
     degrees.unpersist()
     state.select(col("id"), round(col("x"), 8).as("pr"))
+  }
+
+  /** Vertex-id ceiling for [[convergedCsr]]'s dense rank vector: ids must
+    * index a double array, so the path needs maxId+1 slots (2^25 slots =
+    * 268 MB per vector — the same memory class as the bcswap path's
+    * per-round |V|-row BroadcastExchange, which RmatTier already gates at
+    * 32M vertices on a ≥48 GB heap). Above the ceiling `converged` falls
+    * back to the equivalence-tested join formulations, the same switch a
+    * billion-vertex cluster run flips.
+    */
+  val CsrDenseMaxId: Long = 1L << 25
+
+  /** Chebyshev PageRank over a per-partition CSR with the rank state as a
+    * broadcast vector — the compute-floor lever for the large R-MAT tier
+    * (r7–r10 receipts: per-iteration cost there is the 530M-row
+    * probe+agg, not shuffle bytes; the bcswap path already moved ZERO
+    * |E|-row exchange bytes and still paid 13–17 s/iteration building
+    * 32 per-task 16.8M-group hash tables).
+    *
+    * Shape: `cachedUndirected` is hash-partitioned on `src` and holds
+    * both orientations, so (src → sorted neighbor list) is a ZERO-exchange
+    * per-partition CSR build (one sortWithinPartitions, materialized
+    * once). Each iteration then is
+    *
+    *   1. driver: contrib[v] = x[v]/outdeg[v]   (|V| doubles)
+    *   2. broadcast contrib; one 32-task job computes per-src neighbor
+    *      sums as a primitive-array SpMV over the cached CSR blocks —
+    *      no join, no hash aggregate, no |E|-row intermediate
+    *   3. collect the per-partition sum chunks (|V| doubles total) and
+    *      apply the three-term Chebyshev update driver-side; Σ|Δx| is
+    *      free every round, so the loop stops at the exact iteration
+    *      (no DeltaEvery overshoot)
+    *
+    * Per-iteration driver traffic is |V| doubles out (broadcast) + |V|
+    * doubles back (collect) — the SAME magnitude the accepted bcswap
+    * path's BroadcastExchange collects and re-broadcasts every round,
+    * minus the Row overhead. The |E|-row adjacency never leaves the
+    * executors (that is the 100 TB-scale invariant); the |V|-vector is
+    * the broadcastable-state assumption both paths share, and the
+    * RmatTier-style gate ([[CsrDenseMaxId]]) plus the join-path fallback
+    * keep the billion-vertex story identical to bcswap's. RDD
+    * mapPartitions is justified here the same way the multimodal decoders
+    * are: no Catalyst expression can index a broadcast primitive vector,
+    * and the kernel is genuinely per-partition imperative.
+    *
+    * Returns None when ids are negative or above [[CsrDenseMaxId]]
+    * (caller falls back); arithmetic is msgRound's exactly (sum of
+    * x/outdeg over in-neighbors), with only accumulation order differing
+    * — ulp-level noise under the 8 dp output rounding, equivalence-tested
+    * against [[convergedDense]] like the other state paths.
+    */
+  def convergedCsr(g: Graph, tol: Double = 1e-8,
+      maxIter: Int = 100): Option[DataFrame] = {
+    val edges = g.cachedUndirected
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val prof = sys.env.contains("GRAFT_PR_PROF")
+    val degrees = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = degrees
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).head()
+    val nvL = stats.getLong(0)
+    if (nvL == 0L) {
+      degrees.unpersist()
+      return Some(Seq.empty[(Long, Double)].toDF("id", "pr"))
+    }
+    if (stats.getLong(1) < 0L || stats.getLong(2) >= CsrDenseMaxId) {
+      degrees.unpersist()
+      return None
+    }
+    val n = (stats.getLong(2) + 1).toInt
+    val nv = nvL.toDouble
+    val sc = spark.sparkContext
+    // one-time |V|-row pull of (id, outdeg), chunked as primitive arrays
+    // per partition (no 16.8M-Row transient)
+    val outdeg = new Array[Int](n)
+    degrees.select(col("id").cast("int"), col("outdeg").cast("int"))
+      .as[(Int, Int)].rdd.mapPartitions { it =>
+        val ids = new scala.collection.mutable.ArrayBuilder.ofInt
+        val ds = new scala.collection.mutable.ArrayBuilder.ofInt
+        it.foreach { case (i, d) => ids += i; ds += d }
+        Iterator((ids.result(), ds.result()))
+      }.collect().foreach { case (ids, ds) =>
+        var k = 0
+        while (k < ids.length) { outdeg(ids(k)) = ds(k); k += 1 }
+      }
+    // zero-exchange CSR build: the cache is already hash-partitioned on
+    // src; one per-partition sort groups each src's rows, and each
+    // neighbor list is sorted for broadcast-vector read locality
+    val t0 = System.nanoTime()
+    val csr = edges
+      .select(col("src").cast("int").as("v"), col("dst").cast("int").as("u"))
+      .sortWithinPartitions(col("v"))
+      .as[(Int, Int)].rdd.mapPartitions { it =>
+        val vs = new scala.collection.mutable.ArrayBuilder.ofInt
+        val offs = new scala.collection.mutable.ArrayBuilder.ofInt
+        val nbrs = new scala.collection.mutable.ArrayBuilder.ofInt
+        var cur = Int.MinValue
+        var cnt = 0
+        it.foreach { case (v, u) =>
+          if (v != cur || cnt == 0) { vs += v; offs += cnt; cur = v }
+          nbrs += u
+          cnt += 1
+        }
+        offs += cnt
+        val vsA = vs.result(); val offA = offs.result()
+        val nbrA = nbrs.result()
+        var k = 0
+        while (k < vsA.length) {
+          java.util.Arrays.sort(nbrA, offA(k), offA(k + 1)); k += 1
+        }
+        Iterator((vsA, offA, nbrA))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    csr.count()
+    if (prof) System.err.println(
+      f"[prx] csr build ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    val teleport = (1.0 - Damping) / nv
+    val x = new Array[Double](n)
+    val xp = new Array[Double](n)
+    locally {
+      var v = 0
+      while (v < n) {
+        if (outdeg(v) > 0) { x(v) = 1.0 / nv; xp(v) = 1.0 / nv }
+        v += 1
+      }
+    }
+    val contrib = new Array[Double](n)
+    var omega = 1.0
+    var delta = Double.MaxValue
+    var i = 0
+    while (i < maxIter && delta > tol) {
+      val it0 = System.nanoTime()
+      omega =
+        if (i == 0) 1.0
+        else if (i == 1) 1.0 / (1.0 - Damping * Damping / 2.0)
+        else 1.0 / (1.0 - omega * Damping * Damping / 4.0)
+      var v = 0
+      while (v < n) {
+        val d = outdeg(v)
+        contrib(v) = if (d > 0) x(v) / d else 0.0
+        v += 1
+      }
+      val bc = sc.broadcast(contrib)
+      val sums = csr.map { case (vsA, offA, nbrA) =>
+        val c = bc.value
+        val out = new Array[Double](vsA.length)
+        var k = 0
+        while (k < vsA.length) {
+          var s = 0.0
+          var j = offA(k)
+          val end = offA(k + 1)
+          while (j < end) { s += c(nbrA(j)); j += 1 }
+          out(k) = s
+          k += 1
+        }
+        (vsA, out)
+      }.collect()
+      bc.destroy()
+      val w = omega
+      var dsum = 0.0
+      sums.foreach { case (vsA, ms) =>
+        var k = 0
+        while (k < vsA.length) {
+          val vid = vsA(k)
+          val xv = x(vid)
+          val xn = w * (teleport + Damping * ms(k) - xp(vid)) + xp(vid)
+          xp(vid) = xv
+          x(vid) = xn
+          dsum += math.abs(xn - xv)
+          k += 1
+        }
+      }
+      delta = dsum
+      i += 1
+      if (prof) System.err.println(
+        f"[prx] iter $i%-3d ${(System.nanoTime() - it0) / 1e9}%6.3f s  " +
+          f"omega=$omega%.4f delta=$delta%.3e")
+    }
+    if (delta > tol)
+      System.err.println(s"[graft] WARN PageRank.csr: Σ|Δx|=$delta still " +
+        s"above tol=$tol after $maxIter iterations")
+    // distribute the final vector through the |V|-row degree table (same
+    // HALF_UP 8 dp rounding as round(x, 8)); materialize before freeing
+    // the broadcast and the CSR cache
+    val bcX = sc.broadcast(x)
+    val out = degrees.select(col("id")).as[Long].mapPartitions { it =>
+      val xv = bcX.value
+      it.map { id =>
+        (id, BigDecimal(xv(id.toInt))
+          .setScale(8, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
+    }.toDF("id", "pr").localCheckpoint(true)
+    bcX.destroy()
+    csr.unpersist(blocking = false)
+    degrees.unpersist()
+    Some(out)
   }
 
   /** The dense synchronous power iteration (pre-r6 `converged`): every
@@ -1450,7 +1649,9 @@ object Coreness {
       .agg(count(lit(1)).as("est")).localCheckpoint(true)
     var changed = est.limit(1).count() // 0 on an empty graph
     var i = 0
+    val prof = sys.env.contains("GRAFT_CORENESS_PROF")
     while (changed > 0 && i < maxIter) {
+      val it0 = System.nanoTime()
       val nxt = hPass(sym, bc(est)).localCheckpoint(eager = false)
       // the change count materializes the round's lazy checkpoint
       changed = nxt.join(est.select(col("id"), col("est").as("prev")),
@@ -1458,6 +1659,9 @@ object Coreness {
         .filter(col("est") =!= col("prev")).count()
       est = nxt
       i += 1
+      if (prof) System.err.println(
+        f"[coreness] round $i%-3d ${(System.nanoTime() - it0) / 1e9}%6.2f s" +
+          f"  changed=$changed%,d")
     }
     if (changed > 0) throw new IllegalStateException(
       s"Coreness: h-iteration did not converge within $maxIter rounds — " +

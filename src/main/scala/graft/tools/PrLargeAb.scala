@@ -64,15 +64,40 @@ object PrLargeAb {
     g.cachedUndirected.count()
     System.err.println(f"[ab] build+cache ${(System.nanoTime() - t0) / 1e9}%.1f s")
     modes.foreach { mode =>
-      val bc = mode match {
-        case "bcswap" => true
-        case "shuffle" => false
-        case other => sys.error(s"unknown mode '$other' (shuffle|bcswap)")
-      }
       val (w0, r0, s0) = (shufW.get, shufR.get, spill.get)
       val t = System.nanoTime()
-      PageRank.fixedIterations(g, 10, broadcastVertices = bc).count()
-      System.err.println(f"[ab] pr-10 $mode%-10s codec=$codec ${(System.nanoTime() - t) / 1e9}%8.1f s  " +
+      // 10-iteration modes isolate the per-iteration cost; the `conv-*`
+      // modes time the full converged run (the tier's pr workload) so the
+      // csr path's zero-overshoot stop and CSR build cost are included
+      mode match {
+        case "bcswap" =>
+          PageRank.fixedIterations(g, 10, broadcastVertices = true).count()
+        case "shuffle" =>
+          PageRank.fixedIterations(g, 10, broadcastVertices = false).count()
+        case "conv-cheby" =>
+          PageRank.convergedCheby(g, broadcastVertices = true).count()
+        case "conv-csr" =>
+          PageRank.convergedCsr(g)
+            .getOrElse(sys.error("csr path ineligible at this scale"))
+            .count()
+        case "conv-diff" =>
+          // maxDiff receipt: csr vs the join-path cheby at tier scale
+          val a = PageRank.convergedCsr(g)
+            .getOrElse(sys.error("csr path ineligible at this scale"))
+            .withColumnRenamed("pr", "pra")
+          val b = PageRank.convergedCheby(g, broadcastVertices = true)
+            .withColumnRenamed("pr", "prb")
+          val j = a.join(b, Seq("id"), "full_outer")
+          val unmatched = j.filter(col("pra").isNull || col("prb").isNull)
+            .count()
+          val maxDiff = j.agg(max(abs(col("pra") - col("prb"))))
+            .head().getDouble(0)
+          System.err.println(
+            f"[ab] conv-diff unmatched=$unmatched maxDiff=$maxDiff%.3e")
+        case other => sys.error(
+          s"unknown mode '$other' (shuffle|bcswap|conv-cheby|conv-csr|conv-diff)")
+      }
+      System.err.println(f"[ab] pr $mode%-10s codec=$codec ${(System.nanoTime() - t) / 1e9}%8.1f s  " +
         f"shufW=${(shufW.get - w0) / 1e9}%.1fGB shufR=${(shufR.get - r0) / 1e9}%.1fGB " +
         f"spill=${(spill.get - s0) / 1e9}%.1fGB")
     }

@@ -314,7 +314,9 @@ class GraphSpec extends AnyFunSuite {
           .withColumnRenamed("pr", "prb").localCheckpoint(true)
         Seq(
           "delta" -> PageRank.convergedDelta(g, broadcastVertices = bcast),
-          "cheby" -> PageRank.convergedCheby(g, broadcastVertices = bcast)
+          "cheby" -> PageRank.convergedCheby(g, broadcastVertices = bcast),
+          "csr" -> PageRank.convergedCsr(g)
+            .getOrElse(fail("csr path ineligible on a small-id test graph"))
         ).foreach { case (name, alt) =>
           val a = alt.withColumnRenamed("pr", "pra")
           val joined = a.join(b, Seq("id"), "full_outer")
