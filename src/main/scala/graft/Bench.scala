@@ -69,6 +69,9 @@ object Bench {
     "events_pivot", "user_spend_deciles", "part_affinity", "q22_no_orders",
     "q4_priority_check", "q12_ship_priority", "q14_promo_effect",
     "q19_disjunct_revenue", "q20_excess_share", "q2_min_cost_supplier",
+    "q8_market_share", "q9_product_profit", "q11_important_parts",
+    "q13_cust_distribution", "q15_top_supplier", "q17_small_qty_revenue",
+    "q21_waiting_suppliers",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic", "dedup_substring",
     "ann_topk", "ann_lsh", "ann_ivf", "ann_pq_build", "ann_pq",

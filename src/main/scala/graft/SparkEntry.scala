@@ -125,6 +125,13 @@ object SparkEntry {
     "q19_disjunct_revenue" -> ((s, d) => Relational.q19DisjunctiveRevenue(s, d)),
     "q20_excess_share" -> ((s, d) => Relational.q20ExcessShare(s, d)),
     "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
+    "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "q9_product_profit" -> ((s, d) => Relational.q9ProductProfit(s, d)),
+    "q11_important_parts" -> ((s, d) => Relational.q11ImportantParts(s, d)),
+    "q13_cust_distribution" -> ((s, d) => Relational.q13CustDistribution(s, d)),
+    "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "q17_small_qty_revenue" -> ((s, d) => Relational.q17SmallQtyRevenue(s, d)),
+    "q21_waiting_suppliers" -> ((s, d) => Relational.q21WaitingSuppliers(s, d)),
     // --- dedup (D1..D5) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -339,6 +346,13 @@ object SparkEntry {
     "q19_disjunct_revenue" -> Relational.q19Sql,
     "q20_excess_share" -> Relational.q20Sql,
     "q2_min_cost_supplier" -> Relational.q2Sql,
+    "q8_market_share" -> Relational.q8Sql(),
+    "q9_product_profit" -> Relational.q9Sql(),
+    "q11_important_parts" -> Relational.q11Sql(),
+    "q13_cust_distribution" -> Relational.q13Sql,
+    "q15_top_supplier" -> Relational.q15Sql,
+    "q17_small_qty_revenue" -> Relational.q17Sql(),
+    "q21_waiting_suppliers" -> Relational.q21Sql(),
     "graph_sssp_weighted" -> WeightedShortestPaths.unrolledSql(30),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql(),

@@ -1122,4 +1122,295 @@ object Relational {
       |  SELECT min(s2.s_acctbal)
       |  FROM ps ps2 JOIN supplier s2 ON ps2.l_suppkey = s2.s_suppkey
       |  WHERE ps2.l_partkey = ps.l_partkey)""".stripMargin
+
+  /** R30: TPC-H Q8-style national market share — per order year, the
+    * fraction of PROMO-part revenue into one customer region that was
+    * supplied from one nation (Q8's two-role nation dim + conditional
+    * share in ONE aggregate, the q14 numerator/denominator shape). The
+    * part/nation/region dims broadcast; the fact chain shuffles once per
+    * non-broadcast join key, and the final per-year aggregate is 7 rows.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String,
+      suppNation: String = "NATION_1", custRegion: String = "ASIA"): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_regionkey"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+    val region = Tables.region(spark, dir).filter(col("r_name") === custRegion)
+    val promo = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === suppNation, volume).otherwise(lit(0.0))) /
+          sum(volume), 6).as("mkt_share"))
+  }
+
+  def q8Sql(suppNation: String = "NATION_1", custRegion: String = "ASIA"): String =
+    s"""SELECT o_year,
+       |  round(sum(CASE WHEN supp_nation = '$suppNation' THEN volume ELSE 0 END)
+       |    / sum(volume), 6) AS mkt_share
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    l_extendedprice * (1.0 - l_discount) AS volume,
+       |    n2.n_name AS supp_nation
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = '$custRegion'
+       |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+       |) GROUP BY o_year""".stripMargin
+
+  /** R31: TPC-H Q9-style product-type profit — profit by supplier nation
+    * and order year for parts matching a name substring, with the supply
+    * cost modeled as 0.6·p_retailprice (the generated schema has no
+    * partsupp/ps_supplycost; the 0.6 factor mirrors TPC-H's own
+    * retail-markup relation, keeping amounts positive-and-negative like
+    * real Q9). The LIKE predicate pushes into the part scan; part then
+    * broadcasts its (key, retailprice) projection into the fact chain.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String,
+      nameLike: String = "red"): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").contains(nameLike))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(amount), 4).as("sum_profit"))
+  }
+
+  def q9Sql(nameLike: String = "red"): String =
+    s"""SELECT n_name AS nation,
+       |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  round(sum(l_extendedprice * (1.0 - l_discount)
+       |    - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%$nameLike%'
+       |GROUP BY 1, 2""".stripMargin
+
+  /** R32: TPC-H Q11-style important-part value — per-part inventory value
+    * from one nation's suppliers, keeping parts above a fraction of the
+    * nation's total (Q11's group-sum-vs-global-scalar-subquery shape: one
+    * grouped aggregate reused by both sides, the scalar total broadcast
+    * back as a cross join). Values accumulate in exact DECIMAL — price
+    * has 2 fixed decimals and quantity is integral, so the threshold
+    * comparison `value·1000 > total` is integer-exact in both engines
+    * (a double sum's partition order could flip a borderline part).
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String,
+      nation: String = "NATION_1"): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === nation).select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"))
+    val pv = Tables.lineitem(spark, dir)
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+        col("l_quantity").cast("decimal(4,0)")).as("value_exact"))
+    pv.join(broadcast(pv.agg(sum(col("value_exact")).as("total"))))
+      .filter(col("value_exact") * lit(1000) > col("total"))
+      .select(col("l_partkey"),
+        round(col("value_exact").cast("double"), 4).as("value"))
+  }
+
+  def q11Sql(nation: String = "NATION_1"): String =
+    s"""WITH pv AS (
+       |  SELECT l_partkey,
+       |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * CAST(l_quantity AS DECIMAL(4,0))) AS value_exact
+       |  FROM lineitem
+       |  WHERE l_suppkey IN (
+       |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |    WHERE n_name = '$nation')
+       |  GROUP BY l_partkey
+       |)
+       |SELECT l_partkey, round(CAST(value_exact AS DOUBLE), 4) AS value
+       |FROM pv
+       |WHERE value_exact * 1000 > (SELECT sum(value_exact) FROM pv)""".stripMargin
+
+  /** R33: TPC-H Q13-style customer order-count distribution — how many
+    * customers placed exactly N qualifying orders, INCLUDING the
+    * zero-order customers Q13 exists to count (hence the LEFT join with
+    * the order filter in the join condition, not a WHERE — a WHERE would
+    * silently drop the NULL rows back out). The priority exclusion stands
+    * in for Q13's comment NOT LIKE (no o_comment in the generated
+    * schema). Two aggregates: per-customer count shuffles on custkey, the
+    * distribution is over ≤ max-orders-per-customer rows.
+    */
+  def q13CustDistribution(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer
+      |  LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey
+      |) GROUP BY c_count""".stripMargin
+
+  /** R34: TPC-H Q15-style top supplier — suppliers whose quarterly revenue
+    * equals the maximum (Q15's view-then-max-equality shape; ties all
+    * kept). The per-supplier aggregate rounds to 4 dp BEFORE the max /
+    * equality so the comparison is on the same stable values in both
+    * engines; the max is a 1-row broadcast back onto the ≤|supplier|-row
+    * aggregate, never onto the fact table.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("total_revenue"))
+    rev.join(broadcast(rev.agg(max(col("total_revenue")).as("max_rev"))))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin
+
+  /** R35: TPC-H Q17-style small-quantity revenue — average yearly revenue
+    * lost if small-quantity orders (below half the part's mean quantity)
+    * for one brand went unshipped. Q17's correlated per-part AVG becomes
+    * one grouped aggregate joined back to the brand's lineitems; the
+    * brand semi-join prunes BOTH sides of that self-join before any
+    * aggregation, so the heavy path scans the brand's ~3% of the fact
+    * table twice, never all of it. The threshold compare is deterministic
+    * across engines: integral quantities sum exactly in doubles and the
+    * divide/multiply are single IEEE ops.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String,
+      brand: String = "Brand#1"): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select(col("p_partkey"))
+    val brandLines = Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+    val partAvg = brandLines.groupBy(col("l_partkey").as("ap"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    brandLines
+      .join(broadcast(partAvg), col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+  }
+
+  def q17Sql(brand: String = "Brand#1"): String =
+    s"""SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+       |FROM lineitem
+       |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = '$brand')
+       |  AND l_quantity < (
+       |    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+       |    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+
+  /** R36: TPC-H Q21-style waiting-supplier report — suppliers from one
+    * nation who were the ONLY late shipper in a finished multi-supplier
+    * order (ship-lag > 60 days stands in for receipt>commit, as in
+    * q4/q12). Q21's EXISTS/NOT-EXISTS pair over the same fact table
+    * becomes a semi-join (some other supplier shipped in the order) and
+    * an anti-join (no OTHER supplier shipped late) — both shuffle on
+    * orderkey, the same key the driving join already clustered, so the
+    * three fact passes share one exchange layout. Top 10, deterministic
+    * tie-break on name.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String,
+      nation: String = "NATION_1"): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name") === nation).select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val l1 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(late)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+    val l2 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+    val l3 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"), col("l_shipdate").as("l3_shipdate"))
+    l1
+      .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+        col("l3_suppkey") =!= col("l_suppkey") &&
+        col("l3_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(10)
+  }
+
+  def q21Sql(nation: String = "NATION_1"): String =
+    s"""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       |FROM lineitem l1
+       |JOIN orders ON o_orderkey = l1.l_orderkey
+       |JOIN supplier ON l1.l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE o_orderstatus = 'F' AND n_name = '$nation'
+       |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey
+       |                AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |                  WHERE l3.l_orderkey = l1.l_orderkey
+       |                    AND l3.l_suppkey <> l1.l_suppkey
+       |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name ASC
+       |LIMIT 10""".stripMargin
 }

