@@ -102,7 +102,119 @@ object ConnectedComponents {
   val BroadcastRowBytes = 48L
 
   private def run(g: Graph, maxIter: Int,
-      broadcastVertices: Boolean): DataFrame = {
+      broadcastVertices: Boolean): DataFrame =
+    csrLabels(g, maxIter).getOrElse(joinLabels(g, maxIter, broadcastVertices))
+
+  /** Min-label CC over the shared per-partition CSR (graph/Csr.scala) with
+    * the label state as a broadcast int vector and driver-side path
+    * compression — the r11 sv twin of PageRank.convergedCsr, and the same
+    * scale contract: the |E|-row adjacency never leaves the executors;
+    * each round broadcasts |V| ints, runs one 32-task min-over-neighbors
+    * pass, collects only the CHANGED (id, label) chunks, then compresses
+    * label chains driver-side (labels are vertex ids, so lbl[v] ≤ v always
+    * and chains chase strictly downhill — one O(|V| α) pass spreads mins
+    * exponentially, the hash-to-min jump without its |V|-row self-join).
+    *
+    * Exactness: a round with zero improvements means lbl[v] ≤ lbl[u]
+    * across every edge in BOTH orientations (the cache is symmetrized), so
+    * labels are constant per component; a label is always a member id, and
+    * the constant is ≤ every member id, hence THE min member id — the
+    * identical labeling the join path converges to (equivalence-tested on
+    * every graph-shape fixture). Holes in the dense id space keep their
+    * self-label and are never emitted (output iterates the CSR's src
+    * lists, which are partition-unique under the src hash partitioning).
+    *
+    * None (→ join path) when ids are negative/sparse-hashed/absent, above
+    * [[PageRank.CsrDenseMaxId]], or the graph is empty — the dedup pair
+    * graphs (xxhash64 ids) and billion-vertex regime always take the join
+    * formulation, exactly as pr's gate works.
+    */
+  def csrLabels(g: Graph, maxIter: Int = 50): Option[DataFrame] = {
+    val edges = g.cachedUndirected
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val prof = sys.env.contains("GRAFT_CC_PROF")
+    val (blocksOpt, shared) = Csr.cachedOrBuild(g, PageRank.CsrDenseMaxId)
+    blocksOpt.map { blocks =>
+      val csr = blocks.rdd
+      val n = blocks.nSlots
+      val sc = spark.sparkContext
+      val lbl = new Array[Int](n)
+      var v = 0
+      while (v < n) { lbl(v) = v; v += 1 }
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < maxIter) {
+        val t0 = System.nanoTime()
+        val bcL = sc.broadcast(lbl)
+        val ups = csr.map { case (vsA, offA, nbrA) =>
+          val l = bcL.value
+          val ids = new scala.collection.mutable.ArrayBuilder.ofInt
+          val nl = new scala.collection.mutable.ArrayBuilder.ofInt
+          var k = 0
+          while (k < vsA.length) {
+            val vv = vsA(k)
+            var m = l(vv)
+            var j = offA(k)
+            val end = offA(k + 1)
+            while (j < end) {
+              val lu = l(nbrA(j)); if (lu < m) m = lu; j += 1
+            }
+            if (m < l(vv)) { ids += vv; nl += m }
+            k += 1
+          }
+          (ids.result(), nl.result())
+        }.collect()
+        bcL.destroy()
+        changed = 0L
+        ups.foreach { case (ids, nl) =>
+          var k = 0
+          while (k < ids.length) {
+            val vv = ids(k)
+            if (nl(k) < lbl(vv)) { lbl(vv) = nl(k); changed += 1 }
+            k += 1
+          }
+        }
+        if (changed > 0) {
+          // full path compression: chase each chain to its root once and
+          // rewrite the path — the pointer-jump acceleration, driver-side
+          var i2 = 0
+          while (i2 < n) {
+            var r = lbl(i2)
+            while (lbl(r) != r) r = lbl(r)
+            var c = i2
+            while (lbl(c) != r) { val nx = lbl(c); lbl(c) = r; c = nx }
+            i2 += 1
+          }
+        }
+        round += 1
+        if (prof) System.err.println(
+          f"[cc] csr round $round%-3d ${(System.nanoTime() - t0) / 1e9}%6.2f s changed=$changed")
+      }
+      if (changed > 0)
+        System.err.println(s"[graft] WARN ConnectedComponents.csr: fixpoint " +
+          s"not reached after $maxIter rounds — labels may be non-minimal")
+      val bcOut = sc.broadcast(lbl)
+      val out = csr.mapPartitions { it =>
+        val l = bcOut.value
+        it.flatMap { case (vsA, _, _) =>
+          vsA.iterator.map(v0 => (v0.toLong, l(v0).toLong))
+        }
+      }.toDF("id", "component").localCheckpoint(true)
+      bcOut.destroy()
+      if (!shared) csr.unpersist(blocking = false)
+      out
+    }
+  }
+
+  /** The frontier min-label + pointer-jump join formulation — the
+    * distributed default above [[PageRank.CsrDenseMaxId]] (billion-vertex
+    * regime, hashed/sparse ids) and the equivalence reference for
+    * [[csrLabels]] below it. Public so the specs exercise it directly on
+    * dense-id fixtures where `apply` dispatches to the CSR path.
+    */
+  def joinLabels(g: Graph, maxIter: Int = 50,
+      broadcastVertices: Boolean = true): DataFrame = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
     // shuffle-state path: hash-join the frontier/candidate/lookup sides so
     // the |E|-row edge cache and the |V|-row label table STREAM instead of
@@ -413,6 +525,133 @@ object ShortestPaths {
     } else run(g, g.cachedUndirected, source, maxIter, broadcastState)
 
   private def run(g: Graph, edges: DataFrame, source: Long, maxIter: Int,
+      broadcastState: Boolean): DataFrame =
+    csrBfs(g, source, maxIter).getOrElse(
+      runJoin(g, edges, source, maxIter, broadcastState))
+
+  /** BFS over the shared per-partition CSR (graph/Csr.scala) — the r11
+    * sssp/diameter twin of ConnectedComponents.csrLabels, with an even
+    * lighter per-round exchange: executors need only a VISITED bitmap
+    * (|V|/8 bytes — 1.8 MB at SCALE 24, not the |V|-int state vector) plus
+    * the frontier ids; each partition walks just its frontier vertices'
+    * neighbor lists (src rows are partition-unique and sorted, so a
+    * binary search finds each frontier vertex's block) and returns a
+    * discovery BITMAP, which the driver ORs into distances and the next
+    * frontier. Per-round driver traffic is bitmap-bounded (~60 MB at the
+    * 2^25 gate ceiling) regardless of how hub-heavy the frontier is; total
+    * executor work telescopes to Σ deg(reached) = O(|E|) over the whole
+    * BFS — the textbook level-synchronous cost, with zero joins, zero
+    * aggregates, zero shuffle.
+    *
+    * Exactness: a vertex enters the bitmap in round d iff some round-(d−1)
+    * frontier vertex lists it and no earlier round visited it — the same
+    * level sets the join path's anti-join produces; output rows cover
+    * exactly the reached vertices (emitted from the partition-unique src
+    * lists). None (→ join path) under the [[PageRank.CsrDenseMaxId]] gate
+    * like the other broadcast-vector paths.
+    */
+  def csrBfs(g: Graph, source: Long, maxIter: Int): Option[DataFrame] = {
+    val spark = g.cachedUndirected.sparkSession
+    import spark.implicits._
+    if (source < 0L || source >= PageRank.CsrDenseMaxId) return None
+    val (blocksOpt, shared) = Csr.cachedOrBuild(g, PageRank.CsrDenseMaxId)
+    // a source id beyond the edge cache's max slot (edgeless/new vertex)
+    // takes the join path, whose seed-only answer needs no adjacency
+    if (blocksOpt.exists(source >= _.nSlots)) {
+      if (!shared) blocksOpt.foreach(_.rdd.unpersist(blocking = false))
+      return None
+    }
+    blocksOpt.map { blocks =>
+      val csr = blocks.rdd
+      val n = blocks.nSlots
+      val sc = spark.sparkContext
+      val words = (n + 63) >> 6
+      val visited = new Array[Long](words)
+      val dist = new Array[Int](n)
+      java.util.Arrays.fill(dist, -1)
+      val src = source.toInt
+      dist(src) = 0
+      visited(src >> 6) |= 1L << (src & 63)
+      var frontier = Array(src)
+      var d = 0
+      while (frontier.nonEmpty && d < maxIter) {
+        d += 1
+        val bcV = sc.broadcast(visited)
+        val bcF = sc.broadcast(frontier)
+        val news = csr.map { case (vsA, offA, nbrA) =>
+          val vis = bcV.value
+          val fr = bcF.value
+          val found = new Array[Long](vis.length)
+          var fi = 0
+          while (fi < fr.length) {
+            val k = java.util.Arrays.binarySearch(vsA, fr(fi))
+            if (k >= 0) {
+              var j = offA(k)
+              val end = offA(k + 1)
+              while (j < end) {
+                val u = nbrA(j)
+                if ((vis(u >> 6) & (1L << (u & 63))) == 0L)
+                  found(u >> 6) |= 1L << (u & 63)
+                j += 1
+              }
+            }
+            fi += 1
+          }
+          found
+        }.reduce { (a, b) =>
+          var w = 0
+          while (w < a.length) { a(w) |= b(w); w += 1 }
+          a
+        }
+        bcV.destroy(); bcF.destroy()
+        val nf = new scala.collection.mutable.ArrayBuilder.ofInt
+        var w = 0
+        while (w < words) {
+          var bits = news(w) & ~visited(w)
+          visited(w) |= news(w)
+          while (bits != 0L) {
+            val b = java.lang.Long.numberOfTrailingZeros(bits)
+            val v = (w << 6) + b
+            dist(v) = d
+            nf += v
+            bits &= bits - 1
+          }
+          w += 1
+        }
+        frontier = nf.result()
+      }
+      if (frontier.nonEmpty)
+        System.err.println(s"[graft] WARN ShortestPaths.csr: frontier " +
+          s"still non-empty after $maxIter hops — distances beyond the " +
+          "cap missing")
+      // the seed row ships separately: the symmetrized cache lists the
+      // source as a src iff it has an edge, but the join path's seed row
+      // exists even for an edgeless source — emission must match exactly
+      val bcD = sc.broadcast(dist)
+      val out = csr.mapPartitions { it =>
+        val ds = bcD.value
+        it.flatMap { case (vsA, _, _) =>
+          vsA.iterator.filter(v0 => v0 != src && ds(v0) >= 0)
+            .map(v0 => (v0.toLong, ds(v0).toLong))
+        }
+      }.toDF("id", "dist")
+        .union(Seq((source, 0L)).toDF("id", "dist"))
+        .localCheckpoint(true)
+      bcD.destroy()
+      if (!shared) csr.unpersist(blocking = false)
+      out
+    }
+  }
+
+  /** The frontier join BFS — the distributed default above the CSR gate
+    * and [[csrBfs]]'s equivalence reference (public for the specs, which
+    * must reach it on dense-id fixtures where `apply` dispatches to CSR).
+    */
+  def joinDistances(g: Graph, source: Long, maxIter: Int = 64,
+      broadcastState: Boolean = true): DataFrame =
+    runJoin(g, g.cachedUndirected, source, maxIter, broadcastState)
+
+  private def runJoin(g: Graph, edges: DataFrame, source: Long, maxIter: Int,
       broadcastState: Boolean): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -921,34 +1160,12 @@ object PageRank {
         var k = 0
         while (k < ids.length) { outdeg(ids(k)) = ds(k); k += 1 }
       }
-    // zero-exchange CSR build: the cache is already hash-partitioned on
-    // src; one per-partition sort groups each src's rows, and each
-    // neighbor list is sorted for broadcast-vector read locality
+    // zero-exchange CSR build, session-shared with the other
+    // broadcast-vector paths (graph/Csr.scala) — the tier run's sv/sssp/pr
+    // pay it once; gate already passed above
     val t0 = System.nanoTime()
-    val csr = edges
-      .select(col("src").cast("int").as("v"), col("dst").cast("int").as("u"))
-      .sortWithinPartitions(col("v"))
-      .as[(Int, Int)].rdd.mapPartitions { it =>
-        val vs = new scala.collection.mutable.ArrayBuilder.ofInt
-        val offs = new scala.collection.mutable.ArrayBuilder.ofInt
-        val nbrs = new scala.collection.mutable.ArrayBuilder.ofInt
-        var cur = Int.MinValue
-        var cnt = 0
-        it.foreach { case (v, u) =>
-          if (v != cur || cnt == 0) { vs += v; offs += cnt; cur = v }
-          nbrs += u
-          cnt += 1
-        }
-        offs += cnt
-        val vsA = vs.result(); val offA = offs.result()
-        val nbrA = nbrs.result()
-        var k = 0
-        while (k < vsA.length) {
-          java.util.Arrays.sort(nbrA, offA(k), offA(k + 1)); k += 1
-        }
-        Iterator((vsA, offA, nbrA))
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-    csr.count()
+    val (blocksOpt, csrShared) = Csr.cachedOrBuild(g, CsrDenseMaxId)
+    val csr = blocksOpt.get.rdd
     if (prof) System.err.println(
       f"[prx] csr build ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     val teleport = (1.0 - Damping) / nv
@@ -1029,7 +1246,7 @@ object PageRank {
       }
     }.toDF("id", "pr").localCheckpoint(true)
     bcX.destroy()
-    csr.unpersist(blocking = false)
+    if (!csrShared) csr.unpersist(blocking = false)
     degrees.unpersist()
     Some(out)
   }

@@ -1,0 +1,103 @@
+package graft.graph
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Per-partition CSR blocks over the src-partitioned symmetrized edge
+  * cache — the shared substrate of the broadcast-vector iteration paths
+  * (PageRank.convergedCsr r11, ConnectedComponents.csrLabels r11).
+  *
+  * `Graph.cachedUndirected` is hash-partitioned on `src` and holds both
+  * orientations, so every vertex's full neighbor list lives in exactly one
+  * partition and (src → sorted neighbor list) builds with ZERO exchange:
+  * one `sortWithinPartitions` groups each src's rows and the per-partition
+  * pass packs primitive arrays. The |E|-row adjacency never leaves the
+  * executors afterwards — each iteration of a consumer broadcasts only a
+  * |V|-slot primitive vector and collects |V|-bounded update chunks, the
+  * same memory class as the accepted bcswap BroadcastExchange
+  * (see PageRank.CsrDenseMaxId for the gate rationale).
+  *
+  * Dense-id gate: slots index primitive arrays, so ids must sit in
+  * [0, maxSlots). Callers fall back to their equivalence-tested join
+  * formulations on None — ad-hoc graphs with hashed/sparse ids (e.g. the
+  * dedup pair graphs keyed by xxhash64) always take the join path.
+  */
+object Csr {
+  /** CSR blocks: one (srcIds, offsets, neighbors) triple per partition;
+    * `nSlots` = maxId + 1. The RDD is persisted; callers unpersist.
+    */
+  final case class Blocks(rdd: RDD[(Array[Int], Array[Int], Array[Int])],
+      nSlots: Int)
+
+  /** Session-lifetime CSR memo for `memoizeAnalytics` graphs — one
+    * maintained graph serves several broadcast-vector analytics (the tier
+    * run alone consumes it from sv, sssp, AND pr), so the build runs once
+    * per graph. The [[ConnectedComponents]] labelCache contract: ad-hoc
+    * graphs never enter (keyed by Graph reference identity, a persisted
+    * 2-GB-class RDD per construction would pin forever); dead-session
+    * entries sweep on access; tier sessions call [[release]] between
+    * back-to-back runs (the RmatTier cache-release point).
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap[Graph, Option[Blocks]]()
+
+  /** Memoized-or-fresh CSR for `g`: `(blocks, shared)` — when `shared`
+    * the blocks belong to the session memo and the consumer must NOT
+    * unpersist them; when not, the consumer owns the persist.
+    */
+  def cachedOrBuild(g: Graph, maxSlots: Long): (Option[Blocks], Boolean) =
+    if (g.memoizeAnalytics) {
+      graft.core.SessionCaches.sweep(cache)(_.edges.sparkSession)
+      (graft.core.SessionCaches.countingGet(cache, g)(
+        buildDense(g.cachedUndirected, maxSlots)), true)
+    } else (buildDense(g.cachedUndirected, maxSlots), false)
+
+  /** Drop `g`'s memoized blocks and free their persisted storage. */
+  def release(g: Graph): Unit =
+    cache.remove(g).flatten.foreach(_.rdd.unpersist(blocking = false))
+
+  /** Build the per-partition CSR when every id fits the dense gate;
+    * None when ids are negative, absent, or ≥ `maxSlots` (caller falls
+    * back to its join path). Pass `knownIdBounds` (min, max) when the
+    * caller already aggregated them — skips one pass over the cache.
+    */
+  def buildDense(edges: DataFrame, maxSlots: Long,
+      knownIdBounds: Option[(Long, Long)] = None): Option[Blocks] = {
+    val (lo, hi) = knownIdBounds.getOrElse {
+      val s = edges.agg(min(col("src")), max(col("src"))).head()
+      if (s.isNullAt(0)) return None
+      (s.getLong(0), s.getLong(1))
+    }
+    if (lo < 0L || hi >= maxSlots) return None
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rdd = edges
+      .select(col("src").cast("int").as("v"), col("dst").cast("int").as("u"))
+      .sortWithinPartitions(col("v"))
+      .as[(Int, Int)].rdd.mapPartitions { it =>
+        val vs = new scala.collection.mutable.ArrayBuilder.ofInt
+        val offs = new scala.collection.mutable.ArrayBuilder.ofInt
+        val nbrs = new scala.collection.mutable.ArrayBuilder.ofInt
+        var cur = Int.MinValue
+        var cnt = 0
+        it.foreach { case (v, u) =>
+          if (v != cur || cnt == 0) { vs += v; offs += cnt; cur = v }
+          nbrs += u
+          cnt += 1
+        }
+        offs += cnt
+        val vsA = vs.result(); val offA = offs.result()
+        val nbrA = nbrs.result()
+        // sorted neighbor lists: broadcast-vector reads walk forward
+        var k = 0
+        while (k < vsA.length) {
+          java.util.Arrays.sort(nbrA, offA(k), offA(k + 1)); k += 1
+        }
+        Iterator((vsA, offA, nbrA))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    Some(Blocks(rdd, (hi + 1).toInt))
+  }
+}

@@ -128,21 +128,74 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("frontier cc equals the dense classic formulation") {
-    // the frontier path joins only changed-label vertices per round; the
-    // dense reference joins the full state — labels must agree exactly on
-    // every graph shape, both broadcast and shuffle-join state paths
+    // apply() dispatches to the CSR broadcast-vector path on these
+    // dense-id fixtures (r11); joinLabels is the frontier join
+    // formulation it must agree with exactly — as must the dense classic
+    // reference, on every graph shape and both join-state paths
     val planted = mkGraph((1L, 2L), (2L, 3L), (10L, 11L))
     val path = mkGraph((1L until 40L).map(i => (i, i + 1)): _*)
     val rmat = RMat.graph(spark, RMat.Params(scale = 8))
     Seq(planted, path, rmat, Graph.fromTpch(spark, TestSpark.sfTiny)).foreach { g =>
       val a = ConnectedComponents(g)
       val b = ConnectedComponents.classic(g)
-      val c = ConnectedComponents(g, broadcastVertices = false)
+      val j1 = ConnectedComponents.joinLabels(g)
+      val j2 = ConnectedComponents.joinLabels(g, broadcastVertices = false)
       assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
-        "frontier CC disagrees with dense classic CC")
-      assert(a.exceptAll(c).count() == 0 && c.exceptAll(a).count() == 0,
+        "CC apply (csr) disagrees with dense classic CC")
+      assert(a.exceptAll(j1).count() == 0 && j1.exceptAll(a).count() == 0,
+        "CC apply (csr) disagrees with the frontier join path")
+      assert(j1.exceptAll(j2).count() == 0 && j2.exceptAll(j1).count() == 0,
         "frontier CC shuffle-state path disagrees with broadcast path")
     }
+  }
+
+  test("bfs csr path equals the frontier join formulation") {
+    // apply() dispatches BFS to the CSR bitmap path on dense ids (r11);
+    // levels must agree exactly with the join path on every shape,
+    // including a shortcut that changes a level and a disconnected part
+    val planted = mkGraph((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 10L))
+    val path = mkGraph((1L until 40L).map(i => (i, i + 1)): _*)
+    val rmat = RMat.graph(spark, RMat.Params(scale = 8))
+    Seq(planted, path, rmat, Graph.fromTpch(spark, TestSpark.sfTiny)).foreach { g =>
+      val src = g.cachedUndirected.agg(min(col("src"))).head().getLong(0)
+      val a = ShortestPaths.csrBfs(g, src, 64).get
+      val b = ShortestPaths.joinDistances(g, src)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        "CSR BFS disagrees with the frontier join BFS")
+    }
+    // edgeless source: csrBfs declines (slot beyond the cache), apply
+    // still answers with the seed-only table via the join path
+    val g2 = mkGraph((1L, 2L))
+    assert(ShortestPaths.csrBfs(g2, 50L, 64).isEmpty)
+    val seedOnly = ShortestPaths(g2, 50L)
+    assert(seedOnly.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((50L, 0L)))
+    // sparse/hashed ids: gate rejects, join path serves
+    val off = PageRank.CsrDenseMaxId + 3L
+    val g3 = mkGraph((off, off + 1L), (off + 1L, off + 2L))
+    assert(ShortestPaths.csrBfs(g3, off, 64).isEmpty)
+    val d3 = ShortestPaths(g3, off).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3 == Map(off -> 0L, (off + 1L) -> 1L, (off + 2L) -> 2L))
+  }
+
+  test("cc csr gate: sparse/hashed ids fall back to the join path") {
+    // ids above CsrDenseMaxId reject the CSR build; apply must dispatch
+    // to joinLabels and agree with classic (self-loop + two components)
+    val off = PageRank.CsrDenseMaxId + 7L
+    val g = mkGraph((off + 1L, off + 2L), (off + 2L, off + 3L),
+      (off + 10L, off + 10L), (off + 20L, off + 21L))
+    assert(ConnectedComponents.csrLabels(g).isEmpty,
+      "CSR gate accepted ids above CsrDenseMaxId")
+    val a = ConnectedComponents(g)
+    val b = ConnectedComponents.classic(g)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // and on the SAME shape with dense ids, the CSR path must agree too
+    val gd = mkGraph((1L, 2L), (2L, 3L), (10L, 10L), (20L, 21L))
+    val c = ConnectedComponents.csrLabels(gd)
+    assert(c.nonEmpty, "CSR gate rejected dense ids")
+    val d = ConnectedComponents.classic(gd)
+    assert(c.get.exceptAll(d).count() == 0 && d.exceptAll(c.get).count() == 0)
   }
 
   test("sssp distances on a planted path with a shortcut") {

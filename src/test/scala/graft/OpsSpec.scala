@@ -589,14 +589,22 @@ class OpsSpec extends AnyFunSuite {
     val q9 = Relational.q9ProductProfit(spark, sf).collect()
     assert(q9.nonEmpty)
     assert(q9.map(r => (r.getString(0), r.getLong(1))).distinct.length == q9.length)
+    // q11/q21 parameterize by nation; sfTiny has only 10 suppliers, so
+    // pick one that actually HAS a supplier at this SF (the default
+    // NATION_1 has none at sf0.001 — the verify gate exercises it at
+    // sf0.01 where it does)
+    val nat = graft.core.Tables.supplier(spark, sf)
+      .join(graft.core.Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .orderBy(col("s_suppkey")).select(col("n_name")).head().getString(0)
     // q11: every kept part clears the exact-decimal threshold recomputed
     // directly (the > is strict and the sum exact, so this is bitwise)
-    val q11 = Relational.q11ImportantParts(spark, sf).collect()
+    val q11 = Relational.q11ImportantParts(spark, sf, nation = nat).collect()
     assert(q11.nonEmpty)
     val natLines = graft.core.Tables.lineitem(spark, sf)
       .join(graft.core.Tables.supplier(spark, sf)
           .join(graft.core.Tables.nation(spark, sf)
-            .filter(col("n_name") === "NATION_1"),
+            .filter(col("n_name") === nat),
             col("s_nationkey") === col("n_nationkey")),
         col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
@@ -622,9 +630,11 @@ class OpsSpec extends AnyFunSuite {
     // q17: one non-negative scalar
     val q17 = Relational.q17SmallQtyRevenue(spark, sf).head()
     assert(!q17.isNullAt(0) && q17.getDouble(0) >= 0.0)
-    // q21: ≤10 rows sorted by (numwait desc, name), all positive
-    val q21 = Relational.q21WaitingSuppliers(spark, sf).collect()
-    assert(q21.nonEmpty && q21.length <= 10)
+    // q21: ≤10 rows sorted by (numwait desc, name), all positive (the
+    // strict only-late-shipper predicate may legitimately keep nothing at
+    // tiny SF; the sf0.01 oracle gate asserts the populated case)
+    val q21 = Relational.q21WaitingSuppliers(spark, sf, nation = nat).collect()
+    assert(q21.length <= 10)
     q21.foreach(r => assert(r.getLong(1) > 0))
     val sorted = q21.map(r => (-r.getLong(1), r.getString(0))).toSeq
     assert(sorted == sorted.sorted, "q21 order not (numwait desc, s_name)")
