@@ -1859,6 +1859,126 @@ object Coreness {
   }
 
   private def run(g: Graph, maxIter: Int,
+      broadcastVertices: Boolean): (DataFrame, Int, Boolean) =
+    csrCoreness(g, maxIter).getOrElse(
+      runJoin(g, maxIter, broadcastVertices))
+
+  /** The h-operator iteration over the shared per-partition CSR
+    * (graph/Csr.scala) — the r11 lever the large-tier receipt named: the
+    * join path's per-round cost is a \|2E\|-row window sort + aggregate
+    * exchange (556 s/round at SCALE 24 on the measured host), while here
+    * each round broadcasts the \|V\|-int estimate vector and computes
+    * every vertex's Hirsch index in ONE pass over its CSR block with a
+    * counting array (c[min(est(u), deg)]++ then the descending
+    * cumulative scan — O(deg) per vertex, no sort at all, hub skew
+    * vanishes into the linear scan). Only CHANGED (id, est) chunks
+    * collect. The schedule is synchronous like [[hPass]], so the
+    * per-round estimates — and therefore the convergence depth the
+    * `oracleRounds` contract checks — are identical to the join path's
+    * (equivalence-tested per round count and per final label). Gate and
+    * fallback as the other broadcast-vector paths.
+    */
+  def csrCoreness(g: Graph,
+      maxIter: Int): Option[(DataFrame, Int, Boolean)] = {
+    val spark = g.cachedUndirected.sparkSession
+    import spark.implicits._
+    val prof = sys.env.contains("GRAFT_CORENESS_PROF")
+    val (blocksOpt, shared) = Csr.cachedOrBuild(g, PageRank.CsrDenseMaxId)
+    blocksOpt.map { blocks =>
+      val csr = blocks.rdd
+      val n = blocks.nSlots
+      val sc = spark.sparkContext
+      // est0 = degree, read off the CSR offsets (one |V|-bounded collect)
+      val est = new Array[Int](n)
+      csr.map { case (vsA, offA, _) =>
+        val d = new Array[Int](vsA.length)
+        var k = 0
+        while (k < vsA.length) { d(k) = offA(k + 1) - offA(k); k += 1 }
+        (vsA, d)
+      }.collect().foreach { case (vs, d) =>
+        var k = 0
+        while (k < vs.length) { est(vs(k)) = d(k); k += 1 }
+      }
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        val it0 = System.nanoTime()
+        val bcE = sc.broadcast(est)
+        val ups = csr.map { case (vsA, offA, nbrA) =>
+          val e = bcE.value
+          var maxDeg = 0
+          var k = 0
+          while (k < vsA.length) {
+            val d = offA(k + 1) - offA(k)
+            if (d > maxDeg) maxDeg = d
+            k += 1
+          }
+          val cnt = new Array[Int](maxDeg + 1)
+          val ids = new scala.collection.mutable.ArrayBuilder.ofInt
+          val ne = new scala.collection.mutable.ArrayBuilder.ofInt
+          k = 0
+          while (k < vsA.length) {
+            val v = vsA(k)
+            val start = offA(k)
+            val end = offA(k + 1)
+            val d = end - start
+            java.util.Arrays.fill(cnt, 0, d + 1, 0)
+            var j = start
+            while (j < end) {
+              val x = e(nbrA(j))
+              cnt(if (x > d) d else x) += 1
+              j += 1
+            }
+            var h = d
+            var cum = 0
+            var found = 0
+            while (h > 0 && found == 0) {
+              cum += cnt(h)
+              if (cum >= h) found = h else h -= 1
+            }
+            if (found != e(v)) { ids += v; ne += found }
+            k += 1
+          }
+          (ids.result(), ne.result())
+        }.collect()
+        bcE.destroy()
+        changed = 0L
+        ups.foreach { case (ids, ne) =>
+          var k = 0
+          while (k < ids.length) {
+            if (est(ids(k)) != ne(k)) { est(ids(k)) = ne(k); changed += 1 }
+            k += 1
+          }
+        }
+        i += 1
+        if (prof) System.err.println(
+          f"[coreness] csr round $i%-3d ${(System.nanoTime() - it0) / 1e9}%6.2f s  changed=$changed%,d")
+      }
+      if (changed > 0) throw new IllegalStateException(
+        s"Coreness: h-iteration did not converge within $maxIter rounds — " +
+          "an unconverged estimate must never be returned (or memoized): " +
+          "downstream warm starts (X26) assume exact coreness. Raise maxIter.")
+      val bcO = sc.broadcast(est)
+      val out = csr.mapPartitions { it =>
+        val e = bcO.value
+        it.flatMap { case (vsA, _, _) =>
+          vsA.iterator.map(v0 => (v0.toLong, e(v0).toLong))
+        }
+      }.toDF("id", "coreness").localCheckpoint(true)
+      bcO.destroy()
+      if (!shared) csr.unpersist(blocking = false)
+      (out, i, true)
+    }
+  }
+
+  /** The window-sort h-iteration — the distributed default above the CSR
+    * gate and [[csrCoreness]]'s equivalence reference (public for specs).
+    */
+  def joinCoreness(g: Graph, maxIter: Int = 100,
+      broadcastVertices: Boolean = true): (DataFrame, Int, Boolean) =
+    runJoin(g, maxIter, broadcastVertices)
+
+  private def runJoin(g: Graph, maxIter: Int,
       broadcastVertices: Boolean): (DataFrame, Int, Boolean) = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
     val sym = g.cachedUndirected.select(col("src"), col("dst"))

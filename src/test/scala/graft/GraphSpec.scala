@@ -705,6 +705,29 @@ class GraphSpec extends AnyFunSuite {
     assert(dist.filter(_._2 >= 16L).keySet == k16)
   }
 
+  test("coreness csr path equals the window-sort h-iteration") {
+    // apply() dispatches to the CSR counting-h path on dense ids (r11);
+    // the synchronous schedule must give the SAME round count (the
+    // oracleRounds contract) and the same labels as the join path
+    val planted = mkGraph((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val rmat = RMat.graph(spark, RMat.Params(scale = 8))
+    Seq(planted, rmat, Graph.fromTpch(spark, TestSpark.sfTiny)).foreach { g =>
+      val (a, ra, ca) = Coreness.csrCoreness(g, 100).get
+      val (b, rb, cb) = Coreness.joinCoreness(g)
+      assert(ca && cb)
+      assert(ra == rb, s"round count differs: csr $ra vs join $rb")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        "CSR coreness disagrees with the window-sort h-iteration")
+    }
+    // sparse/hashed ids: gate rejects, apply agrees with the join path
+    val off = PageRank.CsrDenseMaxId + 11L
+    val g3 = mkGraph((off, off + 1L), (off + 1L, off + 2L), (off, off + 2L))
+    assert(Coreness.csrCoreness(g3, 100).isEmpty)
+    val out3 = Coreness(g3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out3 == Map(off -> 2L, (off + 1L) -> 2L, (off + 2L) -> 2L))
+  }
+
   test("multicontract: chain climb, mutual-pair unmatch, contraction") {
     // weighted path 1-2 (10), 2-3 (20), 3-4 (30): 3<->4 are a mutual
     // equal-score best pair (both unmatch, the reference filter_scores
