@@ -191,9 +191,12 @@ object ConnectedComponents {
         if (prof) System.err.println(
           f"[cc] csr round $round%-3d ${(System.nanoTime() - t0) / 1e9}%6.2f s changed=$changed")
       }
-      if (changed > 0)
-        System.err.println(s"[graft] WARN ConnectedComponents.csr: fixpoint " +
-          s"not reached after $maxIter rounds — labels may be non-minimal")
+      if (changed > 0) throw new IllegalStateException(
+        s"ConnectedComponents.csr: fixpoint not reached after $maxIter " +
+          "rounds — non-minimal labels must never be returned (or " +
+          "memoized into the label cache; r11 ADVICE — the coreness " +
+          "contract). Raise maxIter; the driver-side path compression " +
+          "makes >50 rounds unreachable on any real graph.")
       val bcOut = sc.broadcast(lbl)
       val out = csr.mapPartitions { it =>
         val l = bcOut.value
@@ -1162,9 +1165,12 @@ object PageRank {
       }
     // zero-exchange CSR build, session-shared with the other
     // broadcast-vector paths (graph/Csr.scala) — the tier run's sv/sssp/pr
-    // pay it once; gate already passed above
+    // pay it once; gate already passed above, and the bounds the degrees
+    // aggregate just computed are threaded through so a fresh build skips
+    // its own min/max pass over the edge cache (r11 ADVICE)
     val t0 = System.nanoTime()
-    val (blocksOpt, csrShared) = Csr.cachedOrBuild(g, CsrDenseMaxId)
+    val (blocksOpt, csrShared) = Csr.cachedOrBuild(g, CsrDenseMaxId,
+      knownIdBounds = Some((stats.getLong(1), stats.getLong(2))))
     val csr = blocksOpt.get.rdd
     if (prof) System.err.println(
       f"[prx] csr build ${(System.nanoTime() - t0) / 1e9}%6.2f s")

@@ -46,13 +46,34 @@ object Csr {
   /** Memoized-or-fresh CSR for `g`: `(blocks, shared)` — when `shared`
     * the blocks belong to the session memo and the consumer must NOT
     * unpersist them; when not, the consumer owns the persist.
+    *
+    * The memo insert is race-safe (r11 ADVICE): the build runs OUTSIDE
+    * the map update, `putIfAbsent` decides the winner, and a losing
+    * concurrent build unpersists its multi-GB RDD instead of leaking it
+    * for the session. Pass `knownIdBounds` when the caller already
+    * aggregated (min, max) over src — a fresh build then skips its own
+    * bounds pass over the edge cache.
     */
-  def cachedOrBuild(g: Graph, maxSlots: Long): (Option[Blocks], Boolean) =
+  def cachedOrBuild(g: Graph, maxSlots: Long,
+      knownIdBounds: Option[(Long, Long)] = None)
+      : (Option[Blocks], Boolean) =
     if (g.memoizeAnalytics) {
       graft.core.SessionCaches.sweep(cache)(_.edges.sparkSession)
-      (graft.core.SessionCaches.countingGet(cache, g)(
-        buildDense(g.cachedUndirected, maxSlots)), true)
-    } else (buildDense(g.cachedUndirected, maxSlots), false)
+      cache.get(g) match {
+        case Some(b) =>
+          graft.core.SessionCaches.memoHits.incrementAndGet()
+          (b, true)
+        case None =>
+          val built = buildDense(g.cachedUndirected, maxSlots, knownIdBounds)
+          cache.putIfAbsent(g, built) match {
+            case Some(winner) =>
+              built.foreach(_.rdd.unpersist(blocking = false))
+              graft.core.SessionCaches.memoHits.incrementAndGet()
+              (winner, true)
+            case None => (built, true)
+          }
+      }
+    } else (buildDense(g.cachedUndirected, maxSlots, knownIdBounds), false)
 
   /** Drop `g`'s memoized blocks and free their persisted storage. */
   def release(g: Graph): Unit =
