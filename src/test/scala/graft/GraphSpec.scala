@@ -728,6 +728,29 @@ class GraphSpec extends AnyFunSuite {
     assert(out3 == Map(off -> 2L, (off + 1L) -> 2L, (off + 2L) -> 2L))
   }
 
+  test("counting h-pass equals the window h-pass per round to fixpoint") {
+    // r12: the join path's per-round h-operator is the sort-free counting
+    // aggregation; every intermediate iterate (not just the fixpoint) must
+    // match the row_number window formulation the DuckDB oracle unrolls
+    val rmat = RMat.graph(spark, RMat.Params(scale = 8))
+    val sym = rmat.cachedUndirected.select(col("src"), col("dst"))
+    var est = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("est")).localCheckpoint(true)
+    var rounds = 0
+    var moved = 1L
+    while (moved > 0 && rounds < 100) {
+      val a = Coreness.hPass(sym, est).localCheckpoint(true)
+      val b = Coreness.hPassWindow(sym, est)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"counting h-pass diverged from the window h-pass at round $rounds")
+      moved = a.join(est.select(col("id"), col("est").as("prev")), Seq("id"))
+        .filter(col("est") =!= col("prev")).count()
+      est = a
+      rounds += 1
+    }
+    assert(moved == 0, "h-iteration did not converge on the fixture")
+  }
+
   test("multicontract: chain climb, mutual-pair unmatch, contraction") {
     // weighted path 1-2 (10), 2-3 (20), 3-4 (30): 3<->4 are a mutual
     // equal-score best pair (both unmatch, the reference filter_scores
