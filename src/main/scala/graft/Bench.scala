@@ -74,6 +74,7 @@ object Bench {
     "q21_waiting_suppliers",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic", "dedup_substring",
+    "dedup_lines",
     "ann_topk", "ann_lsh", "ann_ivf", "ann_pq_build", "ann_pq",
     "ann_ivfpq", "ann_graph", "embeddings_kmeans",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
@@ -97,7 +98,7 @@ object Bench {
     "stream_betweenness_incremental", "stream_kcore_incremental",
     "stream_ktruss_incremental", "stream_lpa_incremental",
     "stream_coreness_incremental", "stream_ann_ivf_incremental",
-    "stream_ann_ivfpq_incremental",
+    "stream_ann_ivfpq_incremental", "stream_ann_graph_incremental",
     // AFTER the X23 stream: the batch twin reads the stream-published
     // triangle-list memo (memo_hits flags the coupling in the artifact)
     "graph_ktruss_updated")

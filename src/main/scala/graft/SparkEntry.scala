@@ -145,6 +145,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringContainment(s, d)),
     "dedup_prefix_join" -> ((s, d) => Dedup.prefixFilterJoin(s, d)),
+    "dedup_lines" -> ((s, d) => Dedup.lineDedup(s, d)),
     // --- similarity search (S1..S3) ---
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "embeddings_kmeans" -> ((s, d) => Similarity.kmeansAssign(s, d)),
@@ -210,6 +211,13 @@ object SparkEntry {
       EventStream.annIvfPqStream(s, d)),
     "stream_ann_ivfpq_exhaustive" -> ((s, d) =>
       EventStream.annIvfPqStream(s, d, nProbe = 16, rerank = Int.MaxValue)),
+    // X28: probabilistic like ann_graph (rows-only, declared); the
+    // exhaustive twin (ef = beam = ∞, chain links keep the drained graph
+    // connected from entry 0) is hash-checked against brute force
+    "stream_ann_graph_incremental" -> ((s, d) =>
+      EventStream.annGraphStream(s, d)),
+    "stream_ann_graph_exhaustive" -> ((s, d) => EventStream.annGraphStream(
+      s, d, ef = Int.MaxValue, beamWidth = Int.MaxValue, maxHops = 64)),
     "stream_events_hopping" -> ((s, d) => EventStream.eventsHopping(s, d)),
     "stream_cms_sketch" -> ((s, d) => EventStream.cmsSketchStream(s, d)),
     "stream_purchase_click_join" -> ((s, d) =>
@@ -366,12 +374,14 @@ object SparkEntry {
     // D10 is exact and complete by the prefix-filter lemma — the all-pairs
     // Jaccard SQL is its oracle, not an approximation bound
     "dedup_prefix_join" -> Dedup.ngramJaccardSql(),
+    "dedup_lines" -> Dedup.lineDedupSql(),
     "ann_topk" -> Similarity.annTopKSql(),
     "embeddings_kmeans" -> Similarity.kmeansSql(),
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),
     "ann_ivf_exhaustive" -> Similarity.annTopKSql(),
     "stream_ann_ivf_exhaustive" -> Similarity.annTopKSql(),
     "stream_ann_ivfpq_exhaustive" -> Similarity.annTopKSql(),
+    "stream_ann_graph_exhaustive" -> Similarity.annTopKSql(),
     "ann_pq_exhaustive" -> Similarity.annTopKSql(),
     "ann_graph_exhaustive" -> Similarity.annTopKSql(),
     "ann_pq_build" -> Similarity.annPqBuildSql(),

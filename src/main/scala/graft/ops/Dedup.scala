@@ -737,4 +737,118 @@ object Dedup {
        |  JOIN sizes y ON id_b = y.doc_id) t
        |WHERE containment >= $threshold""".stripMargin
   }
+
+  /** D11 segment width: newline-split lines are chunked into
+    * non-overlapping runs of this many words — the dedup unit. On corpora
+    * with real line structure the unit approximates a line (lines at or
+    * under the width stay whole); on the driver's single-line documents it
+    * is the fixed word window, the Lee et al. 2022 sequence-level unit.
+    */
+  val LineSegWords = 8
+
+  /** D11: repeated-line removal — the production-pipeline dedup mode the
+    * pair-based family (D2–D10) doesn't cover: instead of dropping or
+    * linking whole near-duplicate documents, every EXACT duplicate text
+    * segment after the first occurrence is removed from the corpus and
+    * each document is reassembled from its surviving segments
+    * (RefinedWeb §3.3 / FineWeb exact line dedup; Lee et al. 2022 §3 do
+    * the same at sequence level). Keep-first is globally deterministic:
+    * first occurrence by (doc_id, line_no, seg_no).
+    *
+    * Scale shape (100 TB): the only corpus-wide exchange hashes on the
+    * segment text — the same uniformly-distributing content-hash key as
+    * D1 — and the keep-first window state per key is a single running
+    * row_number, never a buffered group. Reassembly aggregates are
+    * per-line and per-document (bounded by one document's size, collected
+    * as sorted arrays — no global window, no driver involvement).
+    * Returns one row per input document: (doc_id, clean_text, n_kept,
+    * n_dropped); a document whose every segment was dropped keeps its row
+    * with empty text, so corpus row counts survive the pass.
+    */
+  def lineDedup(spark: SparkSession, dir: String,
+      segWords: Int = LineSegWords): DataFrame =
+    lineDedupOf(Tables.documents(spark, dir), segWords)
+
+  /** [[lineDedup]] over an arbitrary (doc_id, text) corpus. */
+  def lineDedupOf(docs: DataFrame, segWords: Int = LineSegWords): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+    val segs = lines
+      .withColumn("ws", split(col("line"), " "))
+      .select(col("doc_id"), col("line_no"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("ws")) / lit(segWords.toDouble)).cast("int") - 1),
+          g => array_join(
+            slice(col("ws"), g * segWords + 1, lit(segWords)), " ")))
+          .as(Seq("seg_no", "seg")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id"), col("line_no"), col("seg_no"))
+    val flagged = segs.withColumn("rn", row_number().over(w))
+      .localCheckpoint(true)
+    val keptLines = flagged.filter(col("rn") === 1)
+      .groupBy(col("doc_id"), col("line_no"))
+      .agg(array_sort(collect_list(struct(col("seg_no"), col("seg"))))
+        .as("p"))
+      .select(col("doc_id"), col("line_no"),
+        array_join(transform(col("p"), s => s.getField("seg")), " ")
+          .as("line"))
+    val cleanDocs = keptLines.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("line_no"), col("line"))))
+        .as("p"))
+      .select(col("doc_id"),
+        array_join(transform(col("p"), s => s.getField("line")), "\n")
+          .as("clean_text"))
+    val cnt = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+    docs.select(col("doc_id"))
+      .join(cnt, Seq("doc_id"))
+      .join(cleanDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_kept"), (col("n_seg") - col("n_kept")).as("n_dropped"))
+  }
+
+  /** DuckDB oracle for [[lineDedup]]: the identical newline-split →
+    * word-window → global keep-first → reassemble pipeline (list slices
+    * are 1-based inclusive in DuckDB vs (start, length) in Spark — the
+    * window arithmetic matches element-for-element).
+    */
+  def lineDedupSql(segWords: Int = LineSegWords): String =
+    s"""WITH lines AS (
+       |  SELECT doc_id, i - 1 AS line_no, ls[i] AS line
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+       |        FROM documents),
+       |       unnest(generate_series(1, len(ls))) t(i)
+       |), segs AS (
+       |  SELECT doc_id, line_no, g AS seg_no,
+       |         array_to_string(ws[g*$segWords+1 : g*$segWords+$segWords],
+       |                         ' ') AS seg
+       |  FROM (SELECT doc_id, line_no, string_split(line, ' ') AS ws
+       |        FROM lines),
+       |       unnest(generate_series(0,
+       |         CAST(ceil(len(ws)/$segWords.0) AS BIGINT) - 1)) t(g)
+       |), kept AS (
+       |  SELECT doc_id, line_no, seg_no, seg, row_number() OVER (
+       |    PARTITION BY seg ORDER BY doc_id, line_no, seg_no) AS rn
+       |  FROM segs
+       |), lines2 AS (
+       |  SELECT doc_id, line_no, string_agg(seg, ' ' ORDER BY seg_no) AS line
+       |  FROM kept WHERE rn = 1 GROUP BY 1, 2
+       |), docs2 AS (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no)
+       |    AS clean_text
+       |  FROM lines2 GROUP BY 1
+       |), cnt AS (
+       |  SELECT doc_id, count(*) AS n_seg,
+       |         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+       |  FROM kept GROUP BY 1
+       |)
+       |SELECT d.doc_id, coalesce(x.clean_text, '') AS clean_text,
+       |       CAST(c.n_kept AS BIGINT) AS n_kept,
+       |       CAST(c.n_seg - c.n_kept AS BIGINT) AS n_dropped
+       |FROM documents d
+       |JOIN cnt c USING (doc_id)
+       |LEFT JOIN docs2 x USING (doc_id)""".stripMargin
 }

@@ -785,6 +785,19 @@ object Similarity {
       trainSample: Int = 100000): DataFrame = {
     val e = vectors(spark, dir)
     val links = annGraphLinks(spark, dir, m, nLists, seed, trainSample)
+    annGraphSearchFrom(e, links, k, nQueries, ef, beamWidth, maxHops)
+  }
+
+  /** [[annGraph]]'s beam search over an EXPLICIT link table — the exact
+    * batch search tail the X28 incremental index maintenance drains into
+    * (the ivfSearchFrom / ivfPqSearchFrom contract applied to the graph
+    * paradigm). `links` must be symmetrized, distinct (node, nbr) rows
+    * containing the chain family, so entry node 0 reaches every vertex
+    * and the ef=∞ twin stays provably exact.
+    */
+  def annGraphSearchFrom(e: DataFrame, links: DataFrame, k: Int = 5,
+      nQueries: Int = 20, ef: Int = 256, beamWidth: Int = 64,
+      maxHops: Int = 32): DataFrame = {
     val q = broadcast(e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .localCheckpoint(true))

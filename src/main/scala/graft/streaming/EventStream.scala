@@ -1327,6 +1327,104 @@ object EventStream extends Serializable {
       k, nQueries, nProbe, rerank)
   }
 
+  /** X28: INCREMENTAL graph-ANN index maintenance — the last ANN paradigm
+    * without a maintained index (X14 hash, X25 list, X27 code; S7 graph).
+    * The maintained state IS the link graph, grown append-only:
+    *
+    *  - **chain / doubling links** are id-deterministic
+    *    ([[graft.ops.Similarity.annGraphLinks]]'s long-range families),
+    *    so an arriving vector `j` contributes exactly its own pairs —
+    *    (j−1, j) and, for even j ≥ 2, (j/2, j) — in O(batch) with no
+    *    lookup at all; the drained family equals the batch build's by
+    *    construction.
+    *  - **kNN links** use a frozen coarse-cell assignment (X25's exact
+    *    contract: the quantizer trains once on the corpus snapshot —
+    *    per-batch assignment is one codegen'd projection, no shuffle),
+    *    and each arriving vector takes its top-`m` exact-cosine links
+    *    among the cell members SEEN SO FAR (accumulated index ∪ batch) —
+    *    X14's batch-probes-index shape, cost ∝ batch × cell occupancy.
+    *    Earlier vectors' kNN lists are never recomputed (append-only);
+    *    symmetrization at drain still hands them every later arrival as
+    *    a reverse link, which is exactly how incremental NSW insertion
+    *    maintains navigability (Malkov & Yashunin 2016 §4).
+    *
+    * Drained search runs the exact batch tail
+    * ([[graft.ops.Similarity.annGraphSearchFrom]]) over the maintained
+    * links. The chain family keeps the drained graph connected from the
+    * fixed entry point regardless of arrival order, so the exhaustive
+    * twin (ef = ∞, beamWidth = ∞) expands the whole corpus and is
+    * hash-checked against the brute-force oracle like the other ANN
+    * entries; the operating-point entry publishes recall with the ≥0.9
+    * floor asserted in StreamingSpec.
+    *
+    * @param batchSecs X14/X25/X27's flatness receipt: per-batch wall
+    *   seconds must not grow with the accumulated index (asserted at 10
+    *   batches).
+    */
+  def annGraphStream(spark: SparkSession, dir: String,
+      batches: Int = IncrementalBatches, k: Int = 5, nQueries: Int = 20,
+      m: Int = 12, nLists: Int = 16, ef: Int = 256, beamWidth: Int = 64,
+      maxHops: Int = 32,
+      batchSecs: Option[scala.collection.mutable.Buffer[Double]] = None)
+      : DataFrame = {
+    import graft.ops.Similarity
+    val e = Similarity.vectors(spark, dir)
+    val n = e.count()
+    val bounds = e.agg(min(col("vec_id")), max(col("vec_id"))).head()
+    require(bounds.getLong(0) == 0L && bounds.getLong(1) == n - 1,
+      s"annGraphStream expects a 0-based dense vec_id space (got ids " +
+        s"${bounds.getLong(0)}..${bounds.getLong(1)} over $n rows)")
+    val centroids = Similarity.kmeansCentroids(e, nLists, seed = 42L,
+      trainSample = 100000)
+    val staging = stageByChunks(e, "vec_id", batches)
+    import spark.implicits._
+    def fresh(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    var memberState = Seq.empty[(Long, Long, Seq[Double])]
+      .toDF("list_id", "node", "nv").localCheckpoint(true)
+    var linkParts = List.empty[DataFrame]
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("c").desc, col("nbr").asc)
+    val stream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bt0 = System.nanoTime()
+        val assigned = Similarity.ivfAssign(centroids, batch)
+          .select(col("list_id"), col("vec_id").as("node"),
+            col("v").as("nv"))
+          .localCheckpoint(true)
+        val mates = memberState.union(assigned)
+          .select(col("list_id"), col("node").as("nbr"), col("nv").as("bv"))
+        val knn = assigned.join(mates, Seq("list_id"))
+          .filter(col("node") =!= col("nbr"))
+          .select(col("node"), col("nbr"),
+            Similarity.cosine(col("nv"), col("bv")).as("c"))
+          .withColumn("r", row_number().over(wk)).filter(col("r") <= m)
+          .select(col("node"), col("nbr"))
+        val ids = assigned.select(col("node"))
+        val chain = ids.filter(col("node") >= 1L)
+          .select((col("node") - 1L).as("node"), col("node").as("nbr"))
+        val jump = ids.filter(col("node") >= 2L && col("node") % 2 === 0)
+          .select((col("node") / 2L).cast("long").as("node"),
+            col("node").as("nbr"))
+        linkParts ::= knn.union(chain).union(jump).localCheckpoint(true)
+        memberState = memberState.union(fresh(assigned))
+        batchSecs.foreach(_ += (System.nanoTime() - bt0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+    require(linkParts.nonEmpty, "annGraphStream: no batches arrived")
+    val directed = linkParts.map(fresh).reduce(_.union(_))
+    val links = directed
+      .union(directed.select(col("nbr").as("node"), col("node").as("nbr")))
+      .distinct().localCheckpoint(true)
+    Similarity.annGraphSearchFrom(e, links, k, nQueries, ef, beamWidth,
+      maxHops)
+  }
+
   /** X15: INCREMENTAL PageRank maintenance over the streaming edge feed —
     * the last reference maintain-then-analyze workload (ref:
     * tests/networkx/test_python.py:139-151) whose analyze step previously

@@ -15,6 +15,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out.agg(sum("n_copies")).head().getLong(0) == nDocs)
   }
 
+  test("dedup_lines: global keep-first segment removal, newline structure") {
+    import spark.implicits._
+    // doc 1: two lines; its second line repeats in doc 2 (dropped there);
+    // doc 3 is entirely a repeat of doc 1 line 1 → empty after dedup;
+    // doc 4 has a >8-word line that chunks into two segments, second
+    // segment repeats doc 2's unique line (dropped)
+    val docs = Seq(
+      (1L, "a b c\nd e f"),
+      (2L, "g h i\nd e f"),
+      (3L, "a b c"),
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 g h i")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c\nd e f", 2L, 0L)), s"got ${out(1L)}")
+    assert(out(2L) == (("g h i", 1L, 1L)), s"got ${out(2L)}")
+    assert(out(3L) == (("", 0L, 1L)), s"got ${out(3L)}")
+    // the 11-word line splits after word 8; the tail "g h i" is a dup
+    assert(out(4L) == (("x1 x2 x3 x4 x5 x6 x7 x8", 1L, 1L)),
+      s"got ${out(4L)}")
+    // corpus pass: kept + dropped = total segments; dups exist at tiny SF
+    val corpus = Dedup.lineDedup(spark, sf)
+    val docsN = graft.core.Tables.documents(spark, sf).count()
+    assert(corpus.count() == docsN, "one output row per input document")
+    assert(corpus.agg(sum(col("n_dropped"))).head().getLong(0) >= 0L)
+  }
+
   test("minhash+LSH finds exactly the exact-jaccard pairs") {
     val exact = Dedup.ngramJaccard(spark, sf).select("id_a", "id_b")
     val lsh = Dedup.minhashLsh(spark, sf).select("id_a", "id_b")

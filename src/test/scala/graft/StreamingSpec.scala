@@ -977,6 +977,39 @@ class StreamingSpec extends AnyFunSuite {
       f"per-batch cost grew with the index: early $early%.2fs late $late%.2fs")
   }
 
+  test("incremental graph-ANN stream: exhaustive twin equals brute force") {
+    // X28: the maintained link graph differs from the batch build's kNN
+    // family (append-only insertion never recomputes earlier vectors'
+    // lists), so the correctness contract is the one every ANN entry
+    // carries — exhaustive expansion ≡ S1 exactly, operating point ≥ 0.9
+    val ex = EventStream.annGraphStream(spark, sf, ef = Int.MaxValue,
+      beamWidth = Int.MaxValue, maxHops = 64)
+    val s1 = graft.ops.Similarity.annTopK(spark, sf)
+    assert(ex.exceptAll(s1).count() == 0 && s1.exceptAll(ex).count() == 0,
+      "exhaustive graph-ANN twin diverged from brute-force top-k")
+    val op = EventStream.annGraphStream(spark, sf)
+    val r = graft.ops.Similarity.recallAtK(s1, op)
+    System.err.println(f"[test] stream graph-ANN recall@5 = $r%.3f")
+    assert(r >= 0.9, s"stream graph-ANN recall@5 $r < 0.9")
+  }
+
+  test("incremental graph-ANN stream per-batch cost stays flat") {
+    // chain/doubling links are O(batch) arithmetic; the kNN links probe
+    // only the arriving vectors' own cells (X14's batch-probes-index
+    // shape) — per-batch wall must not grow with the accumulated index
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val streamed = EventStream.annGraphStream(spark, sf, batches = 10,
+      batchSecs = Some(times))
+    assert(streamed.count() > 0)
+    assert(times.size == 10, s"expected 10 batch timings, got ${times.size}")
+    val early = times.slice(1, 4).sum / 3
+    val late = times.takeRight(3).sum / 3
+    System.err.println(f"[test] graph-ann-stream per-batch early=$early%.2fs " +
+      f"late=$late%.2fs (${times.map(t => f"$t%.2f").mkString(",")})")
+    assert(late <= early * 3 + 0.5,
+      f"per-batch cost grew with the index: early $early%.2fs late $late%.2fs")
+  }
+
   test("X23 drain publishes its triangle list for the batch ktruss twin") {
     import graft.graph.Triangles
     val t0 = System.nanoTime()
