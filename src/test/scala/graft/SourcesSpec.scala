@@ -22,6 +22,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.exceptAll(g.edges).count() == 0)
   }
 
+  test("stinger csr write: id gaps, boundary vertices, many partitions") {
+    import spark.implicits._
+    // srcs with long id gaps (off fill inside partitions), a hub whose
+    // run must cross range-partition boundaries at 8 partitions, and a
+    // sink-only vertex past every src (off tail fill on the driver)
+    val hub = (0L until 64L).map(d => (100L, 200L + d, 1L))
+    val rows = Seq((0L, 5L, 1L), (7L, 3L, 2L), (300L, 301L, 1L)) ++ hub
+    val edges = rows.toDF("src", "dst", "weight")
+    val path = Files.createTempDirectory("graft-csr").resolve("g.bin").toString
+    StingerFiles.writeGraph(edges, path, partitions = 8)
+    val back = StingerFiles.readGraph(spark, path, partitions = 5).edges
+    assert(back.count() == edges.count())
+    assert(edges.exceptAll(back).count() == 0)
+    assert(back.exceptAll(edges).count() == 0)
+    // and an empty graph writes a readable header-only file
+    val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight")
+    val p2 = Files.createTempDirectory("graft-csr").resolve("e.bin").toString
+    StingerFiles.writeGraph(empty, p2, partitions = 2)
+    assert(StingerFiles.readGraph(spark, p2).edges.count() == 0)
+  }
+
   test("stinger actions round-trip with ~x delete encoding") {
     val actions = EdgeUpdates.actionsFromEvents(spark, sf).limit(500)
     val path = Files.createTempDirectory("graft-act").resolve("a.bin").toString
