@@ -43,6 +43,47 @@ class SourcesSpec extends AnyFunSuite {
     assert(StingerFiles.readGraph(spark, p2).edges.count() == 0)
   }
 
+  test("csv action feed: arrival-order physmap, defaults, replay") {
+    import graft.sources.ActionFeeds
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-csv")
+    // named vertices; "bob" first appears on line 0 (as dst), "eve" on
+    // line 2; weight field present, no time field
+    Files.write(dir.resolve("edges.csv"),
+      "alice,bob,3\nbob,carol,1\neve,alice,2\ncarol,bob,5\n".getBytes)
+    val a = ActionFeeds.csvActions(spark, dir.toString, srcField = 0,
+      dstField = 1, weightField = 2).orderBy("action_id").collect()
+    assert(a.length == 4)
+    // physmap: alice=0, bob=1 (line 0), carol=2 (line 1), eve=3 (line 2)
+    val byAction = a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(byAction(0) == ((0L, 0L, 1L, 3L, 0L, false)))
+    assert(byAction(1) == ((1L, 1L, 2L, 1L, 0L, false)))
+    assert(byAction(2) == ((2L, 3L, 0L, 2L, 0L, false)))
+    assert(byAction(3) == ((3L, 2L, 1L, 5L, 0L, false)))
+    // the feed replays through the same merge the binary feed uses
+    val empty = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "weight")
+    val applied = EdgeUpdates(empty,
+      ActionFeeds.csvActions(spark, dir.toString, weightField = 2))
+    assert(applied.count() == 4)
+  }
+
+  test("random action feed: deterministic, bounded, insert-only batches") {
+    import graft.sources.ActionFeeds
+    val a = ActionFeeds.randomActions(spark, nv = 100, n = 5000,
+      edgesPerBatch = 1000)
+    val b = ActionFeeds.randomActions(spark, nv = 100, n = 5000,
+      edgesPerBatch = 1000)
+    assert(a.exceptAll(b).count() == 0, "feed is not deterministic")
+    assert(a.filter(col("src") < 0 || col("src") >= 100 ||
+      col("dst") < 0 || col("dst") >= 100).count() == 0)
+    assert(a.filter(col("is_del")).count() == 0, "reference feed is insert-only")
+    // time = batch + 1 (random_stream.c:58)
+    val times = a.select(col("time")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    assert(times.sameElements(1L to 5L), s"got ${times.toSeq}")
+  }
+
   test("stinger actions round-trip with ~x delete encoding") {
     val actions = EdgeUpdates.actionsFromEvents(spark, sf).limit(500)
     val path = Files.createTempDirectory("graft-act").resolve("a.bin").toString
