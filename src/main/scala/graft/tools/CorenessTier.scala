@@ -72,6 +72,22 @@ object CorenessTier {
         System.err.println(f"[coreness] tier=$tier join(counting) " +
           f"wall=$jSec%.1f s rounds=$rounds conv=$conv rows=$jn " +
           f"labelDiff=$diff")
+        // single-round A/B on the BROADCAST path (est fits): the
+        // counting pass's zero-exchange claim vs the window sort
+        val est = sym.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("est")).localCheckpoint(true)
+        est.count()
+        def time(label: String)(pass: => org.apache.spark.sql.DataFrame)
+            : Unit = {
+          val ta = System.nanoTime()
+          val c = pass.count()
+          System.err.println(f"[coreness] tier=$tier one bc-$label round: " +
+            f"${(System.nanoTime() - ta) / 1e9}%.1f s ($c rows)")
+        }
+        time("counting")(Coreness.hPass(sym, broadcast(est)))
+        time("counting2")(Coreness.hPass(sym, broadcast(est)))
+        time("window")(Coreness.hPassWindow(sym, broadcast(est)))
+        time("window2")(Coreness.hPassWindow(sym, broadcast(est)))
       }
       if (tier == "large") {
         // single-round A/B on the NON-broadcast join path (the

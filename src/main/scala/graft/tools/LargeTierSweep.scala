@@ -28,7 +28,7 @@ object LargeTierSweep {
   def probeSec(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0L, 1L << 30, 1L, 32)
-      .select(sum(xxhash64(col("id")))).head()
+      .select(sum(pmod(xxhash64(col("id")), lit(1000000L)))).head()
     (System.nanoTime() - t0) / 1e9
   }
 
