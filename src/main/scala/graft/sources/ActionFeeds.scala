@@ -47,13 +47,20 @@ object ActionFeeds {
           element_at(col("f"), timeField + 1).cast("long")
          else lit(0L)).as("time"))
       .localCheckpoint(true)
-    // physmap: dense ids by (first-seen action, name) — arrival order,
-    // ties (same line) broken by name like the reference's src-then-dest
-    // mapping_create call order never matters for distinct names
-    val names = lines.select(col("src_name").as("name"), col("action_id"))
-      .union(lines.select(col("dst_name").as("name"), col("action_id")))
-      .groupBy(col("name")).agg(min(col("action_id")).as("first_seen"))
-    val ids = names.orderBy(col("first_seen"), col("name"))
+    // physmap: dense ids by first-seen (action, endpoint role) — arrival
+    // order; ties on the same line break src-before-dst, matching the
+    // reference's stinger_mapping_create call order (csv_stream.c maps
+    // the source field before the destination field on each line, so a
+    // line introducing two new names ids the src first).
+    val names = lines.select(col("src_name").as("name"), col("action_id"),
+        lit(0).as("role"))
+      .union(lines.select(col("dst_name").as("name"), col("action_id"),
+        lit(1).as("role")))
+      .groupBy(col("name"))
+      .agg(min(struct(col("action_id"), col("role"))).as("first_seen"))
+    val ids = names
+      .orderBy(col("first_seen.action_id"), col("first_seen.role"),
+        col("name"))
       .select(col("name")).rdd.map(_.getString(0)).zipWithIndex
       .toDF("name", "vid")
     lines

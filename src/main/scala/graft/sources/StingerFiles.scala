@@ -23,9 +23,11 @@ import graft.graph.Graph
   * Executor tasks reconstruct the session's Hadoop configuration (not a
   * blank `new Configuration()` — credentials and fs.* settings must reach
   * the tasks) and read their slice in bounded chunks, so a slice larger
-  * than 2 GiB of bytes does not overflow a buffer size. The write path
-  * assembles CSR on the driver and is meant for interoperability fixtures,
-  * not scale (the scale path is parquet).
+  * than 2 GiB of bytes does not overflow a buffer size. The graph write
+  * path is distributed too ([[writeGraph]]): a range-partition + sort, a
+  * P-row stats pass, and a streaming per-partition region write — nothing
+  * edge-sized visits the driver; only [[writeActions]] stays driver-side
+  * (fixture-scale by design).
   */
 object StingerFiles {
   val EndianCheck = 0x1234ABCDL
@@ -200,21 +202,21 @@ object StingerFiles {
       .as[(Long, Long, Long)]
       .localCheckpoint(true) // pin the sampled range boundaries: both
                              // passes must see identical partitioning
-    // stats pass: (partition, count, minSrc, maxSrc, maxDst) — P rows
+    // stats pass: (partition, count, minSrc, maxSrc, maxDst, minDst) — P rows
     val stats = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
       var n = 0L; var lo = Long.MaxValue; var hi = Long.MinValue
-      var hiDst = Long.MinValue
+      var hiDst = Long.MinValue; var loDst = Long.MaxValue
       it.foreach { case (s, d, _) =>
         n += 1; if (s < lo) lo = s; if (s > hi) hi = s
-        if (d > hiDst) hiDst = d
+        if (d > hiDst) hiDst = d; if (d < loDst) loDst = d
       }
-      Iterator((pi, n, lo, hi, hiDst))
+      Iterator((pi, n, lo, hi, hiDst, loDst))
     }.collect().sortBy(_._1)
     val ne = stats.map(_._2).sum
     val maxSrc = stats.filter(_._2 > 0).map(_._4).foldLeft(-1L)(math.max)
     val maxDst = stats.filter(_._2 > 0).map(_._5).foldLeft(-1L)(math.max)
     val nv = math.max(maxSrc, maxDst) + 1
-    require(stats.filter(_._2 > 0).forall(_._3 >= 0L),
+    require(stats.filter(_._2 > 0).forall(s => s._3 >= 0L && s._6 >= 0L),
       s"negative vertex id cannot be CSR-encoded ($path)")
     // per-partition global edge offset + owned vertex range (prevMax, hi]
     val edgeOff = stats.scanLeft(0L)(_ + _._2)

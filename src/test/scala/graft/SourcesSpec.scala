@@ -66,6 +66,15 @@ class SourcesSpec extends AnyFunSuite {
     val applied = EdgeUpdates(empty,
       ActionFeeds.csvActions(spark, dir.toString, weightField = 2))
     assert(applied.count() == 4)
+    // same-line tie with src_name > dst_name: the reference maps the
+    // source field first (csv_stream.c), so "zed" must id BEFORE "ann"
+    val dir2 = Files.createTempDirectory("graft-csv2")
+    Files.write(dir2.resolve("edges.csv"), "zed,ann\nann,bob\n".getBytes)
+    val b = ActionFeeds.csvActions(spark, dir2.toString)
+      .orderBy("action_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(b(0) == ((0L, 0L, 1L)), s"zed=0 ann=1 expected, got ${b(0)}")
+    assert(b(1) == ((1L, 1L, 2L)), s"ann=1 bob=2 expected, got ${b(1)}")
   }
 
   test("random action feed: deterministic, bounded, insert-only batches") {
