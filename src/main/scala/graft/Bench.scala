@@ -57,6 +57,7 @@ object Bench {
     "graph_update_sssp_weighted",
     "graph_triangles", "graph_triangles_scale", "graph_clustering_coeff",
     "graph_kcore", "graph_coreness", "graph_multicontract",
+    "graph_multicontract_mod",
     "graph_lpa", "graph_ktruss", "graph_mis",
     "graph_coloring",
     "rmat_gen", "rmat_actions",
@@ -74,10 +75,11 @@ object Bench {
     "q21_waiting_suppliers",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
     "dedup_clusters", "dedup_keep_best", "dedup_semantic", "dedup_substring",
-    "dedup_lines",
+    "dedup_lines", "dedup_substr_exact",
     "ann_topk", "ann_lsh", "ann_ivf", "ann_pq_build", "ann_pq",
     "ann_ivfpq", "ann_graph", "embeddings_kmeans",
-    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "text_tokens", "text_tokens_bpe", "text_quality", "text_langid",
+    "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",
     "text_pii", "text_inverted_index", "text_heavy_hitters",
     "text_unigram_xent", "text_hll_distinct",
@@ -228,7 +230,8 @@ object Bench {
     * runtimes (an ANN row without its recall is not a comparable number).
     */
   def summaryLine(results: Seq[(String, Double)], sfDir: String,
-      trials: Int = 1, recall: Map[String, Double] = Map.empty): String = {
+      trials: Int = 1, recall: Map[String, Double] = Map.empty,
+      extra: String = ""): String = {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
@@ -246,8 +249,27 @@ object Bench {
         m.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString(""","memo_hits":{""", ",", "}")
     }
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"trials":$trials$rjson$mjson,"queries":$qjson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"trials":$trials$rjson$mjson$extra,"queries":$qjson,"sf":"$sfDir"}"""
   }
+
+  /** Good-host probe calibration in seconds (the LargeTierSweep probe —
+    * 2^30 xxhash64 folds over 32 tasks — measured ~1.16 s on the r11/r12
+    * healthy windows and recorded in SURVEY §6). Override with
+    * SPARK_GRAFT_PROBE_CALIB when re-baselining on different hardware.
+    */
+  val ProbeCalibration: Double =
+    sys.env.get("SPARK_GRAFT_PROBE_CALIB").flatMap(_.toDoubleOption)
+      .getOrElse(1.16)
+
+  /** Host-health multiple above which a suite run is NOT a benchmark of
+    * the code (the r10 verdict's sweep prescription, extended to Bench
+    * itself in r13 — judge item #3): the run still completes and prints
+    * its summary (the round driver needs an artifact either way), but
+    * the per-query canonical lands at `…degraded.json` instead of the
+    * canonical path, so a degraded-window number can never silently
+    * become the round's baseline.
+    */
+  val ProbeAbortFactor = 1.5
 
   /** Per-query session-memo hit counts observed by [[runSuite]] (max across
     * trials) — see the memo-hit note there.
@@ -309,6 +331,14 @@ object Bench {
     val spark = sparkAt(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // optional args: run only the named queries (dev iteration)
     val toRun = if (args.nonEmpty) args.toSeq else headline
+    // host-health probe (r13, judge item #3): warm once, measure once
+    graft.tools.LargeTierSweep.probeSec(spark)
+    val probe = graft.tools.LargeTierSweep.probeSec(spark)
+    val degraded = probe > ProbeCalibration * ProbeAbortFactor
+    System.err.println(f"[bench] host probe $probe%.2f s " +
+      f"(calibration $ProbeCalibration%.2f s)" +
+      (if (degraded) " — DEGRADED window: per-query json will NOT land " +
+        "on the canonical path" else ""))
     System.err.println("[bench] === trial 1 (cold JVM) ===")
     val pass1 = runSuite(spark, sfDir, toRun)
     // trial 2: fresh session = warm JIT/codegen, cold session memos (see
@@ -347,7 +377,10 @@ object Bench {
         System.err.println(s"[bench] recall skipped: ${e.getMessage}")
         Map.empty[String, Double]
     }
-    println(summaryLine(merged, sfDir, trials = 2, recall = recall))
+    val probeExtra = f""","probe":$probe%.3f,"probe_calibration":""" +
+      f"""$ProbeCalibration%.3f,"host_degraded":$degraded"""
+    println(summaryLine(merged, sfDir, trials = 2, recall = recall,
+      extra = probeExtra))
     // trailing compact total: survives tail-truncation of the line above
     println(compactLine(merged, sfDir))
     // r7 (judge item #10): the driver's BENCH artifact tail-truncates the
@@ -355,13 +388,16 @@ object Bench {
     // full per-query map (min-of-trials) also lands as its own file, small
     // enough to commit and diff across rounds.
     try {
+      val sfName = java.nio.file.Paths.get(sfDir).getFileName
       val out = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_QUERY_JSON",
-        s"results/bench.${java.nio.file.Paths.get(sfDir).getFileName}.json"))
+        if (degraded) s"results/bench.$sfName.degraded.json"
+        else s"results/bench.$sfName.json"))
       if (out.getParent != null)
         java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out,
-        summaryLine(merged, sfDir, trials = 2, recall = recall) + "\n")
+        summaryLine(merged, sfDir, trials = 2, recall = recall,
+          extra = probeExtra) + "\n")
       System.err.println(s"[bench] full per-query json → $out")
     } catch {
       case e: Throwable =>

@@ -75,6 +75,15 @@ object SparkEntry {
     "graph_multicontract" -> ((s, d) =>
       MultiContract(Graph.fromTpch(s, d), rounds = 8, jumps = 4,
         oracleRounds = if (d.contains("sf0.01")) Some(4) else None)),
+    // G23b (r13): run-to-best-modularity profile — same contraction
+    // machinery, stops at the first non-improving round (prefix rule).
+    // The oracle unrolls 4 rounds and selects by the same rule, so the
+    // Spark stop round s must satisfy s ≤ 4 ⇔ productive ≤ 3 (the
+    // returned map is map_{s−1}; the oracle still needs q_s)
+    "graph_multicontract_mod" -> ((s, d) =>
+      MultiContract(Graph.fromTpch(s, d), rounds = 8, jumps = 4,
+        modularityStop = true,
+        oracleRounds = if (d.contains("sf0.01")) Some(3) else None)),
     "graph_lpa" -> ((s, d) => LabelPropagation(Graph.fromTpch(s, d), rounds = 5)),
     "graph_triangles" -> ((s, d) => Triangles.count(Triangles.nationEdges(s, d))),
     // the three part-co-occurrence queries share one memoized enumeration
@@ -146,6 +155,7 @@ object SparkEntry {
     "dedup_substring" -> ((s, d) => Dedup.substringContainment(s, d)),
     "dedup_prefix_join" -> ((s, d) => Dedup.prefixFilterJoin(s, d)),
     "dedup_lines" -> ((s, d) => Dedup.lineDedup(s, d)),
+    "dedup_substr_exact" -> ((s, d) => Dedup.exactSubstr(s, d)),
     // --- similarity search (S1..S3) ---
     "ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
     "embeddings_kmeans" -> ((s, d) => Similarity.kmeansAssign(s, d)),
@@ -167,6 +177,7 @@ object SparkEntry {
       Similarity.annPq(s, d, rerank = Int.MaxValue)),
     // --- text analysis (T1..T4) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "text_tokens_bpe" -> ((s, d) => Bpe.textTokensBpe(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -301,6 +312,10 @@ object SparkEntry {
          |)
          |SELECT id, min(lbl) AS component FROM cc GROUP BY id""".stripMargin,
     "graph_pagerank5" -> PageRank.unrolledSql(5),
+    // r13 (r12 verdict item #7): the converged-PR rows-only carry ends —
+    // the Chebyshev unroll stops at ~35 materialized iterates (~4 s in
+    // DuckDB at sf0.01 vs the rejected 100+-step power unroll)
+    "graph_pagerank_conv" -> PageRank.chebyUnrolledSql(),
     "graph_pagerank_weighted" -> PageRank.unrolledWeightedSql(5),
     "graph_pagerank_ppr" -> PageRank.personalizedSql(5),
     "graph_diameter" -> ShortestPaths.diameterSql(),
@@ -315,6 +330,8 @@ object SparkEntry {
     "graph_kcore" -> KCore.unrolledSql(k = 32, rounds = 8),
     "graph_coreness" -> Coreness.unrolledSql(rounds = 6),
     "graph_multicontract" -> MultiContract.unrolledSql(rounds = 4, jumps = 4),
+    "graph_multicontract_mod" ->
+      MultiContract.modularitySql(rounds = 4, jumps = 4),
     "graph_mis" -> MaximalIndependentSet.unrolledSql(rounds = 8),
     "graph_coloring" -> GraphColoring.unrolledSql(rounds = 10),
     "graph_lpa" -> LabelPropagation.unrolledSql(rounds = 5),
@@ -375,6 +392,7 @@ object SparkEntry {
     // Jaccard SQL is its oracle, not an approximation bound
     "dedup_prefix_join" -> Dedup.ngramJaccardSql(),
     "dedup_lines" -> Dedup.lineDedupSql(),
+    "dedup_substr_exact" -> Dedup.exactSubstrSql(),
     "ann_topk" -> Similarity.annTopKSql(),
     "embeddings_kmeans" -> Similarity.kmeansSql(),
     "ann_lsh_exhaustive" -> Similarity.annTopKSql(),
@@ -387,6 +405,7 @@ object SparkEntry {
     "ann_pq_build" -> Similarity.annPqBuildSql(),
     "ann_ivfpq_exhaustive" -> Similarity.annTopKSql(),
     "text_tokens" -> TextAnalysis.tokenCountsSql,
+    "text_tokens_bpe" -> Bpe.textTokensBpeSql(),
     "text_quality" -> TextAnalysis.qualitySql,
     "text_langid" -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,

@@ -103,7 +103,9 @@ object ConnectedComponents {
 
   private def run(g: Graph, maxIter: Int,
       broadcastVertices: Boolean): DataFrame =
-    csrLabels(g, maxIter).getOrElse(joinLabels(g, maxIter, broadcastVertices))
+    csrLabels(g, maxIter)
+      .orElse(CsrLongPaths.labels(g, maxIter))
+      .getOrElse(joinLabels(g, maxIter, broadcastVertices))
 
   /** Min-label CC over the shared per-partition CSR (graph/Csr.scala) with
     * the label state as a broadcast int vector and driver-side path
@@ -529,8 +531,9 @@ object ShortestPaths {
 
   private def run(g: Graph, edges: DataFrame, source: Long, maxIter: Int,
       broadcastState: Boolean): DataFrame =
-    csrBfs(g, source, maxIter).getOrElse(
-      runJoin(g, edges, source, maxIter, broadcastState))
+    csrBfs(g, source, maxIter)
+      .orElse(CsrLongPaths.bfs(g, source, maxIter))
+      .getOrElse(runJoin(g, edges, source, maxIter, broadcastState))
 
   /** BFS over the shared per-partition CSR (graph/Csr.scala) — the r11
     * sssp/diameter twin of ConnectedComponents.csrLabels, with an even
@@ -966,6 +969,7 @@ object PageRank {
   def converged(g: Graph, tol: Double = 1e-8, maxIter: Int = 100,
       broadcastVertices: Boolean = true): DataFrame =
     convergedCsr(g, tol, maxIter)
+      .orElse(CsrLongPaths.pagerank(g, tol, maxIter))
       .getOrElse(convergedCheby(g, tol, maxIter, broadcastVertices))
 
   /** Chebyshev-accelerated converged PageRank (Golub & Varga 1961
@@ -1602,6 +1606,79 @@ object PageRank {
        |SELECT id, round(pr, 8) AS pr FROM pr$iterations""".stripMargin
   }
 
+  /** DuckDB oracle for the tolerance-CONVERGED PageRank (r12 verdict item
+    * #7 — the r1 rejection unrolled 100+ POWER iterations; the Chebyshev
+    * semi-iteration stops at ~33–35, which fits the gate budget as a
+    * materialized unroll): the identical three-term recurrence
+    *
+    *   x_k = ω_k·(teleport + d·msg_k − x_{k−2}) + x_{k−2},
+    *   msg_k(v) = Σ_{u∈N(v)} x_{k−1}(u)/outdeg(u)
+    *
+    * with the ω chain embedded as full-precision literals (it is
+    * data-independent — computed here with the exact double recurrence
+    * the Spark loop runs), one MATERIALIZED iterate per step, a per-step
+    * Σ|x_k − x_{k−1}| delta scalar, and the Spark loop's exact stopping
+    * rule replayed as selection: the returned iterate is the FIRST k
+    * with delta_k ≤ tol. Accumulation-order noise between engines is the
+    * same ulp class the fixed-5 oracle already absorbs under the shared
+    * 8 dp rounding; the delta scalars contract ~0.56× per step, so the
+    * tol boundary never sits inside that noise.
+    *
+    * @param maxIters unroll depth — must be ≥ the actual stop iteration
+    *   (the selection returns NULL rows and fails the gate loudly if
+    *   not, rather than silently hashing a pre-convergence iterate).
+    */
+  def chebyUnrolledSql(maxIters: Int = 45, tol: Double = 1e-8,
+      edgesCte: String = Graph.undirectedCte): String = {
+    val omegas = new Array[Double](maxIters + 1)
+    var om = 1.0
+    for (i <- 0 until maxIters) {
+      om =
+        if (i == 0) 1.0
+        else if (i == 1) 1.0 / (1.0 - Damping * Damping / 2.0)
+        else 1.0 / (1.0 - om * Damping * Damping / 4.0)
+      omegas(i + 1) = om
+    }
+    def lit17(d: Double) = {
+      val s = java.lang.Double.toString(d)
+      if (s.contains("E")) f"CAST($d%.17e AS DOUBLE)" else s
+    }
+    val iters = (1 to maxIters).map { k =>
+      val pp = if (k >= 2) s"x${k - 2}" else "x0"
+      s"""x$k AS MATERIALIZED (
+         |  SELECT v.id,
+         |    ${lit17(omegas(k))} * ((1 - 0.85) / (SELECT n FROM nv)
+         |      + 0.85 * coalesce(s.msg, 0) - p.x) + p.x AS x
+         |  FROM verts v
+         |  JOIN $pp p ON v.id = p.id
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, sum(c.x / d.outdeg) AS msg
+         |    FROM medges e JOIN x${k - 1} c ON e.src = c.id
+         |      JOIN deg d ON e.src = d.id
+         |    GROUP BY 1) s ON v.id = s.id),
+         |d$k AS (SELECT sum(abs(a.x - b.x)) AS d
+         |        FROM x$k a JOIN x${k - 1} b ON a.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    val firstStop = (1 to maxIters).map(k =>
+      s"SELECT $k AS k, (SELECT d FROM d$k) AS d").mkString(" UNION ALL ")
+    val union = (1 to maxIters).map(k =>
+      s"SELECT $k AS k, id, x FROM x$k").mkString(" UNION ALL\n")
+    // medges MATERIALIZED: a plain CTE re-inlines the edge derivation into
+    // every iterate — 78 s vs 4 s at sf0.01 for the lineitem-join CTE
+    s"""WITH $edgesCte,
+       |medges AS MATERIALIZED (SELECT src, dst FROM edges),
+       |verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM medges),
+       |nv AS (SELECT count(*) AS n FROM verts),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS id, count(*) AS outdeg FROM medges GROUP BY 1),
+       |x0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS x FROM verts),
+       |$iters,
+       |stop AS (SELECT min(k) AS k FROM ($firstStop) WHERE d <= $tol)
+       |SELECT id, round(x, 8) AS pr FROM (
+       |$union
+       |) WHERE k = (SELECT k FROM stop)""".stripMargin
+  }
+
   /** G7b: WEIGHTED PageRank — the transition probability u→v is
     * weight(u,v)/wdeg(u) instead of 1/outdeg(u), the standard weighted
     * extension (the reference's graphs carry edge weights — CSR `wgt`,
@@ -1866,8 +1943,9 @@ object Coreness {
 
   private def run(g: Graph, maxIter: Int,
       broadcastVertices: Boolean): (DataFrame, Int, Boolean) =
-    csrCoreness(g, maxIter).getOrElse(
-      runJoin(g, maxIter, broadcastVertices))
+    csrCoreness(g, maxIter)
+      .orElse(CsrLongPaths.coreness(g, maxIter))
+      .getOrElse(runJoin(g, maxIter, broadcastVertices))
 
   /** The h-operator iteration over the shared per-partition CSR
     * (graph/Csr.scala) — the r11 lever the large-tier receipt named: the
@@ -1998,7 +2076,7 @@ object Coreness {
     val prof = sys.env.contains("GRAFT_CORENESS_PROF")
     while (changed > 0 && i < maxIter) {
       val it0 = System.nanoTime()
-      val nxt = hPass(sym, bc(est)).localCheckpoint(eager = false)
+      val nxt = hPassDefault(sym, bc(est)).localCheckpoint(eager = false)
       // the change count materializes the round's lazy checkpoint
       changed = nxt.join(est.select(col("id"), col("est").as("prev")),
           Seq("id"))
@@ -2040,6 +2118,16 @@ object Coreness {
     * equivalence to [[hPassWindow]] (the reference formulation the DuckDB
     * oracle mirrors) is spec-asserted per round and at the fixpoint.
     */
+  /** A/B dispatch seam (r13, r12 verdict item #3: the
+    * `stream_coreness_incremental` 2.0× swing needed attribution on a
+    * clean window): `GRAFT_HPASS=window` flips every batch/drain h-round
+    * to the retired window formulation. Dev-only — the default is always
+    * the counting pass.
+    */
+  def hPassDefault(sym: DataFrame, est: DataFrame): DataFrame =
+    if (sys.env.get("GRAFT_HPASS").contains("window")) hPassWindow(sym, est)
+    else hPass(sym, est)
+
   def hPass(sym: DataFrame, est: DataFrame): DataFrame = {
     val pairs = sym
       .join(est.select(col("id").as("dst"), col("est")), Seq("dst"))

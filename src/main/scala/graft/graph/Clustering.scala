@@ -97,7 +97,8 @@ object MultiContract {
   def apply(g: Graph, rounds: Int = 4, jumps: Int = 4,
       broadcastVertices: Boolean = true,
       exactBound: Long = ExactVolumeBound,
-      oracleRounds: Option[Int] = None): DataFrame = {
+      oracleRounds: Option[Int] = None,
+      modularityStop: Boolean = false): DataFrame = {
     def bc(df: DataFrame) = if (broadcastVertices) broadcast(df) else df
     val spark = g.edges.sparkSession
     import spark.implicits._
@@ -125,6 +126,32 @@ object MultiContract {
     var wt = Seq.empty[(Long, Long)].toDF("c", "wt").localCheckpoint(true)
     var converged = false
     var round = 0
+    // modularity profile (r12 verdict item #8): vol²-rescaled modularity
+    // of the CURRENT labeling on the ORIGINAL symmetrized view —
+    // Q·vol² = vol·Σ_{c(u)=c(v)} w(u,v) − Σ_c vol_c², every term exact in
+    // DECIMAL(38,0) (Σ vol_c² ≤ vol² < 8.6e37 for any BIGINT volume), so
+    // the gain ≤ 0 comparison is integer-exact in both engines
+    val sym0 = sym
+    lazy val deg0 = sym0.groupBy(col("u")).agg(sum(col("w")).as("deg"))
+      .localCheckpoint(true)
+    val d38 = DecimalType(38, 0)
+    def qOf(m: DataFrame): java.math.BigDecimal = {
+      val win = sym0
+        .join(bc(m.select(col("id").as("u"), col("c").as("cu"))), Seq("u"))
+        .join(bc(m.select(col("id").as("v"), col("c").as("cv"))), Seq("v"))
+        .filter(col("cu") === col("cv"))
+        .agg(coalesce(sum(col("w").cast(d38)), lit(0).cast(d38)))
+        .head().getDecimal(0)
+      val dsq = deg0
+        .join(bc(m.select(col("id").as("u"), col("c"))), Seq("u"))
+        .groupBy(col("c")).agg(sum(col("deg")).as("volc"))
+        .agg(coalesce(sum(col("volc").cast(d19) * col("volc").cast(d19)),
+          lit(0).cast(d38)))
+        .head().getDecimal(0)
+      win.multiply(java.math.BigDecimal.valueOf(vol)).subtract(dsq)
+    }
+    var prevQ = if (modularityStop) Some(qOf(map)) else None
+    var prevMap = map
     while (!converged && round < rounds) {
       round += 1
       val sExpr =
@@ -222,6 +249,19 @@ object MultiContract {
         map = freshStats(map.join(bc(m3), Seq("c"))
           .select(col("id"), col("m").as("c"))
           .localCheckpoint(eager = false))
+        if (modularityStop) {
+          // stop at the first non-improving round and keep the PREVIOUS
+          // labeling — the prefix rule the unrolled oracle replays
+          val q = qOf(map)
+          if (q.compareTo(prevQ.get) <= 0) {
+            map = prevMap
+            converged = true
+          } else {
+            prevQ = Some(q)
+            prevMap = map
+          }
+        }
+        if (converged) { /* skip the contraction updates below */ } else {
         val mapped = scored.select(col("u"), col("v"), col("w"))
           .join(bc(m3.toDF("u", "mu")), Seq("u"))
           .join(bc(m3.toDF("v", "mv")), Seq("v"))
@@ -238,6 +278,7 @@ object MultiContract {
           .groupBy(col("mu").as("u"), col("mv").as("v"))
           .agg(sum(col("w")).as("w"))
           .localCheckpoint(eager = false))
+        }
       }
     }
     if (!converged) throw new IllegalStateException(
@@ -262,6 +303,54 @@ object MultiContract {
     */
   def unrolledSql(rounds: Int = 4, jumps: Int = 4,
       weightedEdgesSql: String = Graph.tpchEdgesSql): String = {
+    val sb = unrolledCtes(rounds, jumps, weightedEdgesSql)
+    sb.append(s"\nSELECT id, c AS community FROM map$rounds")
+    sb.toString
+  }
+
+  /** DuckDB oracle for the modularity-stopping profile: the same
+    * unrolled contraction CTEs plus a vol²-rescaled modularity scalar per
+    * round (HUGEINT — integer-exact, mirroring the Spark DECIMAL(38,0)
+    * sums) and the prefix selection rule: the returned labeling is the
+    * map BEFORE the first non-improving round (all R rounds still
+    * unroll; selection is a CASE over the q chain, so a Spark run that
+    * stopped early by fixpoint or by gain ≤ 0 hashes identically).
+    */
+  def modularitySql(rounds: Int = 4, jumps: Int = 4,
+      weightedEdgesSql: String = Graph.tpchEdgesSql): String = {
+    val sb = unrolledCtes(rounds, jumps, weightedEdgesSql)
+    sb.append(",\ndeg0 AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT)" +
+      " AS deg FROM sym0 GROUP BY 1)")
+    for (r <- 0 to rounds) {
+      sb.append(",\n")
+      sb.append(
+        s"""q$r AS (
+           |  SELECT CAST((SELECT vol FROM vv) AS HUGEINT) * (
+           |    SELECT coalesce(sum(CAST(s.w AS HUGEINT)), 0) FROM sym0 s
+           |      JOIN map$r a ON s.u = a.id JOIN map$r b ON s.v = b.id
+           |    WHERE a.c = b.c)
+           |  - (SELECT coalesce(sum(CAST(volc AS HUGEINT) * volc), 0)
+           |     FROM (SELECT mm.c, CAST(sum(d.deg) AS BIGINT) AS volc
+           |           FROM deg0 d JOIN map$r mm ON d.u = mm.id
+           |           GROUP BY 1)) AS q)""".stripMargin)
+    }
+    val cases = (1 to rounds).map(r =>
+      s"  WHEN (SELECT q FROM q$r) <= (SELECT q FROM q${r - 1}) " +
+        s"THEN ${r - 1}").mkString("\n")
+    sb.append(",\n")
+    sb.append(
+      s"""sel AS (SELECT CASE
+         |$cases
+         |  ELSE $rounds END AS r)""".stripMargin)
+    sb.append("\nSELECT id, c AS community FROM (\n")
+    sb.append((0 to rounds).map(r =>
+      s"  SELECT $r AS r, id, c FROM map$r").mkString(" UNION ALL\n"))
+    sb.append("\n) WHERE r = (SELECT r FROM sel)")
+    sb.toString
+  }
+
+  private def unrolledCtes(rounds: Int, jumps: Int,
+      weightedEdgesSql: String): StringBuilder = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH base AS MATERIALIZED (
@@ -345,7 +434,6 @@ object MultiContract {
            |    JOIN m${r}_$jumps b ON s.v = b.c
            |  WHERE a.m <> b.m GROUP BY 1, 2)""".stripMargin)
     }
-    sb.append(s"\nSELECT id, c AS community FROM map$rounds")
-    sb.toString
+    sb
   }
 }

@@ -3290,7 +3290,7 @@ object EventStream extends Serializable {
           .select(col("id"), least(col("deg"),
             coalesce(col("core0") + lit(insertsB), col("deg"))).as("est"))
           .localCheckpoint(true)
-        nxt = graft.graph.Coreness.hPass(sym, bc(est))
+        nxt = graft.graph.Coreness.hPassDefault(sym, bc(est))
           .localCheckpoint(eager = false)
         changed = nxt.join(est.select(col("id"), col("est").as("prev")),
             Seq("id"))
@@ -3308,7 +3308,7 @@ object EventStream extends Serializable {
         // dense cascade: the scoped probe would broadcast a corpus-scale
         // frontier — run the plain global pass instead
         fullRounds += 1
-        nxt = graft.graph.Coreness.hPass(sym, bc(est))
+        nxt = graft.graph.Coreness.hPassDefault(sym, bc(est))
           .localCheckpoint(eager = false)
         changed = nxt.join(est.select(col("id"), col("est").as("prev")),
             Seq("id"))
@@ -3325,7 +3325,7 @@ object EventStream extends Serializable {
             "left_semi")
           .select(col("src").as("id"))
           .union(changed).distinct().localCheckpoint(true)
-        val newEst = graft.graph.Coreness.hPass(
+        val newEst = graft.graph.Coreness.hPassDefault(
           sym.join(bc(cand.select(col("id").as("src"))), Seq("src"),
             "left_semi"),
           bc(est)).localCheckpoint(eager = false)
@@ -3356,7 +3356,7 @@ object EventStream extends Serializable {
       var m = misses(cold)
       var cr = 0
       while (m > 0 && cr < r) {
-        cold = graft.graph.Coreness.hPass(sym, bc(cold))
+        cold = graft.graph.Coreness.hPassDefault(sym, bc(cold))
           .localCheckpoint(eager = false)
         m = misses(cold) // materializes the round's lazy checkpoint
         cr += 1

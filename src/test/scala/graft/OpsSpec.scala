@@ -43,6 +43,63 @@ class OpsSpec extends AnyFunSuite {
     assert(corpus.agg(sum(col("n_dropped"))).head().getLong(0) >= 0L)
   }
 
+  test("dedup_lines: hot-segment skew — no window, map-side-combined keep") {
+    import spark.implicits._
+    // 10^5 copies of ONE line (the empty-line/boilerplate shape): under
+    // the old row_number() window every copy landed in one partition's
+    // sort; the aggregation formulation must collapse them map-side
+    val hot = spark.range(100000L)
+      .select(col("id").as("doc_id"), lit("la la la").as("text"))
+    val out = Dedup.lineDedupOf(hot)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"keep-first must not use a window operator:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"keep-first aggregation must be map-side combined:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == 100000)
+    assert(rows.count(_.getLong(2) == 1L) == 1, "exactly one keeper")
+    assert(rows.map(_.getLong(3)).sum == 99999L, "all other copies dropped")
+    val keeper = rows.find(_.getLong(2) == 1L).get
+    assert(keeper.getLong(0) == 0L && keeper.getString(1) == "la la la")
+  }
+
+  test("dedup_substr_exact: span excision, keep-first, short docs pass") {
+    import spark.implicits._
+    // n=4 windows. doc 1 plants the span "a b c d e" (length 5 ⇒ two
+    // duplicated 4-windows in doc 2 covering exactly its 5 tokens);
+    // doc 2 repeats the span mid-document — only the span goes, the
+    // flanks survive; doc 3 repeats it entirely (wholly removed);
+    // doc 4 is shorter than n (no windows, passes verbatim even though
+    // it equals a doc-1 substring); doc 5 self-repeats a 4-window —
+    // the second in-document occurrence is removed too
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x1 x2 a b c d e x3 x4"),
+      (3L, "a b c d e"),
+      (4L, "a b c"),
+      (5L, "p q r s t p q r s")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrOf(docs, n = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(out(1L) == (("a b c d e f g", 7L, 0L)), s"got ${out(1L)}")
+    assert(out(2L) == (("x1 x2 x3 x4", 4L, 5L)), s"got ${out(2L)}")
+    assert(out(3L) == (("", 0L, 5L)), s"got ${out(3L)}")
+    assert(out(4L) == (("a b c", 3L, 0L)), s"got ${out(4L)}")
+    assert(out(5L) == (("p q r s t", 5L, 4L)), s"got ${out(5L)}")
+    // no window operator anywhere (the de-skewed keep-first shape)
+    val plan = Dedup.exactSubstrOf(docs, n = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"keep-first must not use a window operator:\n$plan")
+    // corpus pass at tiny SF: one row per doc, counts consistent
+    val corpus = Dedup.exactSubstr(spark, sf)
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(corpus.count() == nDocs)
+    assert(corpus.filter(col("n_removed") < 0).count() == 0)
+  }
+
   test("minhash+LSH finds exactly the exact-jaccard pairs") {
     val exact = Dedup.ngramJaccard(spark, sf).select("id_a", "id_b")
     val lsh = Dedup.minhashLsh(spark, sf).select("id_a", "id_b")
@@ -1308,6 +1365,43 @@ class OpsSpec extends AnyFunSuite {
         "temperature sampling must over-sample small strata")
     // realized budget stays within one doc per stratum of the target
     assert(out.map(_._5).sum <= (nDocs * Corpus.MixBudgetFrac).toLong + out.length)
+  }
+
+  test("bpe: pinned merges re-derive from the trainer; apply is exact") {
+    import spark.implicits._
+    // the frozen table must equal a fresh train on the same snapshot —
+    // the constant can never drift from the recipe
+    val wordCounts = graft.core.Tables.documents(spark, sf)
+      .select(explode(filter(split(col("text"), " "), t => t =!= ""))
+        .as("w"))
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(Bpe.train(wordCounts) == Bpe.PinnedMerges,
+      "pinned merge table drifted from the deterministic trainer")
+    // sentinel contract: U+001F absent from the corpus
+    assert(graft.core.Tables.documents(spark, sf)
+      .filter(col("text").contains(Bpe.Sep)).count() == 0)
+    // hand-replayed apply on a planted vocabulary: merges (a,b), (ab,c)
+    // — "abcabc" → [abc, abc] (2), "abab" → [ab, ab] (2), "aab" → a+ab
+    // (2: leftmost pass takes (a,b) at index 1? no — leftmost
+    // non-overlapping scans left: pair (a,a) unknown, (a,b) matches at
+    // index 1 → [a, ab]), "ba" → no merge (2)
+    val m = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq((1L, "abcabc abab aab ba")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      transform(split(col("text"), " "), w => Bpe.tokenCount(w, m))
+        .as("c")).head()
+    assert(out.getSeq[Long](1) == Seq(2L, 2L, 2L, 2L), s"got $out")
+    // overlapping pair run: "aaa" with merge (a,a) → [aa, a] (leftmost)
+    val out2 = Seq((1L, "aaa")).toDF("doc_id", "text")
+      .select(Bpe.tokenCount(col("text"), Seq(("a", "a")))).head().getLong(0)
+    assert(out2 == 2L, s"got $out2")
+    // corpus pass: n_tokens bounded by word chars, >= n_words
+    val bpe = Bpe.textTokensBpe(spark, sf)
+    assert(bpe.filter(col("n_tokens") < col("n_words")).count() == 0)
+    val plan = bpe.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("mapPartitions"),
+      "apply must stay a codegen projection")
   }
 
   test("substring containment: matches a brute-force 8-gram recount") {
