@@ -377,8 +377,18 @@ object Bench {
         System.err.println(s"[bench] recall skipped: ${e.getMessage}")
         Map.empty[String, Double]
     }
-    val probeExtra = f""","probe":$probe%.3f,"probe_calibration":""" +
-      f"""$ProbeCalibration%.3f,"host_degraded":$degraded"""
+    // end-of-suite probe (r13: all three r13 sibling runs passed the
+    // START probe yet two inflated 21-33% MID-RUN — the start sample
+    // alone cannot see a window that degrades during the suite); the
+    // canonical/degraded decision uses BOTH samples
+    val probeEnd = graft.tools.LargeTierSweep.probeSec(spark)
+    val degradedEnd = degraded ||
+      probeEnd > ProbeCalibration * ProbeAbortFactor
+    System.err.println(f"[bench] host probe at end $probeEnd%.2f s" +
+      (if (degradedEnd) " — DEGRADED window" else ""))
+    val probeExtra = f""","probe":$probe%.3f,"probe_end":$probeEnd%.3f,""" +
+      f""""probe_calibration":$ProbeCalibration%.3f,""" +
+      f""""host_degraded":$degradedEnd"""
     println(summaryLine(merged, sfDir, trials = 2, recall = recall,
       extra = probeExtra))
     // trailing compact total: survives tail-truncation of the line above
@@ -391,7 +401,7 @@ object Bench {
       val sfName = java.nio.file.Paths.get(sfDir).getFileName
       val out = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_QUERY_JSON",
-        if (degraded) s"results/bench.$sfName.degraded.json"
+        if (degradedEnd) s"results/bench.$sfName.degraded.json"
         else s"results/bench.$sfName.json"))
       if (out.getParent != null)
         java.nio.file.Files.createDirectories(out.getParent)

@@ -28,11 +28,19 @@ object CsrLongTier {
     val scale = args.headOption.map(_.toInt).getOrElse(24)
     val algos = if (args.length > 1) args.drop(1).toSeq
       else Seq("cc", "bfs", "coreness", "pr")
+    // scale ≥ 25: 64 partitions halve the per-task CSR sort transients
+    // (1.07B symmetrized rows at SCALE 26 / 32 tasks = 33M-row in-task
+    // sorts — the GC profile that starved heartbeats on the first run);
+    // heartbeat/network tolerances sized for multi-second full-GC pauses
+    // in a 96 GB single-JVM local run
+    val parts = if (scale >= 25) "64" else "32"
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.driver.maxResultSize", "16g")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
