@@ -399,10 +399,17 @@ object Bench {
     // enough to commit and diff across rounds.
     try {
       val sfName = java.nio.file.Paths.get(sfDir).getFileName
-      val out = java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_QUERY_JSON",
-        if (degradedEnd) s"results/bench.$sfName.degraded.json"
-        else s"results/bench.$sfName.json"))
+      // the degraded-window redirect applies to the env override too
+      // (ADVICE r13): a run flagged host_degraded must never land on a
+      // canonical-looking caller-chosen path either — the suffix rides
+      // along wherever the caller pointed the file
+      val chosen = sys.env.getOrElse("SPARK_GRAFT_QUERY_JSON",
+        s"results/bench.$sfName.json")
+      val out = java.nio.file.Paths.get(
+        if (!degradedEnd) chosen
+        else if (chosen.endsWith(".json"))
+          chosen.stripSuffix(".json") + ".degraded.json"
+        else chosen + ".degraded")
       if (out.getParent != null)
         java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out,

@@ -106,13 +106,20 @@ object CsrLong {
 
   /** Build the long-id per-partition CSR when every id sits in
     * [0, [[MaxId]]); None otherwise (caller falls back to its join path).
+    * The id gate aggregates over BOTH columns (ADVICE r13: the public
+    * entry must not trust symmetrization — an asymmetric frame with a
+    * dst outside [0, MaxId) would pass a src-only gate and mis-index
+    * inside the chunked kernels). `knownIdBounds` callers take on that
+    * contract themselves: the bounds must cover every src AND dst.
     */
   def buildDense(edges: DataFrame,
       knownIdBounds: Option[(Long, Long)] = None): Option[Blocks] = {
     val (lo, hi) = knownIdBounds.getOrElse {
-      val s = edges.agg(min(col("src")), max(col("src"))).head()
+      val s = edges.agg(min(col("src")), max(col("src")),
+        min(col("dst")), max(col("dst"))).head()
       if (s.isNullAt(0)) return None
-      (s.getLong(0), s.getLong(1))
+      (math.min(s.getLong(0), s.getLong(2)),
+        math.max(s.getLong(1), s.getLong(3)))
     }
     if (lo < 0L || hi >= MaxId) return None
     val spark = edges.sparkSession

@@ -41,6 +41,7 @@ object CsrLongPaths {
     val (blocksOpt, shared) = CsrLong.cachedOrBuild(g)
     blocksOpt.map { blocks =>
       val csr = blocks.rdd
+      try {
       val n = blocks.nSlots
       val sc = spark.sparkContext
       val lbl = Chunked.allocInt(n) // label = vertex id < 2^28, fits Int
@@ -120,8 +121,10 @@ object CsrLongPaths {
         }
       }.toDF("id", "component").localCheckpoint(true)
       bcOut.destroy()
-      if (!shared) csr.unpersist(blocking = false)
       out
+      // unpersist on BOTH exits (ADVICE r13): the non-convergence throw
+      // above must not leave a freshly built multi-GB CSR pinned
+      } finally { if (!shared) csr.unpersist(blocking = false) }
     }
   }
 
@@ -233,6 +236,7 @@ object CsrLongPaths {
     val (blocksOpt, shared) = CsrLong.cachedOrBuild(g)
     blocksOpt.map { blocks =>
       val csr = blocks.rdd
+      try {
       val n = blocks.nSlots
       val sc = spark.sparkContext
       val est = Chunked.allocInt(n)
@@ -322,8 +326,9 @@ object CsrLongPaths {
         }
       }.toDF("id", "coreness").localCheckpoint(true)
       bcO.destroy()
-      if (!shared) csr.unpersist(blocking = false)
       (out, i, true)
+      // unpersist on BOTH exits (ADVICE r13) — see labels()
+      } finally { if (!shared) csr.unpersist(blocking = false) }
     }
   }
 
