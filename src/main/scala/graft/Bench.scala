@@ -78,7 +78,8 @@ object Bench {
     "dedup_lines", "dedup_substr_exact",
     "ann_topk", "ann_lsh", "ann_ivf", "ann_pq_build", "ann_pq",
     "ann_ivfpq", "ann_graph", "embeddings_kmeans",
-    "text_tokens", "text_tokens_bpe", "text_quality", "text_langid",
+    "text_tokens", "text_tokens_bpe", "text_tokens_bpe_full",
+    "text_quality", "text_langid",
     "text_fingerprint",
     "text_tfidf", "text_ngrams", "text_normalize", "text_repetition",
     "text_pii", "text_inverted_index", "text_heavy_hitters",

@@ -178,6 +178,8 @@ object SparkEntry {
     // --- text analysis (T1..T4) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_tokens_bpe" -> ((s, d) => Bpe.textTokensBpe(s, d)),
+    // T1c: the production-vocabulary kernel apply (broadcast merge table)
+    "text_tokens_bpe_full" -> ((s, d) => Bpe.textTokensBpeFull(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -406,6 +408,7 @@ object SparkEntry {
     "ann_ivfpq_exhaustive" -> Similarity.annTopKSql(),
     "text_tokens" -> TextAnalysis.tokenCountsSql,
     "text_tokens_bpe" -> Bpe.textTokensBpeSql(),
+    "text_tokens_bpe_full" -> Bpe.textTokensBpeFullSql(),
     "text_quality" -> TextAnalysis.qualitySql,
     "text_langid" -> TextAnalysis.langIdSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,

@@ -35,16 +35,19 @@ import graft.core.Tables
   */
 object Pack {
 
-  /** Training sequence length in whitespace tokens. */
+  /** Training sequence length in BPE tokens. Budgets are measured in
+    * learned-tokenizer tokens (r13 verdict item #1 — a production
+    * pipeline never chunks on whitespace words): per-document counts
+    * come from [[Bpe.tokenCountsKernel]] applying the pinned production
+    * vocabulary [[Bpe.PinnedMergesFull]], and the oracle replays the
+    * identical table over the distinct-word vocabulary.
+    */
   val SeqLen = 2048
 
   /** Prefix-sum group width (≈ sqrt of bench corpus size; production
     * passes ≈ sqrt(N) so both prefix-sum levels stay ~sqrt(N)-sized).
     */
   val GroupWidth = 64L
-
-  private def nTokens(textCol: String) =
-    size(split(trim(col(textCol)), "\\s+")).cast("long")
 
   /** Add `tok_start` (global token offset in doc_id order) and `chunk_id`
     * (= floor(tok_start / seqLen)) to a per-document frame that already
@@ -81,8 +84,8 @@ object Pack {
     * and the doc_id span (what a loader needs to seek).
     */
   def chunks(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"), nTokens("text").as("n_tokens"))
+    val perDoc = Bpe.tokenCountsKernel(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tokens"))
     packIndex(perDoc)
       .groupBy(col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -92,10 +95,14 @@ object Pack {
   }
 
   def chunksSql(seqLen: Int = SeqLen): String =
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+       |    AS t
        |  FROM documents
+       |), ${Bpe.bpeCountCtes()}, t AS (
+       |  SELECT tk.doc_id,
+       |    CAST(coalesce(dt.n_tokens, 0) AS BIGINT) AS n_tokens
+       |  FROM tk LEFT JOIN dt USING (doc_id)
        |), c AS (
        |  SELECT doc_id, n_tokens,
        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -132,9 +139,10 @@ object Pack {
     val bench = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
     val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
     val q = TextAnalysis.qualityExprs(col("text"))
+    // quality scoring stays T2's whitespace formula; the manifest's
+    // n_tokens (and the chunk budget) is the BPE count, joined below
     val kept = corpus.filter(col("lang") === "en")
-      .select(col("doc_id"), col("text"),
-        q.nTok.cast("long").as("n_tokens"), round(q.score, 6).as("quality"))
+      .select(col("doc_id"), col("text"), round(q.score, 6).as("quality"))
       .filter(col("quality") >= QualityMin)
     // D1 keep-min-doc_id per content hash, as a window so text rides along
     // for the decontamination stage without a second self-join
@@ -146,8 +154,15 @@ object Pack {
       deduped.select(col("doc_id"), col("text")), bench)
     val clean = deduped
       .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // BPE-count only the survivors (the kernel pass runs after every
+    // gate, on the smallest frame)
+    val withTok = Bpe.tokenCountsKernel(
+      clean.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_tokens"))
+    val manifest = clean.select(col("doc_id"), col("quality"))
+      .join(withTok, Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("quality"))
-    packIndex(clean)
+    packIndex(manifest)
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("chunk_id"))
   }
 
@@ -166,15 +181,15 @@ object Pack {
        |    len(list_filter(toks, x -> x IN ($stoplist)))::DOUBLE AS n_stop
        |  FROM raw
        |), q AS (
-       |  SELECT doc_id, lang, text, CAST(n_tok AS BIGINT) AS n_tokens,
+       |  SELECT doc_id, lang, text,
        |    round(least(n_tok / 100.0, 1.0) * 0.5 + (n_stop / n_tok) * 0.25
        |      + least((sum_len / n_tok) / 10.0, 1.0) * 0.25, 6) AS quality
        |  FROM m
        |), kept AS (
-       |  SELECT doc_id, text, n_tokens, quality FROM q
+       |  SELECT doc_id, text, quality FROM q
        |  WHERE lang = 'en' AND quality >= $QualityMin
        |), dd AS (
-       |  SELECT doc_id, text, n_tokens, quality FROM (
+       |  SELECT doc_id, text, quality FROM (
        |    SELECT *, row_number() OVER (PARTITION BY md5(text)
        |      ORDER BY doc_id) AS rn
        |    FROM kept) WHERE rn = 1
@@ -196,9 +211,17 @@ object Pack {
        |  FROM ct
        |), contam AS (
        |  SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)
-       |), clean AS (
-       |  SELECT doc_id, n_tokens, quality FROM dd
+       |), clean0 AS (
+       |  SELECT doc_id, text, quality FROM dd
        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+       |), tk AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+       |    AS t
+       |  FROM clean0
+       |), ${Bpe.bpeCountCtes()}, clean AS (
+       |  SELECT c0.doc_id,
+       |    CAST(coalesce(dt.n_tokens, 0) AS BIGINT) AS n_tokens, c0.quality
+       |  FROM clean0 c0 LEFT JOIN dt USING (doc_id)
        |), c AS (
        |  SELECT doc_id, n_tokens, quality,
        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id

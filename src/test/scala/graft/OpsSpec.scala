@@ -1478,4 +1478,106 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(est / exact - 1.0) < 0.05,
       s"HLL estimate $est vs exact $exact outside 5%")
   }
+
+  test("bpe production vocabulary: pinned full table re-derives; " +
+      "kernel ≡ chain on the whole corpus; inert padding is free") {
+    // the frozen 64-merge production table must equal a fresh train on
+    // the snapshot it claims (sf0.01) — the constant can never drift
+    assert(Bpe.trainFromCorpus(spark, "/root/testdata/sf0.01") ==
+      Bpe.PinnedMergesFull,
+      "pinned production merge table drifted from the trainer")
+    // the kernel (rank-greedy, broadcast table) and the chain (in-order
+    // literal replaces) must agree word-for-word — asserted over every
+    // document for BOTH pinned tables
+    val docs = graft.core.Tables.documents(spark, sf)
+    for (m <- Seq(Bpe.PinnedMerges, Bpe.PinnedMergesFull)) {
+      val chain = docs.select(col("doc_id"),
+        aggregate(transform(
+          filter(split(col("text"), " "), t => t =!= ""),
+          w => Bpe.tokenCount(w, m)), lit(0L), (a, x) => a + x)
+          .as("n_tokens"))
+      val kern = Bpe.tokenCountsKernel(docs, m)
+        .select(col("doc_id"), col("n_tokens"))
+      assert(chain.except(kern).isEmpty && kern.except(chain).isEmpty,
+        s"kernel disagrees with the replace chain at ${m.size} merges")
+    }
+    // a padded 10k-entry table (inert pairs — '#' never occurs in the
+    // corpus) must not change a single count: the kernel only probes
+    // pairs PRESENT in a word, never scans the table
+    val padded = graft.tools.BpeAb.pad(Bpe.PinnedMergesFull, 10240)
+    val base = Bpe.tokenCountsKernel(docs).select("doc_id", "n_tokens")
+    val pad = Bpe.tokenCountsKernel(docs, padded)
+      .select("doc_id", "n_tokens")
+    assert(base.except(pad).isEmpty && pad.except(base).isEmpty)
+    // rank-greedy = in-order on the planted vocabulary the chain test
+    // pins (leftmost non-overlapping semantics)
+    val ranks = new java.util.HashMap[String, Integer]()
+    ranks.put("a b", 0); ranks.put("ab c", 1)
+    assert(Bpe.encodeWord("abcabc", ranks).toSeq == Seq("abc", "abc"))
+    assert(Bpe.encodeWord("aab", ranks).toSeq == Seq("a", "ab"))
+    val r2 = new java.util.HashMap[String, Integer]()
+    r2.put("a a", 0)
+    assert(Bpe.encodeWord("aaa", r2).toSeq == Seq("aa", "a"))
+    // duplicate pair in a padded table must keep its FIRST rank
+    val dup = Bpe.PinnedMergesFull ++ Seq(("e", "r"))
+    assert(Bpe.tokenCountsKernel(docs, dup).select("doc_id", "n_tokens")
+      .except(base).isEmpty)
+  }
+
+  test("d12 at Lee et al.'s production n=50 composes over BPE tokens") {
+    import spark.implicits._
+    // fixture from REAL corpus text: three synthetic documents that share
+    // one long verbatim run (the text of a ≥45-word real document) so the
+    // 50-BPE-token window actually fires; a fourth document is untouched
+    val texts = graft.core.Tables.documents(spark, sf)
+      .filter(size(filter(split(col("text"), " "), t => t =!= "")) >= 45)
+      .orderBy("doc_id").limit(4).collect().map(_.getAs[String]("text"))
+    assert(texts.length == 4, "fixture needs four ≥45-word documents")
+    val Array(t0, shared, t2, t3) = texts
+    val raw = Seq(
+      (0L, t0 + " " + shared),          // first occurrence of the run
+      (1L, t2 + " " + shared + " " + t2), // duplicated run mid-document
+      (2L, shared),                     // duplicated run = whole document
+      (3L, t3)                          // no duplicated span
+    ).toDF("doc_id", "text")
+    // tokenize with the production vocabulary; symbols carry no spaces,
+    // so the space-joined sequence round-trips through the word-window
+    // operator unchanged
+    val bpeDocs = Bpe.encodeDocs(raw)
+      .select(col("doc_id"), array_join(col("toks"), " ").as("text"))
+    val n = 50
+    val seqs = bpeDocs.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+    assert(seqs.forall(_._2.length >= n),
+      "fixture documents must clear the 50-token window")
+    val out = Dedup.exactSubstrOf(bpeDocs, n).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // oracle replay: windows → global keep-first → cover → reassemble,
+    // brute-force over the collected token sequences
+    val wins = for {
+      (id, t) <- seqs.toSeq if t.length >= n
+      p <- 0 to t.length - n
+    } yield (t.slice(p, p + n).mkString(" "), id, p)
+    val cov = scala.collection.mutable.Set.empty[(Long, Int)]
+    wins.groupBy(_._1).valuesIterator.filter(_.size >= 2).foreach { occ =>
+      val first = occ.minBy(o => (o._2, o._3))
+      occ.filterNot(_ == first).foreach { case (_, id, p) =>
+        (0 until n).foreach(j => cov += ((id, p + j)))
+      }
+    }
+    seqs.foreach { case (id, t) =>
+      val kept = t.indices.filterNot(i => cov((id, i))).map(t)
+      assert(out(id) == ((kept.mkString(" "), kept.length.toLong,
+        (t.length - kept.length).toLong)),
+        s"span excision disagrees with the replay for doc $id")
+    }
+    // the fixture is non-trivial: the shared run was excised from its
+    // NON-first occurrences (doc 0 holds the global first by (doc, pos)
+    // order, so docs 1 and 2 must each lose at least the run's length;
+    // docs 0/3 carry no guarantee — the real corpus contains planted
+    // near-duplicates, so the replay equality above is their check)
+    assert(out(1L)._3 >= n && out(2L)._3 >= n,
+      "duplicated ≥50-token runs must be excised")
+  }
 }
