@@ -39,6 +39,21 @@ object UpdateLargeAb {
       System.err.println(
         f"[ab] $label%-14s $sec%7.2f s  ${naActual / sec}%10.0f act/s  ($n edges)")
     }
+    // declarative floor (r13 verdict item #8): every relational apply is
+    // ≥ ONE pass over the base (Spark has no in-place mutable adjacency
+    // to patch O(|actions|)-style like native STINGER) — so the honest
+    // comparison for the merge is scan+count time over the same base,
+    // same filter shape, zero update logic. If the best merge ≈ floor+ε,
+    // the formulation is done and the residual gap to the native engine
+    // is the in-place-index advantage, not a plan deficiency.
+    def floor(label: String)(b: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = b.filter(col("weight") > 0L).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[ab] $label%-14s $sec%7.2f s  ${naActual / sec}%10.0f act/s  ($n edges)")
+    }
+    floor("scan floor")(base)
     time("smj")(base, bd = false, shj = false)
     time("shj")(base, bd = false, shj = true)
     time("delta")(base, bd = true, shj = false)
@@ -47,9 +62,11 @@ object UpdateLargeAb {
     val coBase = graft.core.Partitioning.cachedSizedBy(
       spark.read.parquet(edgesPath).groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("weight")), Seq("src", "dst"))
+    floor("copart floor")(coBase)
     time("copart smj")(coBase, bd = false, shj = false)
     time("copart shj")(coBase, bd = false, shj = true)
     time("copart shj 2")(coBase, bd = false, shj = true)
+    floor("copart floor2")(coBase)
     spark.stop()
   }
 }

@@ -1135,9 +1135,10 @@ class OpsSpec extends AnyFunSuite {
   test("pack chunks conserve tokens and fill sequences contiguously") {
     val chunks = Pack.chunks(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    val total = graft.core.Tables.documents(spark, sf)
-      .select(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
-      .head().getLong(0)
+    // token mass is BPE tokens since r14 (budgets re-based on the
+    // production vocabulary)
+    val total = Bpe.tokenCountsKernel(graft.core.Tables.documents(spark, sf))
+      .agg(sum(col("n_tokens"))).head().getLong(0)
     assert(chunks.map(_._3).sum == total, "token mass not conserved")
     assert(chunks.head._1 == 0L, "first chunk must be 0")
     // a doc starts in chunk k only after chunks 0..k-1 are past their
