@@ -139,7 +139,7 @@ object Bench {
       graft.graph.EdgeUpdates.updatedGraph(s, d).cachedUndirected.count(): Unit))
 
   def sparkAt(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -149,6 +149,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // experiment/ops seam (guide §9): extra conf as 'k=v;k=v' — lets A/B
+    // tools and cluster deployments vary settings without editing the
+    // harness; defaults above stay the bench contract
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';').toSeq).map(_.trim).filter(_.contains("="))
+      .foldLeft(builder) { (b, kv) =>
+        val i = kv.indexOf('=')
+        b.config(kv.take(i), kv.drop(i + 1))
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

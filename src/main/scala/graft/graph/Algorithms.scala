@@ -799,20 +799,26 @@ object WeightedShortestPaths {
       val cand = edges.join(bc(frontier), frontier("id") === edges("src"))
         .select(col("dst").as("id"), (col("dist") + col("weight")).as("nd"))
         .groupBy(col("id")).agg(min(col("nd")).as("nd"))
-      // improved = candidates strictly better than the known distance
-      val improved = cand.join(bc(dist.withColumnRenamed("dist", "old")),
-          Seq("id"), "left")
-        .filter(col("old").isNull || col("nd") < col("old"))
-        .select(col("id"), col("nd").as("dist"))
+      // ONE state pass per round (r14): the improved-rows checkpoint and
+      // the anti-join+union dist rewrite were two |reached|-row jobs per
+      // round (plus a full dist broadcast into the candidate probe); the
+      // full-outer merge keeps old rows, folds candidate improvements in,
+      // and tags improved rows so the next frontier is a narrow filter
+      // over the same cached table. On the shuffle path (broadcastState
+      // off, billion-vertex regime) this is also one dist exchange per
+      // round instead of two, and localCheckpoint preserves the hash(id)
+      // partitioning so consecutive rounds reuse it.
+      val imp = col("nd").isNotNull &&
+        (col("old").isNull || col("nd") < col("old"))
+      val upd = dist.withColumnRenamed("dist", "old")
+        .join(cand, Seq("id"), "full_outer")
+        .select(col("id"),
+          when(imp, col("nd")).otherwise(col("old")).as("dist"),
+          imp.as("imp"))
         .localCheckpoint(true)
-      frontierNonEmpty = !improved.isEmpty
-      if (frontierNonEmpty) {
-        dist = dist.join(improved.select(col("id").as("iid")),
-            col("id") === col("iid"), "left_anti")
-          .union(improved)
-          .localCheckpoint(true)
-      }
-      frontier = improved
+      frontier = upd.filter(col("imp")).select(col("id"), col("dist"))
+      frontierNonEmpty = !frontier.isEmpty
+      dist = upd.select(col("id"), col("dist"))
     }
     if (frontierNonEmpty)
       System.err.println(s"[graft] WARN WeightedShortestPaths: relaxation " +
@@ -893,21 +899,31 @@ object LandmarkDistances {
       .collect().map(_.getLong(0)).toSeq
     if (lms.isEmpty)
       return Seq.empty[(Long, Long, Long)].toDF("landmark", "id", "dist")
-    var dist = lms.map(l => (l, l, 0L)).toDF("landmark", "id", "dist")
-      .localCheckpoint(true)
-    var frontier = dist
+    // append-only levels (r14): the accumulated (landmark, id, dist)
+    // state was UNION+checkpoint-rewritten every round — an O(k·|V|) write
+    // per level; the per-level parts are already checkpointed, so the
+    // visited set is assembled lazily from them instead (the same
+    // append-only pattern Betweenness.runForward and ShortestPaths use).
+    // The anti-join scans the same rows either way; nothing k·|V|-sized
+    // is rewritten per level.
+    val levels = scala.collection.mutable.ArrayBuffer(
+      lms.map(l => (l, l, 0L)).toDF("landmark", "id", "dist")
+        .localCheckpoint(true))
+    def dist: DataFrame = levels.reduce(_ union _)
+    var frontier = levels(0)
     var d = 0L
     var done = false
     while (!done && d < maxIter) {
       d += 1
       val next = edges.join(bc(frontier), frontier("id") === edges("src"))
         .select(col("landmark"), col("dst").as("id")).distinct()
-        .join(bc(dist), Seq("landmark", "id"), "left_anti")
+        .join(bc(dist.select(col("landmark"), col("id"))),
+          Seq("landmark", "id"), "left_anti")
         .withColumn("dist", lit(d))
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        dist = dist.union(next).localCheckpoint(true)
+        levels += next
         frontier = next
       }
     }
@@ -1699,17 +1715,21 @@ object PageRank {
     def shj(df: DataFrame) =
       if (broadcastVertices) df else df.hint("SHUFFLE_HASH")
     val e = g.edges.select(col("src"), col("dst"), col("weight"))
-    val wedges = graft.core.Partitioning.cachedSizedBy(
-      e.union(e.filter(col("src") =!= col("dst"))
-          .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
-        .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight")),
-      Seq("src"))
+    // session-memoized graphs read the shared weighted view (one build
+    // serves weighted PR + both multi-contractions); ad-hoc graphs build
+    // privately and release below
+    val wedges = if (g.memoizeAnalytics) g.cachedWeightedUndirected
+      else graft.core.Partitioning.cachedSizedBy(
+        e.union(e.filter(col("src") =!= col("dst"))
+            .select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+          .groupBy(col("src"), col("dst")).agg(sum(col("weight")).as("weight")),
+        Seq("src"))
     val degrees = wedges.groupBy(col("src").as("id"))
       .agg(sum(col("weight")).cast("double").as("wdeg"))
       .localCheckpoint(true)
     val nv = degrees.count().toDouble
     if (nv == 0.0) {
-      wedges.unpersist()
+      if (!g.memoizeAnalytics) wedges.unpersist()
       val spark = e.sparkSession
       import spark.implicits._
       return Seq.empty[(Long, Double)].toDF("id", "pr")
@@ -1731,7 +1751,7 @@ object PageRank {
         .localCheckpoint(true)
       i += 1
     }
-    wedges.unpersist()
+    if (!g.memoizeAnalytics) wedges.unpersist()
     state.select(col("id"), round(col("pr"), 8).as("pr"))
   }
 

@@ -103,14 +103,23 @@ object MultiContract {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val e = g.edges.select(col("src"), col("dst"), col("weight"))
-    // weight-summed symmetric view (PageRank.unrolledWeightedSql's wedges)
-    var sym = e.select(col("src").as("u"), col("dst").as("v"),
-        col("weight").as("w"))
-      .union(e.filter(col("src") =!= col("dst"))
-        .select(col("dst").as("u"), col("src").as("v"),
-          col("weight").as("w")))
-      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
-      .localCheckpoint(true)
+    // weight-summed symmetric view (PageRank.unrolledWeightedSql's
+    // wedges). Session-memoized graphs read the shared
+    // [[Graph.cachedWeightedUndirected]] — weighted PR and both
+    // contraction queries consumed three private builds of this same
+    // |2E|-row view per session (guide §2.4: share one exchange);
+    // ad-hoc/fixture graphs keep the private build.
+    var sym =
+      if (g.memoizeAnalytics)
+        g.cachedWeightedUndirected.select(col("src").as("u"),
+          col("dst").as("v"), col("weight").as("w"))
+      else e.select(col("src").as("u"), col("dst").as("v"),
+          col("weight").as("w"))
+        .union(e.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("u"), col("src").as("v"),
+            col("weight").as("w")))
+        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+        .localCheckpoint(true)
     val vol = sym.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0)
     if (vol == 0L)
       return Seq.empty[(Long, Long)].toDF("id", "community")
@@ -136,19 +145,23 @@ object MultiContract {
       .localCheckpoint(true)
     val d38 = DecimalType(38, 0)
     def qOf(m: DataFrame): java.math.BigDecimal = {
-      val win = sym0
+      // ONE scalar job for both modularity terms (they were two separate
+      // head() round-trips per round): the intra-cluster weight sum and
+      // the Σ vol_c² term are independent subtrees, so a cross join of
+      // the two 1-row aggregates collects both in a single job
+      val winDf = sym0
         .join(bc(m.select(col("id").as("u"), col("c").as("cu"))), Seq("u"))
         .join(bc(m.select(col("id").as("v"), col("c").as("cv"))), Seq("v"))
         .filter(col("cu") === col("cv"))
-        .agg(coalesce(sum(col("w").cast(d38)), lit(0).cast(d38)))
-        .head().getDecimal(0)
-      val dsq = deg0
+        .agg(coalesce(sum(col("w").cast(d38)), lit(0).cast(d38)).as("win"))
+      val dsqDf = deg0
         .join(bc(m.select(col("id").as("u"), col("c"))), Seq("u"))
         .groupBy(col("c")).agg(sum(col("deg")).as("volc"))
         .agg(coalesce(sum(col("volc").cast(d19) * col("volc").cast(d19)),
-          lit(0).cast(d38)))
-        .head().getDecimal(0)
-      win.multiply(java.math.BigDecimal.valueOf(vol)).subtract(dsq)
+          lit(0).cast(d38)).as("dsq"))
+      val r = winDf.crossJoin(dsqDf).head()
+      r.getDecimal(0).multiply(java.math.BigDecimal.valueOf(vol))
+        .subtract(r.getDecimal(1))
     }
     var prevQ = if (modularityStop) Some(qOf(map)) else None
     var prevMap = map
@@ -232,10 +245,17 @@ object MultiContract {
         m3 = freshStats(m3.join(m3.toDF("m", "m2"), Seq("m"))
           .select(col("c"), col("m2").as("m"))
           .localCheckpoint(eager = false))
-      // acyclicity/convergence guard; its count job also materializes the
-      // whole lazy m3 jump chain before m3's broadcast consumers build
-      val unresolved = m3.join(m3.toDF("m", "mm"), Seq("m"))
-        .filter(col("mm") =!= col("m")).count()
+      // acyclicity/convergence guard; its job also materializes the whole
+      // lazy m3 jump chain before m3's broadcast consumers build. Fused
+      // with the fixpoint count (two count() round-trips per round → one
+      // aggregate): m3 is a function of c, so the self-join carries
+      // exactly one (c, m, mm) row per m3 row and both counts read off it
+      val chk = m3.join(m3.toDF("m", "mm"), Seq("m"))
+        .agg(
+          sum(when(col("mm") =!= col("m"), lit(1L)).otherwise(lit(0L))),
+          sum(when(col("m") =!= col("c"), lit(1L)).otherwise(lit(0L))))
+        .head()
+      val unresolved = if (chk.isNullAt(0)) 0L else chk.getLong(0)
       if (unresolved > 0) throw new IllegalStateException(
         s"MultiContract: $unresolved match chains longer than 2^$jumps — " +
           "raise `jumps` (and the oracle unroll) for this graph")
@@ -243,7 +263,7 @@ object MultiContract {
       // root: map/wt/sym would pass through unchanged, so stop — the
       // reference's run-to-stability outer loop, with the early stop
       // provably identical to running the remaining capped rounds
-      val matchedN = m3.filter(col("m") =!= col("c")).count()
+      val matchedN = if (chk.isNullAt(1)) 0L else chk.getLong(1)
       if (matchedN == 0L) converged = true
       else {
         map = freshStats(map.join(bc(m3), Seq("c"))
@@ -262,9 +282,13 @@ object MultiContract {
           }
         }
         if (converged) { /* skip the contraction updates below */ } else {
+        // checkpointed: consumed by BOTH the wt update (materializes it)
+        // and the sym re-aggregation — un-checkpointed, the second
+        // consumer recomputed the scored scan + two broadcast joins
         val mapped = scored.select(col("u"), col("v"), col("w"))
           .join(bc(m3.toDF("u", "mu")), Seq("u"))
           .join(bc(m3.toDF("v", "mv")), Seq("v"))
+          .localCheckpoint(eager = false)
         // intra-cluster weight folds into the supernode weight (both
         // directions, matching the reference's per-directed-edge increment)
         wt = wt.join(bc(m3), Seq("c"))

@@ -70,6 +70,29 @@ final case class Graph(edges: DataFrame, memoizeAnalytics: Boolean = false,
     edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
+
+  /** Materialized weight-SUMMED symmetrized view `(src, dst, weight)` —
+    * one row per directed orientation, parallel edges folded by weight
+    * sum, self-loops kept once — hash-partitioned on `src` like
+    * [[cachedUndirected]]. Weighted PageRank and both multi-contraction
+    * queries each consumed this identical view through private builds
+    * (three |2E|-row exchanges per session where one suffices — guide
+    * §2.4); like the unweighted cache it is built once per Graph
+    * instance and released with the session. Callers running on ad-hoc
+    * (non-memoized) graphs keep private builds so fixture caches are
+    * never pinned (`lazy` means an instance that never needs the view
+    * never builds it).
+    */
+  lazy val cachedWeightedUndirected: DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+    graft.core.Partitioning.cachedSizedBy(
+      e.union(e.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst"),
+            col("weight")))
+        .groupBy(col("src"), col("dst"))
+        .agg(sum(col("weight")).as("weight")),
+      Seq("src"))
+  }
 }
 
 object Graph {

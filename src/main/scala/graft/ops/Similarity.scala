@@ -819,12 +819,18 @@ object Similarity {
       // keeps digging best-first until every surviving beam row has been
       // expanded, rather than stopping as soon as the global top-B happen
       // to be expanded — the ef budget is only spent if exploration
-      // actually continues
-      val toExpand = beam.filter(!col("expanded"))
-        .withColumn("r", row_number().over(wBeam))
-        .filter(col("r") <= beamWidth)
+      // actually continues. r14: ONE window over the cached beam yields
+      // both the expansion set AND the flag update (rn ≤ beamWidth on an
+      // unexpanded row ⟺ it is expanded this hop), so the per-hop
+      // toExpand checkpoint job and the beam⋈toExpand flag join are gone
+      // — the hop's only state write is the beam checkpoint itself
+      val wUnexp = Window
+        .partitionBy(col("query_id"), col("expanded"))
+        .orderBy(col("c").desc, col("node").asc)
+      val ranked = beam.withColumn("rn", row_number().over(wUnexp))
+      val toExpand = ranked
+        .filter(!col("expanded") && col("rn") <= beamWidth)
         .select(col("query_id"), col("node"))
-        .localCheckpoint(true)
       if (toExpand.isEmpty) more = false
       else {
         val discovered = broadcast(toExpand).join(links, Seq("node"))
@@ -836,11 +842,9 @@ object Similarity {
           .join(q, Seq("query_id"))
           .select(col("query_id"), col("node"),
             cosine(col("qv"), col("v")).as("c"), lit(false).as("expanded"))
-        beam = beam
-          .join(broadcast(toExpand.withColumn("x", lit(true))),
-            Seq("query_id", "node"), "left")
+        beam = ranked
           .select(col("query_id"), col("node"), col("c"),
-            (col("expanded") || col("x").isNotNull).as("expanded"))
+            (col("expanded") || col("rn") <= beamWidth).as("expanded"))
           .union(scored)
           .withColumn("r", row_number().over(wBeam))
           .filter(col("r") <= ef)

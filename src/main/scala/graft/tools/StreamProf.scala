@@ -93,6 +93,28 @@ object StreamProf {
             .incrementalCcStream(spark, sfDir)
           case "degrees" => graft.streaming.EventStream
             .incrementalDegreesStream(spark, sfDir)
+          case "lpa" => graft.streaming.EventStream
+            .incrementalLpaStream(spark, sfDir)
+          case "betweenness" => graft.streaming.EventStream
+            .incrementalBetweennessStream(spark, sfDir)
+          case "ktruss" => graft.streaming.EventStream
+            .incrementalKtrussStream(spark, sfDir)
+          case "triangles" => graft.streaming.EventStream
+            .incrementalTrianglesStream(spark, sfDir)
+          case "localcc" => graft.streaming.EventStream
+            .incrementalLocalClusteringStream(spark, sfDir)
+          case "kcore" => graft.streaming.EventStream
+            .incrementalKcoreStream(spark, sfDir)
+          case "coreness" => graft.streaming.EventStream
+            .incrementalCorenessStream(spark, sfDir)
+          case "anngraph" => graft.streaming.EventStream
+            .annGraphStream(spark, sfDir)
+          case "annivf" => graft.streaming.EventStream
+            .annIvfStream(spark, sfDir)
+          case "annivfpq" => graft.streaming.EventStream
+            .annIvfPqStream(spark, sfDir)
+          case "minhash" => graft.streaming.EventStream
+            .minhashLshStream(spark, sfDir)
           case other => sys.error(s"unknown query '$other'")
         }
       }
