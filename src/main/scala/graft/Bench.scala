@@ -106,18 +106,25 @@ object Bench {
     // triangle-list memo (memo_hits flags the coupling in the artifact)
     "graph_ktruss_updated")
 
-  /** First-trial seconds above which a query is not re-trialed (it
-    * amortizes its own warmup, and re-running it would double suite
-    * wall-clock to re-measure a number already inside run-to-run
-    * variance). Raised 20 → 40 in r5: `graph_pagerank_conv` (always ~100
-    * capped iterations ≈ 25-35 s) sat just above the old ceiling, so the
-    * suite always reported its COLD trial — whose first ~10 iterations
-    * carry 3-10 s of JIT/codegen warmup (tools/PrVariance: cold 35-38 s
-    * vs warm 23-26 s, GC < 0.5 s, iterations always 100) — the 20-33 s
-    * session spread the r4 review flagged. One retrial pins it to the
-    * ~25 s steady state.
+  /** First-trial seconds above which a query is not re-trialed. History:
+    * raised 20 → 40 in r5 (`graph_pagerank_conv`'s cold trial carried
+    * 3-10 s of JIT warmup and sat just above the old ceiling, so the
+    * suite always reported its COLD number); raised 40 → 150 in r15 as a
+    * measurement-bug fix (documented in OPTIMIZATION_r15.md): the r14
+    * canonical recorded `graph_sssp_weighted` 45.5 s and `ann_graph`
+    * 41.1 s — both first trials caught in a transient host stall, both
+    * just above the 40 s cliff, so neither was ever re-trialed, while
+    * every other same-code sample of the pair reads 6.5/4.9 s and
+    * 9.7/7.8 s. A first trial ABOVE the ceiling is precisely the sample
+    * most likely to be window-corrupted and was the only one the suite
+    * could not correct. In a healthy sf0.1 window nothing runs > 10 s
+    * warm, so the retrial costs nothing there; the cap (override:
+    * SPARK_GRAFT_RETRIAL_CAP) still bounds wall-clock on genuinely huge
+    * workloads, which amortize their own warmup.
     */
-  val RetrialCeiling = 40.0
+  val RetrialCeiling: Double =
+    sys.env.get("SPARK_GRAFT_RETRIAL_CAP").flatMap(_.toDoubleOption)
+      .getOrElse(150.0)
 
   /** bench-query → reference results-JSON metric (make_graphs.py charts). */
   private val refMetricOf = Map(
@@ -151,13 +158,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
     // experiment/ops seam (guide §9): extra conf as 'k=v;k=v' — lets A/B
     // tools and cluster deployments vary settings without editing the
-    // harness; defaults above stay the bench contract
-    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+    // harness; defaults above stay the bench contract. The parsed pairs
+    // are recorded in the emitted results JSON (ADVICE r14: a run with
+    // overridden configs must be distinguishable from a canonical bench
+    // artifact) and warned to stderr.
+    val extras = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(';').toSeq).map(_.trim).filter(_.contains("="))
-      .foldLeft(builder) { (b, kv) =>
+      .map { kv =>
         val i = kv.indexOf('=')
-        b.config(kv.take(i), kv.drop(i + 1))
+        kv.take(i) -> kv.drop(i + 1)
       }
+    extraConfUsed = extras
+    if (extras.nonEmpty)
+      System.err.println("[bench] WARN: SPARK_GRAFT_EXTRA_CONF overrides " +
+        s"active (recorded in results json): ${extras.map(kv => kv._1 + "=" + kv._2).mkString("; ")}")
+    val spark = extras
+      .foldLeft(builder) { (b, kv) => b.config(kv._1, kv._2) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -259,7 +275,7 @@ object Bench {
         m.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString(""","memo_hits":{""", ",", "}")
     }
-    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"trials":$trials$rjson$mjson$extra,"queries":$qjson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"trials":$trials$rjson$mjson$extraConfJson$extra,"queries":$qjson,"sf":"$sfDir"}"""
   }
 
   /** Good-host probe calibration in seconds (the LargeTierSweep probe —
@@ -286,6 +302,20 @@ object Bench {
     */
   private val memoHitLog =
     scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** SPARK_GRAFT_EXTRA_CONF pairs the session was built with (ADVICE r14:
+    * recorded in the results JSON so an overridden run can never pass as
+    * a canonical bench artifact). Set by [[sparkAt]].
+    */
+  @volatile private var extraConfUsed: Seq[(String, String)] = Nil
+
+  /** `"extra_conf":{...}` JSON fragment (empty string when no overrides
+    * are active, which is the canonical case).
+    */
+  private def extraConfJson: String =
+    if (extraConfUsed.isEmpty) "" else
+      extraConfUsed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","extra_conf":{""", ",", "}")
 
   /** Compact one-line total WITHOUT the per-query map, printed AFTER the
     * full summary line: the full line grows with the query count (BENCH_r04
@@ -351,15 +381,29 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = sparkAt(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val cpusStr = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = sparkAt(cpusStr)
     // optional args: run only the named queries (dev iteration)
     val toRun = if (args.nonEmpty) args.toSeq else headline
-    // host-health probe (r13, judge item #3): warm once, measure once
+    // host-health probe (r13, judge item #3): warm once, measure once.
+    // The probe is a FIXED 32-task job and the calibration was taken at
+    // 32 cores, so at cpus < 32 the tasks run in ceil(32/cpus) waves and
+    // a healthy host reads proportionally slower — scale the gate by the
+    // wave count or every low-core run (the driver's own scaling
+    // measurement) lands on the degraded path by construction (r15
+    // measurement fix: the r14 c8 artifact probed 2.39 s vs the raw
+    // 1.74 s gate and was flagged degraded on a window whose per-core
+    // throughput was actually ABOVE calibration).
+    val probeWaves =
+      math.max(1.0, 32.0 / cpusStr.toIntOption.getOrElse(32).max(1))
+    val calib = ProbeCalibration * probeWaves
     graft.tools.LargeTierSweep.probeSec(spark)
     val probe = graft.tools.LargeTierSweep.probeSec(spark)
-    val degraded = probe > ProbeCalibration * ProbeAbortFactor
+    val degraded = probe > calib * ProbeAbortFactor
     System.err.println(f"[bench] host probe $probe%.2f s " +
-      f"(calibration $ProbeCalibration%.2f s)" +
+      f"(calibration $calib%.2f s" +
+      (if (probeWaves > 1) f" = $ProbeCalibration%.2f x $probeWaves%.0f waves at $cpusStr cores" else "") +
+      ")" +
       (if (degraded) " — DEGRADED window: per-query json will NOT land " +
         "on the canonical path" else ""))
     System.err.println("[bench] === trial 1 (cold JVM) ===")
@@ -412,11 +456,11 @@ object Bench {
     // canonical/degraded decision uses BOTH samples
     val probeEnd = graft.tools.LargeTierSweep.probeSec(spark)
     val degradedEnd = degraded ||
-      probeEnd > ProbeCalibration * ProbeAbortFactor
+      probeEnd > calib * ProbeAbortFactor
     System.err.println(f"[bench] host probe at end $probeEnd%.2f s" +
       (if (degradedEnd) " — DEGRADED window" else ""))
     val probeExtra = f""","probe":$probe%.3f,"probe_end":$probeEnd%.3f,""" +
-      f""""probe_calibration":$ProbeCalibration%.3f,""" +
+      f""""probe_calibration":$calib%.3f,""" +
       f""""host_degraded":$degradedEnd"""
     println(summaryLine(merged, sfDir, trials = 2, recall = recall,
       extra = probeExtra))

@@ -27,9 +27,11 @@ object QueryJobAb {
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         jobs.incrementAndGet(): Unit
     })
-    // untimed warmup (the Bench contract: workloads, not JVM startup)
+    // untimed warmup (the Bench contract: workloads, not JVM startup);
+    // NonFatal only (ADVICE r14): a fatal OOM/linkage error here must
+    // surface, not silently poison every measurement after it
     try graft.SparkEntry.queries("q1_agg")(spark0, sfDir).count()
-    catch { case _: Throwable => }
+    catch { case scala.util.control.NonFatal(_) => }
     queries.foreach { name =>
       val spark = spark0.newSession() // cold session memos per query
       Thread.sleep(300) // let listener-bus drain the previous query's jobs
