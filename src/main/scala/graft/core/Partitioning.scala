@@ -1,7 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.storage.StorageLevel
 
 /** Size-driven partitioning for persisted iteration inputs.
@@ -16,6 +16,19 @@ import org.apache.spark.storage.StorageLevel
   * only when the existing layout is badly off (>4× either way).
   */
 object Partitioning {
+  /** Over-partitioning tolerance (r15): a second cache pass to SHRINK the
+    * partition count only pays off past this multiple. Under-partitioning
+    * (current×4 ≤ target) still always repairs — too-few partitions risk
+    * spill and serial scans — but too-many only costs per-task scheduler
+    * overhead on round scans, which the r14 AQE-coalescing A/B measured
+    * as neutral-to-positive locally (fewer post-shuffle tasks made 8
+    * representative queries uniformly SLOWER). Under the old ×4 rule
+    * every sf-sized table paid a second persist+count+round-robin
+    * repartition (with its sort-before-repartition) just to shrink 32 →
+    * 1 partitions.
+    */
+  val OverPartitionTolerance = 64L
+
   def cachedSized(df: DataFrame, rowsPerPartition: Long = 1000000L,
       maxPartitions: Int = 1 << 17,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
@@ -24,7 +37,8 @@ object Partitioning {
     val current = cached.rdd.getNumPartitions
     val target = ((n + rowsPerPartition - 1) / rowsPerPartition)
       .max(1L).min(maxPartitions.toLong).toInt
-    if (current >= target * 4 || current.toLong * 4 <= target) {
+    if (current >= target * OverPartitionTolerance ||
+        current.toLong * 4 <= target) {
       val rep = cached.repartition(target).persist(level)
       rep.count()
       cached.unpersist()
@@ -49,13 +63,31 @@ object Partitioning {
       rowsPerPartition: Long = 1000000L,
       maxPartitions: Int = 1 << 17,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val cached = df.persist(level)
-    val n = cached.count()
+    // ONE pass (r15, re-examining the r6-rejected accumulator count with
+    // the tool built for it): the row count rides the keyed exchange as
+    // an observe() metric — CollectMetrics has exactly-once semantics
+    // under task retries, unlike the raw accumulator r6 rejected — so
+    // the old persist+count staging pass (a full extra materialization
+    // of the |2E|-row view in every graph build) is gone. The first
+    // exchange runs at the session's shuffle parallelism (AQE coalesces
+    // small ones); a second pass now happens only when that layout is
+    // BADLY off the size-derived target (too few partitions for the
+    // data, or over-partitioned past [[OverPartitionTolerance]]).
+    val obs = Observation()
+    val first = df.observe(obs, count(lit(1)).as("n"))
+      .repartition(keys.map(col): _*)
+      .persist(level)
+    first.count()
+    val n = obs.get("n").asInstanceOf[Long]
+    val current = first.rdd.getNumPartitions
     val target = ((n + rowsPerPartition - 1) / rowsPerPartition)
       .max(1L).min(maxPartitions.toLong).toInt
-    val rep = cached.repartition(target, keys.map(col): _*).persist(level)
-    rep.count()
-    cached.unpersist()
-    rep
+    if (current.toLong * 4 <= target ||
+        current >= target * OverPartitionTolerance) {
+      val rep = first.repartition(target, keys.map(col): _*).persist(level)
+      rep.count()
+      first.unpersist()
+      rep
+    } else first
   }
 }

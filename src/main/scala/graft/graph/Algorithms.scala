@@ -678,12 +678,17 @@ object ShortestPaths {
     var done = false
     while (!done && d < maxIter) {
       d += 1
+      // ONE job per hop (r15): the level's row count rides the
+      // checkpoint's materializing job as an observe() metric, replacing
+      // the separate isEmpty probe job
+      val obs = org.apache.spark.sql.Observation()
       val next = edges.join(shj(bc(frontier)), frontier("id") === edges("src"))
         .select(col("dst").as("id")).distinct()
         .join(shj(bc(dist)), Seq("id"), "left_anti")
         .withColumn("dist", lit(d))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      if (next.isEmpty) done = true
+      if (obs.get("n").asInstanceOf[Long] == 0L) done = true
       else {
         dist = dist.union(next)
         frontier = next
@@ -810,14 +815,22 @@ object WeightedShortestPaths {
       // partitioning so consecutive rounds reuse it.
       val imp = col("nd").isNotNull &&
         (col("old").isNull || col("nd") < col("old"))
+      // ONE job per round (r15): the improved-row count rides the state
+      // checkpoint's own materializing job as an observe() metric — the
+      // separate emptiness probe (a job per round; two under AQE's
+      // staged count) is gone, and the loop condition reads a metric the
+      // checkpoint already computed.
+      val obs = org.apache.spark.sql.Observation()
       val upd = dist.withColumnRenamed("dist", "old")
         .join(cand, Seq("id"), "full_outer")
         .select(col("id"),
           when(imp, col("nd")).otherwise(col("old")).as("dist"),
           imp.as("imp"))
+        .observe(obs, sum(when(col("imp"), 1L).otherwise(0L)).as("nimp"))
         .localCheckpoint(true)
       frontier = upd.filter(col("imp")).select(col("id"), col("dist"))
-      frontierNonEmpty = !frontier.isEmpty
+      frontierNonEmpty =
+        Option(obs.get("nimp")).exists(_.asInstanceOf[Long] > 0L)
       dist = upd.select(col("id"), col("dist"))
     }
     if (frontierNonEmpty)
@@ -915,16 +928,33 @@ object LandmarkDistances {
     var done = false
     while (!done && d < maxIter) {
       d += 1
+      // ONE job per level (r15): the level's row count rides the
+      // checkpoint's materializing job as an observe() metric, replacing
+      // the separate isEmpty probe job
+      val obs = org.apache.spark.sql.Observation()
       val next = edges.join(bc(frontier), frontier("id") === edges("src"))
         .select(col("landmark"), col("dst").as("id")).distinct()
         .join(bc(dist.select(col("landmark"), col("id"))),
           Seq("landmark", "id"), "left_anti")
         .withColumn("dist", lit(d))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      if (next.isEmpty) done = true
+      if (obs.get("n").asInstanceOf[Long] == 0L) done = true
       else {
         levels += next
         frontier = next
+        // bound the lazy union's width on deep graphs (ADVICE r14): the
+        // anti-join rebuilds a broadcast of levels.reduce(union) every
+        // round, so plan analysis + broadcast construction grow O(d) per
+        // round, O(d²) over a deep traversal. Folding the buffer into
+        // one checkpoint every 16 levels caps the union at 16 branches;
+        // real diameters here stay under it, so the fold never fires on
+        // the bench path.
+        if (levels.size >= 16) {
+          val folded = levels.reduce(_ union _).localCheckpoint(true)
+          levels.clear()
+          levels += folded
+        }
       }
     }
     if (!done)
@@ -2851,8 +2881,13 @@ object Betweenness {
       levels.map(_.select(col("lm"), col("id"))).reduce(_ union _)
     var frontier = levels(0)
     var depth = 0
-    while (depth < maxIter && !frontier.isEmpty) {
+    var frontierNonEmpty = true
+    while (depth < maxIter && frontierNonEmpty) {
       depth += 1
+      // ONE job per level (r15): the σ level's row count rides the
+      // checkpoint's materializing job as an observe() metric, replacing
+      // the separate isEmpty probe job
+      val obs = org.apache.spark.sql.Observation()
       val next = edges
         .join(bc(frontier.select(col("lm"), col("id").as("fid"),
             col("sigma").as("fsig"))),
@@ -2860,8 +2895,10 @@ object Betweenness {
         .groupBy(col("lm"), col("dst").as("id"))
         .agg(sum(col("fsig")).as("sigma"))
         .join(bc(visited), Seq("lm", "id"), "left_anti")
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
-      if (!next.isEmpty) levels += next
+      frontierNonEmpty = obs.get("n").asInstanceOf[Long] > 0L
+      if (frontierNonEmpty) levels += next
       frontier = next
     }
     if (depth >= maxIter)
@@ -2920,7 +2957,10 @@ object Betweenness {
         .agg(round(sum(col("c")
             .cast(org.apache.spark.sql.types.DecimalType(38, 18))), 9)
           .cast("double").as("delta"))
-        .localCheckpoint(true)
+        // lazy (r15): each δ level is materialized by the NEXT level's
+        // succD broadcast build (or by the final union's consumer), so
+        // the eager per-level barrier was a redundant job per level
+        .localCheckpoint(eager = false)
       acc += delta
     }
     if (acc.isEmpty) Seq.empty[(Long, Long, Double)].toDF("lm", "id", "delta")

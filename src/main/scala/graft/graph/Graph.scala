@@ -61,6 +61,21 @@ final case class Graph(edges: DataFrame, memoizeAnalytics: Boolean = false,
       // cache ([[Graph.fromRawEdges]]): project the algorithm view off it
       // (columnar cache scan + narrow project, partitioning preserved)
       case Some(sym) => sym.select(col("src"), col("dst"))
+      // session-memoized graphs hold ONE |2E| session cache — the
+      // weighted view — and the unweighted view is a narrow projection
+      // off it (r15, ADVICE r14: the two session caches held the same
+      // row set at 1.67x the footprint, and sessions running both
+      // weighted and unweighted analytics paid two |2E| exchanges +
+      // materializations where one suffices). Row-identical: both views
+      // keep one row per orientation pair with self-loops once, the
+      // weighted groupBy dedupes exactly like the old distinct. The
+      // in-memory columnar cache prunes the weight column on scan, so
+      // unweighted consumers read the same bytes as before. Ad-hoc
+      // graphs keep the independent build: their callers unpersist
+      // `cachedUndirected` directly, which must hit the real cache
+      // entry, not a projection of it.
+      case None if memoizeAnalytics =>
+        cachedWeightedUndirected.select(col("src"), col("dst"))
       case None =>
         graft.core.Partitioning.cachedSizedBy(undirected, Seq("src"))
     }
@@ -83,15 +98,21 @@ final case class Graph(edges: DataFrame, memoizeAnalytics: Boolean = false,
     * never pinned (`lazy` means an instance that never needs the view
     * never builds it).
     */
-  lazy val cachedWeightedUndirected: DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("weight"))
-    graft.core.Partitioning.cachedSizedBy(
-      e.union(e.filter(col("src") =!= col("dst"))
-          .select(col("dst").as("src"), col("src").as("dst"),
-            col("weight")))
-        .groupBy(col("src"), col("dst"))
-        .agg(sum(col("weight")).as("weight")),
-      Seq("src"))
+  lazy val cachedWeightedUndirected: DataFrame = preSymmetrized match {
+    // fromRawEdges already materialized exactly this view: (src, dst,
+    // weight = pair multiplicity), both orientations, self-loops once,
+    // src-aligned — the weight of a pair is orientation-symmetric by
+    // construction, so the cache serves the weighted consumers directly
+    case Some(sym) => sym
+    case None =>
+      val e = edges.select(col("src"), col("dst"), col("weight"))
+      graft.core.Partitioning.cachedSizedBy(
+        e.union(e.filter(col("src") =!= col("dst"))
+            .select(col("dst").as("src"), col("src").as("dst"),
+              col("weight")))
+          .groupBy(col("src"), col("dst"))
+          .agg(sum(col("weight")).as("weight")),
+        Seq("src"))
   }
 }
 

@@ -240,7 +240,15 @@ object Corpus {
     // unigrams + adjacent bigrams, lowercased — the paper's feature set
     val feats = docs.select(col("doc_id"), col("lang"),
       explode(concat(toks(col("text")), wordNgrams(col("text"), 2))).as("g"))
+    // checkpointed (r15): the model aggregate AND the scoring join both
+    // consume this gram-bucket view — un-checkpointed, the second
+    // consumer re-ran the whole tokenize + explode + md5 pass (the
+    // query's dominant compute; at corpus scale that is a second full
+    // decode of the text). The checkpoint materializes 16 bytes/gram
+    // inside the model aggregate's own job; the per-gram sum expressions
+    // are unchanged, so the scored multiset is bit-identical.
     val fb = feats.select(col("doc_id"), col("lang"), dsirBucket(col("g")).as("bucket"))
+      .localCheckpoint(eager = false)
     val bc = fb.groupBy(col("bucket")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))

@@ -827,7 +827,12 @@ object Similarity {
       val wUnexp = Window
         .partitionBy(col("query_id"), col("expanded"))
         .orderBy(col("c").desc, col("node").asc)
+      // lazy checkpoint (r15, ADVICE r14): the isEmpty probe, the
+      // expansion join and the beam update all read this ranking — un-
+      // cached, the window over the full beam ran up to 3x per hop. The
+      // probe's job materializes it; no extra barrier.
       val ranked = beam.withColumn("rn", row_number().over(wUnexp))
+        .localCheckpoint(eager = false)
       val toExpand = ranked
         .filter(!col("expanded") && col("rn") <= beamWidth)
         .select(col("query_id"), col("node"))
