@@ -379,7 +379,55 @@ object Bench {
     ann ++ sem
   }
 
+  /** Monitor-deadlock watchdog (r15). During this round's first full
+    * bench run the suite hung indefinitely mid-`stream_local_cc_
+    * incremental`: a broadcast-exchange thread's job-end
+    * `RDD.doCheckpoint` walk (global `RDDCheckpointData$` lock → RDD
+    * monitor in `markCheckpointed`) crossed with the DAG scheduler's
+    * `RDD.partitions` walk (RDD monitor → global lock in
+    * `checkpointRDD`) over the same lazily-checkpointed RDD — an ABBA
+    * monitor deadlock inside Spark's checkpoint machinery
+    * (full jstack: plans/r15/deadlock_jstack_r15.txt). The race window
+    * is microseconds wide and had not fired in 14 rounds of identical
+    * lazy-checkpoint usage; it is unfixable from user code (the lock
+    * order is Spark-internal), and once it fires the SparkContext is
+    * dead — the dag-scheduler event loop itself is one of the parties.
+    * The watchdog turns an infinite harness hang into a fast, loud
+    * failure: on two consecutive JVM-level monitor-deadlock detections
+    * it prints the deadlocked stacks and halts with exit code 3, so a
+    * consumer sees a crashed (non-comparable) run, never a wedged one.
+    * Disable with SPARK_GRAFT_NO_DEADLOCK_WATCHDOG=1.
+    */
+  private def startDeadlockWatchdog(): Unit = {
+    if (sys.env.contains("SPARK_GRAFT_NO_DEADLOCK_WATCHDOG")) return
+    val t = new Thread(() => {
+      val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      var strikes = 0
+      while (true) {
+        Thread.sleep(30000)
+        val ids = mx.findDeadlockedThreads()
+        if (ids == null) strikes = 0
+        else {
+          strikes += 1
+          System.err.println(s"[bench] WATCHDOG: JVM monitor deadlock " +
+            s"detected (strike $strikes/2) across ${ids.length} threads")
+          if (strikes >= 2) {
+            mx.getThreadInfo(ids, true, true).foreach { ti =>
+              System.err.println(s"[bench] WATCHDOG deadlocked: $ti")
+            }
+            System.err.println("[bench] WATCHDOG: halting — SparkContext " +
+              "is unrecoverable once the dag-scheduler loop deadlocks")
+            Runtime.getRuntime.halt(3)
+          }
+        }
+      }
+    }, "graft-deadlock-watchdog")
+    t.setDaemon(true)
+    t.start()
+  }
+
   def main(args: Array[String]): Unit = {
+    startDeadlockWatchdog()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusStr = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = sparkAt(cpusStr)

@@ -804,66 +804,69 @@ object Similarity {
     val corpus = e.select(col("vec_id").as("node"), col("v"))
     val wBeam = Window.partitionBy(col("query_id"))
       .orderBy(col("c").desc, col("node").asc)
+    // rank among the UNEXPANDED rows (not the whole beam): the search
+    // keeps digging best-first until every surviving beam row has been
+    // expanded, rather than stopping as soon as the global top-B happen
+    // to be expanded — the ef budget is only spent if exploration
+    // actually continues.
+    val wUnexp = Window
+      .partitionBy(col("query_id"), col("expanded"))
+      .orderBy(col("c").desc, col("node").asc)
+    // ONE state job per hop (r15; supersedes the r14 shape ADVICE r14
+    // flagged for re-running the ranking window up to 3x): the beam
+    // checkpoints WITH its rn ranking, and the count of expandable rows
+    // (rn ≤ beamWidth on an unexpanded row ⟺ it expands next hop) rides
+    // the same job as an observe() metric — so the next hop's expansion
+    // set is a plain filter of the cached state and the old per-hop
+    // isEmpty probe job (which also re-ran the window) is gone entirely.
+    def rankAndCkpt(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ranked = df.withColumn("rn", row_number().over(wUnexp))
+        .observe(obs, sum(when(!col("expanded") &&
+          col("rn") <= beamWidth, 1L).otherwise(0L)).as("nexp"))
+        .localCheckpoint(true)
+      // reset inherited sizeInBytes stats: each hop joins two
+      // descendants of the previous beam, which SQUARES the carried
+      // estimate every round — exponential stats-walk blowup by ~hop 20
+      // (see graft.core.Checkpoints.freshStats)
+      (graft.core.Checkpoints.freshStats(ranked),
+        Option(obs.get("nexp")).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
     // seed: the fixed entry node, exact-scored per query
-    var beam = q.crossJoin(broadcast(corpus.filter(col("node") === 0L)))
-      .select(col("query_id"), col("node"),
-        cosine(col("qv"), col("v")).as("c"), lit(false).as("expanded"))
-      .localCheckpoint(true)
+    var (beam, nExp) = rankAndCkpt(
+      q.crossJoin(broadcast(corpus.filter(col("node") === 0L)))
+        .select(col("query_id"), col("node"),
+          cosine(col("qv"), col("v")).as("c"), lit(false).as("expanded")))
     val prof = sys.env.contains("GRAFT_S7_PROF")
     var hops = 0
-    var more = true
-    while (more && hops < maxHops) {
+    while (nExp > 0 && hops < maxHops) {
       hops += 1
       val rt0 = System.nanoTime()
-      // rank among the UNEXPANDED rows (not the whole beam): the search
-      // keeps digging best-first until every surviving beam row has been
-      // expanded, rather than stopping as soon as the global top-B happen
-      // to be expanded — the ef budget is only spent if exploration
-      // actually continues. r14: ONE window over the cached beam yields
-      // both the expansion set AND the flag update (rn ≤ beamWidth on an
-      // unexpanded row ⟺ it is expanded this hop), so the per-hop
-      // toExpand checkpoint job and the beam⋈toExpand flag join are gone
-      // — the hop's only state write is the beam checkpoint itself
-      val wUnexp = Window
-        .partitionBy(col("query_id"), col("expanded"))
-        .orderBy(col("c").desc, col("node").asc)
-      // lazy checkpoint (r15, ADVICE r14): the isEmpty probe, the
-      // expansion join and the beam update all read this ranking — un-
-      // cached, the window over the full beam ran up to 3x per hop. The
-      // probe's job materializes it; no extra barrier.
-      val ranked = beam.withColumn("rn", row_number().over(wUnexp))
-        .localCheckpoint(eager = false)
-      val toExpand = ranked
+      val toExpand = beam
         .filter(!col("expanded") && col("rn") <= beamWidth)
         .select(col("query_id"), col("node"))
-      if (toExpand.isEmpty) more = false
-      else {
-        val discovered = broadcast(toExpand).join(links, Seq("node"))
-          .select(col("query_id"), col("nbr").as("node")).distinct()
-          .join(beam.select(col("query_id"), col("node")),
-            Seq("query_id", "node"), "left_anti")
-        // ONE corpus probe join scores every query's discoveries exactly
-        val scored = broadcast(discovered).join(corpus, Seq("node"))
-          .join(q, Seq("query_id"))
-          .select(col("query_id"), col("node"),
-            cosine(col("qv"), col("v")).as("c"), lit(false).as("expanded"))
-        beam = ranked
-          .select(col("query_id"), col("node"), col("c"),
-            (col("expanded") || col("rn") <= beamWidth).as("expanded"))
-          .union(scored)
-          .withColumn("r", row_number().over(wBeam))
-          .filter(col("r") <= ef)
-          .select(col("query_id"), col("node"), col("c"), col("expanded"))
-          .localCheckpoint(true)
-        // reset inherited sizeInBytes stats: this round joined two
-        // descendants of the previous beam, which SQUARES the carried
-        // estimate every round — exponential stats-walk blowup by ~hop 20
-        // (see graft.core.Checkpoints.freshStats)
-        beam = graft.core.Checkpoints.freshStats(beam)
-      }
+      val discovered = broadcast(toExpand).join(links, Seq("node"))
+        .select(col("query_id"), col("nbr").as("node")).distinct()
+        .join(beam.select(col("query_id"), col("node")),
+          Seq("query_id", "node"), "left_anti")
+      // ONE corpus probe join scores every query's discoveries exactly
+      val scored = broadcast(discovered).join(corpus, Seq("node"))
+        .join(q, Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          cosine(col("qv"), col("v")).as("c"), lit(false).as("expanded"))
+      val merged = beam
+        .select(col("query_id"), col("node"), col("c"),
+          (col("expanded") || col("rn") <= beamWidth).as("expanded"))
+        .union(scored)
+        .withColumn("r", row_number().over(wBeam))
+        .filter(col("r") <= ef)
+        .select(col("query_id"), col("node"), col("c"), col("expanded"))
+      val next = rankAndCkpt(merged)
+      beam = next._1
+      nExp = next._2
       if (prof) System.err.println(f"[s7] hop $hops%3d " +
         f"${(System.nanoTime() - rt0) / 1e9}%6.2f s  " +
-        s"toExpand=${toExpand.count()} beam=${beam.count()} " +
+        s"nExp=$nExp beam=${beam.count()} " +
         s"plan=${beam.queryExecution.analyzed.numberedTreeString.length}ch")
     }
     beam.filter(col("node") =!= col("query_id"))
